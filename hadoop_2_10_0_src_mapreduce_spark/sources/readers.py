@@ -1,0 +1,170 @@
+"""Readers — InputFormat parity (SURVEY.md §2.1).
+
+Reference contract: ``InputFormat.getSplits + createRecordReader``
+(CORE/mapreduce/InputFormat.java, FileInputFormat.java [H]). Spark's
+file sources implement the same split/locality model internally
+(``spark.sql.files.maxPartitionBytes`` ≈ split size,
+``spark.sql.files.openCostInBytes`` ≈ CombineFileInputFormat's
+small-file packing), so each reader here is a thin declarative wrapper
+that keeps the plan Catalyst-optimizable: filters and projections
+pushed to the scan, no Python in the row path.
+
+Parity map (reference class → function here):
+- TextInputFormat/LineRecordReader      → read_text_lines
+- KeyValueTextInputFormat               → read_kv_text
+- NLineInputFormat                      → read_text_lines(num_partitions=)
+- FixedLengthInputFormat                → read_fixed_length
+- CombineFileInputFormat                → conf (see session.SCALE_DEFAULTS)
+- MultipleInputs/DelegatingInputFormat  → read_multiple_inputs
+- DBInputFormat/DataDrivenDBInputFormat → read_jdbc_partitioned
+- SequenceFileInputFormat               → parquet is this engine's
+  self-describing container; see ``load_table``. (Reading legacy
+  SequenceFiles: ``spark.sparkContext.sequenceFile`` still exists.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Parquet scan → columnar, vectorized,
+    pushdown-capable (the strict upgrade over SequenceFile, SURVEY §1.3)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def read_text_lines(
+    spark: SparkSession,
+    path: str,
+    *,
+    with_offset: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """TextInputFormat parity: one row per line, column ``value``.
+
+    ``with_offset`` adds a ``key`` column standing in for the byte
+    offset LongWritable key (monotonic per-partition id — offsets were
+    only ever used as a unique-ish key, not arithmetic).
+    ``num_partitions`` gives NLineInputFormat-style control over task
+    granularity (Spark normally decides from file size).
+    """
+    df = spark.read.text(path)
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    if with_offset:
+        df = df.select(F.monotonically_increasing_id().alias("key"), "value")
+    return df
+
+
+def read_kv_text(
+    spark: SparkSession,
+    path: str,
+    *,
+    sep: str = "\t",
+) -> DataFrame:
+    """KeyValueTextInputFormat parity: split each line on the FIRST
+    separator → (key, value); no separator → whole line is the key,
+    value is empty (the reference's documented behavior)."""
+    line = spark.read.text(path)
+    # split(.., limit=2) keeps any further separators inside the value.
+    parts = F.split(F.col("value"), sep, 2)
+    return line.select(
+        parts.getItem(0).alias("key"),
+        F.coalesce(parts.getItem(1), F.lit("")).alias("value"),
+    )
+
+
+def read_fixed_length(
+    spark: SparkSession,
+    path: str,
+    record_length: int,
+    fields: Sequence[tuple[str, int, int]] | None = None,
+) -> DataFrame:
+    """FixedLengthInputFormat parity: fixed-width binary records.
+
+    ``fields``: optional (name, start_1_based, length) specs sliced out
+    of the record as strings; without it you get one ``record`` binary
+    column. Uses ``binaryRecords`` (the one reader that genuinely needs
+    the RDD API — there is no DataFrame fixed-width source).
+    """
+    rdd = spark.sparkContext.binaryRecords(path, record_length)
+    df = spark.createDataFrame(rdd.map(lambda b: (b,)), "record binary")
+    if fields:
+        cols = [
+            F.substring(F.col("record").cast("string"), start, length).alias(name)
+            for name, start, length in fields
+        ]
+        df = df.select(*cols)
+    return df
+
+
+def read_multiple_inputs(
+    sources: Sequence[tuple[DataFrame, Callable[[DataFrame], DataFrame] | None]],
+) -> DataFrame:
+    """MultipleInputs parity: per-source mapper, results unioned.
+
+    Each element is (df, per_source_transform). Transforms must emit
+    union-compatible schemas; union is by name so column order per
+    source doesn't matter (DelegatingMapper never guaranteed order
+    either)."""
+    mapped = [(fn(df) if fn else df) for df, fn in sources]
+    out = mapped[0]
+    for df in mapped[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    split_column: str | None = None,
+    lower: int | None = None,
+    upper: int | None = None,
+    num_partitions: int = 8,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """DataDrivenDBInputFormat parity: JDBC scan split into WHERE-range
+    chunks over a numeric column — Spark's JDBC partitioning IS the
+    descendant of this (SURVEY §2.1). Untested on-box (no JDBC server
+    in the container); kept thin on purpose."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if split_column is not None:
+        reader = (
+            reader.option("partitionColumn", split_column)
+            .option("lowerBound", str(lower))
+            .option("upperBound", str(upper))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def lines_from_column(df: DataFrame, col: str | Column = "text") -> DataFrame:
+    """Adapter used across tests/queries: treat a string column as the
+    'input file' of line-oriented reference jobs (FIXTURES.md maps the
+    reference's text-line inputs onto ``documents.text``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return df.select(c.alias("value"))
