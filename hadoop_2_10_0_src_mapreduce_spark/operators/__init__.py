@@ -1,0 +1,7 @@
+from hadoop_2_10_0_src_mapreduce_spark.operators import (  # noqa: F401
+    aggregations,
+    joins,
+    sets,
+    sortpart,
+    transforms,
+)

@@ -1,0 +1,103 @@
+"""Aggregations — Reducer/Combiner-library parity (SURVEY.md §2.5).
+
+Reference semantics: shuffle grouping IS the group-by; the Combiner is
+map-side partial aggregation. Spark's hash aggregate already splits
+partial/final exactly like Combiner/Reducer (with sort-agg spill
+fallback matching the reference's sort-based grouping), so everything
+here is expression composition — the one genuinely custom piece is
+ValueHistogram's two-level statistics.
+
+Parity map (lib/aggregate/*, lib/reduce/* [H]):
+- IntSumReducer/LongSumReducer/LongValueSum/DoubleValueSum → sum_by_key
+- LongValueMax/Min, StringValueMax/Min                     → minmax_by_key
+- UniqValueCount (with maxNumItems cap)                    → uniq_value_count
+- ValueHistogram                                           → value_histogram
+- WordMean/WordMedian/WordStandardDeviation examples       → word_stats
+- ValueAggregatorJob framework ("type:id" → value)         → the
+  registry + groupBy().agg(expr-list) IS the declarative framework;
+  custom aggregators → pandas_udf GROUPED_AGG (see udf module)
+- Counters                                                 → observe_counters
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def sum_by_key(df: DataFrame, keys: Sequence[str], value: str, out: str = "sum") -> DataFrame:
+    """LongSumReducer parity. Spark runs this as partial hash agg
+    (the Combiner) + final agg after shuffling only the per-key
+    partials — identical dataflow, no per-record Java loop."""
+    return df.groupBy(*keys).agg(F.sum(value).alias(out))
+
+
+def minmax_by_key(df: DataFrame, keys: Sequence[str], value: str) -> DataFrame:
+    """LongValueMax/Min + StringValueMax/Min parity (min/max work for
+    both numeric and lexicographic-string semantics in Spark)."""
+    return df.groupBy(*keys).agg(
+        F.min(value).alias("min_value"), F.max(value).alias("max_value")
+    )
+
+
+def uniq_value_count(
+    df: DataFrame, keys: Sequence[str], value: str, max_items: int | None = None
+) -> DataFrame:
+    """UniqValueCount parity: distinct values per key, optionally
+    capped at ``max_items`` (the reference capped to bound reducer
+    memory — emitted min(distinct, cap)).
+
+    Exact countDistinct expands rows by the distinct value before the
+    final agg; at extreme cardinality prefer approx_count_distinct
+    (HLL — bounded memory like the reference's cap, but principled).
+    """
+    cnt = F.countDistinct(value)
+    if max_items is not None:
+        cnt = F.least(cnt, F.lit(max_items))
+    return df.groupBy(*keys).agg(cnt.alias("uniq_count"))
+
+
+def value_histogram(df: DataFrame, keys: Sequence[str], value: str) -> DataFrame:
+    """ValueHistogram parity: per key, build value→frequency, then
+    summarize the FREQUENCIES: distinct-value count, min/median/max/
+    mean/stddev of the per-value counts.
+
+    Two-level aggregation — both levels are hash aggs with partial
+    combine, so the wide shuffle carries (key, value) pairs once.
+    Median is exact (Spark 4 ``median``), matching the reference's
+    sorted-count walk, not percentile_approx.
+    """
+    freq = df.groupBy(*keys, value).agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        freq.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("uniq_values"),
+            F.min("freq").alias("min_freq"),
+            F.max("freq").alias("max_freq"),
+            F.round(F.avg("freq"), 6).alias("avg_freq"),
+            F.median("freq").alias("median_freq"),
+            F.round(F.stddev_pop("freq"), 6).alias("stddev_freq"),
+        )
+    )
+
+
+def word_stats(tokens: DataFrame, col: str = "token") -> DataFrame:
+    """WordMean/WordMedian/WordStandardDeviation parity, one pass
+    (the reference ran three separate jobs over the same input)."""
+    length = F.length(F.col(col))
+    return tokens.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.avg(length), 6).alias("mean_len"),
+        F.median(length).alias("median_len"),
+        F.round(F.stddev_pop(length), 6).alias("stddev_len"),
+    )
+
+
+def observe_counters(df: DataFrame, name: str, exprs: dict[str, Column]) -> tuple[DataFrame, Observation]:
+    """Counters parity (CORE/mapreduce/counters/* [H]): add-only global
+    metrics collected as a side effect of the job, without a second
+    pass. ``Observation.get`` after the action ≈ Counters.getGroup()."""
+    obs = Observation(name)
+    return df.observe(obs, *[e.alias(n) for n, e in exprs.items()]), obs

@@ -1,0 +1,94 @@
+"""Joins (SURVEY.md §2.4).
+
+The reference's three join strategies map onto Spark's three physical
+joins, chosen by Catalyst/AQE instead of by hand:
+
+- reduce-side shuffle join (DATAJOIN tag+cross-product) → shuffle
+  hash / sort-merge join
+- map-side merge join on pre-sorted co-partitioned inputs
+  (CompositeInputFormat, lib/join/*) → sort-merge join; bucketed
+  tables make the "pre-sorted, identically partitioned" precondition
+  durable exactly like CompositeInputFormat required
+- map-side hash join of a DistributedCache'd small table → broadcast
+  hash join (automatic under autoBroadcastJoinThreshold; explicit via
+  ``broadcast()``)
+
+Semi/anti/theta/as-of joins were absent in the reference (hand-rolled
+idioms) — free upgrades here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+    *,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """The general equi-join. ``broadcast_right`` forces the
+    DistributedCache pattern for dims you know are small; otherwise
+    AQE decides at runtime from actual sizes."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on, how)
+
+
+def multiway_inner(
+    base: DataFrame, *others: tuple[DataFrame, str | Column, bool]
+) -> DataFrame:
+    """InnerJoinRecordReader parity: k-way equi inner join. Each other
+    is (df, on, broadcast). Catalyst reorders/fuses; with AQE the
+    small dims collapse to broadcast stages."""
+    out = base
+    for df, on, bc in others:
+        out = equi_join(out, df, on, "inner", broadcast_right=bc)
+    return out
+
+
+def override_join(
+    sources: Sequence[DataFrame], key: str, value: str
+) -> DataFrame:
+    """OverrideRecordReader / ``override(...)`` parity: k sources of
+    (key, value); for duplicate keys the value from the RIGHTMOST
+    source wins (prioritized lookup).
+
+    Implementation: successive full-outer joins + coalesce(right,
+    left) — one shuffle per source, same as the reference's one merged
+    scan but without the pre-sorted precondition. (lib/join/
+    OverrideRecordReader.java [H])
+    """
+    out = sources[0].select(F.col(key), F.col(value))
+    for i, src in enumerate(sources[1:], 1):
+        r = src.select(F.col(key).alias(f"_k{i}"), F.col(value).alias(f"_v{i}"))
+        out = (
+            out.join(r, F.col(key) == F.col(f"_k{i}"), "full_outer")
+            .select(
+                F.coalesce(F.col(key), F.col(f"_k{i}")).alias(key),
+                F.coalesce(F.col(f"_v{i}"), F.col(value)).alias(value),
+            )
+        )
+    return out
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Column) -> DataFrame:
+    """left_semi — the reference hand-rolled this as reduce-side tag
+    checks; Spark never materializes right columns at all."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Column) -> DataFrame:
+    return left.join(right, on, "left_anti")
+
+
+def cross_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Cartesian (reference idiom: constant key → single group). Only
+    sane when one side is tiny; Spark broadcasts the small side
+    (BroadcastNestedLoopJoin)."""
+    return left.crossJoin(right)

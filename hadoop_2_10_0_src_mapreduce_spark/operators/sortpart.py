@@ -1,0 +1,109 @@
+"""Sorts, top-k, partitioning (SURVEY.md §2.6).
+
+- Global total-order sort: the reference's Sort example +
+  TotalOrderPartitioner + InputSampler (sample → cut points →
+  range-partition → per-partition sort) is EXACTLY Spark's
+  ``orderBy`` (RangePartitioner does reservoir sampling internally).
+- TeraSort: same thing with a trie partitioner — ``orderBy`` again;
+  ``sort_validate``'s order+checksum property check is the
+  TeraValidate analog.
+- KeyFieldBasedComparator/Partitioner: unix-sort ``-k2,3nr`` field
+  specs → expression lists over split().
+- HashPartitioner/BinaryPartitioner → repartition(n, expr).
+- Top-k: absent as a reference primitive (single-reducer idiom) —
+  Spark's orderBy().limit() runs distributed TakeOrdered; per-group
+  via window row_number (partial sort per partition, no global sort).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def total_order_sort(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """Globally sorted output across partitions (partition i's rows all
+    ≤ partition i+1's) — Sort/TeraSort parity."""
+    return df.orderBy(*cols)
+
+
+def top_k(df: DataFrame, k: int, *order: Column) -> DataFrame:
+    """Distributed top-k: per-partition heads merged at the driver
+    (TakeOrdered) — the 'bounded TreeMap per task + single reducer
+    merge' idiom, built in. Include a unique tiebreaker column in
+    ``order`` for deterministic output."""
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, group: Sequence[str], k: int, *order: Column, rank_col: str = "rnk"
+) -> DataFrame:
+    """Per-group top-k via row_number window — no global sort, one
+    shuffle on the group keys; skew-safe under AQE."""
+    w = Window.partitionBy(*group).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+
+
+_KEYFIELD = re.compile(r"-k(\d+)(?:,(\d+))?([nr]*)")
+
+
+def key_field_sort_cols(spec: str, line: Column, sep: str = "\t") -> list[Column]:
+    """KeyFieldBasedComparator parity: parse unix-sort specs like
+    ``-k2,2nr -k3,3`` into sort expressions over a sep-split line.
+    Fields are 1-based (unix sort convention); ``n`` = numeric,
+    ``r`` = reverse. (lib/partition/KeyFieldHelper.java [H])"""
+    fields = F.split(line, sep)
+    cols: list[Column] = []
+    for m in _KEYFIELD.finditer(spec):
+        start, end, flags = int(m.group(1)), m.group(2), m.group(3) or ""
+        end = int(end) if end else start
+        for i in range(start, end + 1):
+            c: Column = fields.getItem(i - 1)
+            if "n" in flags:
+                c = c.cast("double")
+            cols.append(c.desc() if "r" in flags else c.asc())
+    return cols
+
+
+def repartition_by_key(df: DataFrame, n: int, *keys: str | Column) -> DataFrame:
+    """HashPartitioner parity: hash(key) mod n routing. (Custom
+    Partitioner.getPartition logic → any expression works as a key.)"""
+    return df.repartition(n, *[F.col(k) if isinstance(k, str) else k for k in keys])
+
+
+def sort_validate(df: DataFrame, *cols: str) -> DataFrame:
+    """TeraValidate/SortValidator parity as a property check: sort by
+    ``cols`` and emit one row proving (a) global monotonic order —
+    via lag() over the sorted output — and (b) content invariance —
+    an order-insensitive checksum equal on input and output.
+
+    Returns columns: n_rows, is_sorted (bool), checksum_in = checksum_out (bool).
+    """
+    key = F.struct(*[F.col(c) for c in cols])
+    # sum the 64-bit hashes in decimal — a long sum overflows under ANSI
+    hashed = F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+    checksum_in = df.agg(F.sum(hashed).alias("checksum_in"))
+
+    sorted_df = df.orderBy(*cols)
+    w = Window.orderBy(*cols)
+    flags = sorted_df.select(
+        hashed.alias("h"),
+        (key >= F.lag(key, 1).over(w)).alias("ok"),
+    )
+    out = flags.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.coalesce(F.col("ok"), F.lit(True))).alias("is_sorted"),
+        F.sum("h").alias("checksum_out"),
+    )
+    return out.crossJoin(checksum_in).select(
+        "n_rows",
+        "is_sorted",
+        (F.col("checksum_out") == F.col("checksum_in")).alias("checksum_match"),
+    )

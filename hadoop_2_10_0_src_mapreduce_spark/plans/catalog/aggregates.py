@@ -1,0 +1,173 @@
+"""Catalog: aggregations (SURVEY.md §2.5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_2_10_0_src_mapreduce_spark.operators import aggregations, transforms
+from hadoop_2_10_0_src_mapreduce_spark.plans.qutil import dsum, sql_dsum
+from hadoop_2_10_0_src_mapreduce_spark.plans.registry import register
+from hadoop_2_10_0_src_mapreduce_spark.sources.readers import lines_from_column, load_table
+
+# --- sum/min/max family (IntSumReducer, LongValueMax/Min, ...) -------
+
+_AGG_FAMILY_ORACLE = f"""
+SELECT
+    l_returnflag,
+    COUNT(*) AS cnt,
+    {sql_dsum('l_quantity')} AS sum_qty,
+    MIN(l_quantity) AS min_qty,
+    MAX(l_quantity) AS max_qty,
+    MIN(l_linestatus) AS min_status,
+    MAX(l_linestatus) AS max_status
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_sum_minmax", _AGG_FAMILY_ORACLE, tags=("agg",),
+          doc="LongSumReducer + LongValueMax/Min + StringValueMax/Min in one pass.")
+def agg_sum_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.min("l_linestatus").alias("min_status"),
+            F.max("l_linestatus").alias("max_status"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- UniqValueCount (capped distinct) --------------------------------
+
+_UNIQ_ORACLE = """
+SELECT
+    l_returnflag,
+    COUNT(DISTINCT l_partkey) AS uniq_count,
+    LEAST(COUNT(DISTINCT l_partkey), 100) AS uniq_count_capped
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("uniq_value_count", _UNIQ_ORACLE, tags=("agg",),
+          doc="UniqValueCount parity incl. the maxNumItems cap (bounded-memory distinct).")
+def uniq_value_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("uniq_count"),
+            F.least(F.countDistinct("l_partkey"), F.lit(100)).alias("uniq_count_capped"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- ValueHistogram --------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+SELECT
+    event_type,
+    COUNT(*) AS uniq_values,
+    MIN(freq) AS min_freq,
+    MAX(freq) AS max_freq,
+    ROUND(AVG(freq), 6) AS avg_freq,
+    MEDIAN(freq) AS median_freq,
+    ROUND(STDDEV_POP(freq), 6) AS stddev_freq
+FROM (
+    SELECT event_type, user_id, COUNT(*) AS freq
+    FROM events
+    GROUP BY event_type, user_id
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("value_histogram", _HISTOGRAM_ORACLE, tags=("agg",),
+          doc="ValueHistogram parity: per-key value→freq map summarized (count/min/max/mean/exact-median/stddev of frequencies).")
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return aggregations.value_histogram(ev, ["event_type"], "user_id").orderBy("event_type")
+
+
+# --- Word stats (WordMean/WordMedian/WordStandardDeviation) ----------
+
+_WORD_STATS_ORACLE = """
+SELECT
+    COUNT(*) AS n_words,
+    ROUND(AVG(LENGTH(token)), 6) AS mean_len,
+    MEDIAN(LENGTH(token)) AS median_len,
+    ROUND(STDDEV_POP(LENGTH(token)), 6) AS stddev_len
+FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents
+)
+"""
+
+
+@register("word_stats", _WORD_STATS_ORACLE, tags=("agg",),
+          doc="WordMean/WordMedian/WordStandardDeviation in one pass (reference: 3 jobs).")
+def word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = transforms.tokenize(lines_from_column(docs, "text"))
+    return aggregations.word_stats(tokens)
+
+
+# --- Rollup / cube (free upgrades — absent in the reference) ---------
+
+_ROLLUP_ORACLE = f"""
+SELECT
+    l_returnflag,
+    l_linestatus,
+    COUNT(*) AS cnt,
+    {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register("rollup_sums", _ROLLUP_ORACLE, tags=("agg",),
+          doc="ROLLUP upgrade: the reference needed one MR job per grouping level.")
+def rollup_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("l_quantity").alias("sum_qty"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+_CUBE_ORACLE = """
+SELECT
+    o_orderstatus,
+    o_orderpriority,
+    COUNT(*) AS cnt
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@register("cube_counts", _CUBE_ORACLE, tags=("agg",),
+          doc="CUBE upgrade over orders status×priority.")
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )

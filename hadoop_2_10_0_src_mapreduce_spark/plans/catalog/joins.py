@@ -1,0 +1,173 @@
+"""Catalog: joins (SURVEY.md §2.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_2_10_0_src_mapreduce_spark.operators import joins
+from hadoop_2_10_0_src_mapreduce_spark.plans.registry import register
+from hadoop_2_10_0_src_mapreduce_spark.sources.readers import load_table
+
+# --- Multiway inner join with broadcast dims (Q5-flavored) -----------
+# lineitem⋈orders shuffles on orderkey (uniform TPC-H keys, no skew);
+# orders⋈customer shuffles on custkey; nation/region are broadcast
+# (the DistributedCache pattern) so they never shuffle.
+
+_REVENUE_ORACLE = """
+SELECT
+    n_name,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+    COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("join_revenue_by_nation", _REVENUE_ORACLE, tags=("join", "agg"),
+          doc="K-way inner join (InnerJoinRecordReader parity) with broadcast dims; revenue per ASIA nation.")
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = joins.multiway_inner(
+        li,
+        (orders, F.col("l_orderkey") == F.col("o_orderkey"), False),
+        (customer, F.col("o_custkey") == F.col("c_custkey"), False),
+        (nation, F.col("c_nationkey") == F.col("n_nationkey"), True),
+        (region.where(F.col("r_name") == "ASIA"),
+         F.col("n_regionkey") == F.col("r_regionkey"), True),
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --- Left outer join (OuterJoinRecordReader flavor) ------------------
+
+_LEFT_OUTER_ORACLE = """
+SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus = 'F'
+GROUP BY c_custkey, c_mktsegment
+ORDER BY c_custkey
+"""
+
+
+@register("join_left_outer", _LEFT_OUTER_ORACLE, tags=("join",),
+          doc="Outer join parity: customers with their F-order counts incl. zero.")
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_orderstatus") == "F")
+    return (
+        customer.join(orders, cond, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+# --- Full outer + override (rightmost-wins lookup) -------------------
+
+_OVERRIDE_ORACLE = """
+SELECT
+    COALESCE(b.key, a.key) AS key,
+    COALESCE(b.value, a.value) AS value
+FROM (SELECT p_partkey AS key, CAST(p_retailprice AS DOUBLE) AS value FROM part) a
+FULL OUTER JOIN (
+    SELECT l_partkey AS key, CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+    FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey
+) b ON a.key = b.key
+ORDER BY key
+"""
+
+
+@register("join_override", _OVERRIDE_ORACLE, tags=("join",),
+          doc="override(...) parity (lib/join/OverrideRecordReader): rightmost source wins per key.")
+def join_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    base = part.select(F.col("p_partkey").alias("key"),
+                       F.col("p_retailprice").cast("double").alias("value"))
+    overlay = (
+        li.where(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.max(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("value"))
+    )
+    return joins.override_join([base, overlay], "key", "value").orderBy("key")
+
+
+# --- Semi / anti (free upgrades over the reference's tag idiom) ------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+ORDER BY c_custkey
+"""
+
+
+@register("join_semi", _SEMI_ORACLE, tags=("join",),
+          doc="left_semi parity: customers having a >400k order.")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 400000)
+    return (
+        joins.semi_join(customer, big, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+ORDER BY c_custkey
+"""
+
+
+@register("join_anti", _ANTI_ORACLE, tags=("join",),
+          doc="left_anti parity: customers with no >400k order.")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 400000)
+    return (
+        joins.anti_join(customer, big, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --- Cartesian -------------------------------------------------------
+
+_CROSS_ORACLE = """
+SELECT r_name, n_name
+FROM region CROSS JOIN nation
+ORDER BY r_name, n_name
+"""
+
+
+@register("join_cross", _CROSS_ORACLE, tags=("join",),
+          doc="Cartesian parity (reference idiom: constant key → one group).")
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    return joins.cross_join(region, nation).orderBy("r_name", "n_name")

@@ -1,0 +1,117 @@
+"""Catalog: sorts / top-k / partitioning (SURVEY.md §2.6).
+
+Note on oracles: the driver's value-hash is order-insensitive, so sort
+queries must materialize the order into data — a rank column or a
+validation verdict — for the check to actually test sortedness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_2_10_0_src_mapreduce_spark.operators import sortpart, transforms
+from hadoop_2_10_0_src_mapreduce_spark.plans.registry import register
+from hadoop_2_10_0_src_mapreduce_spark.sources.readers import load_table
+
+# --- Global total-order sort with rank (Sort/TeraSort parity) --------
+
+_SORT_RANK_ORACLE = """
+SELECT ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+       o_orderkey, o_totalprice
+FROM orders
+ORDER BY rnk
+LIMIT 100
+"""
+
+
+@register("sort_global_rank", _SORT_RANK_ORACLE, tags=("sort",),
+          doc="Total-order sort (TotalOrderPartitioner parity: sample→range-partition→sort is what orderBy does) + top-100 with rank.")
+def sort_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(F.row_number().over(w).alias("rnk"), "o_orderkey", "o_totalprice")
+        .orderBy("rnk")
+        .limit(100)
+    )
+
+
+# --- Per-group top-k (window) ----------------------------------------
+
+_TOPK_GROUP_ORACLE = """
+SELECT o_orderpriority, rnk, o_orderkey, o_totalprice
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+    FROM orders
+)
+WHERE rnk <= 3
+ORDER BY o_orderpriority, rnk
+"""
+
+
+@register("topk_per_group", _TOPK_GROUP_ORACLE, tags=("sort",),
+          doc="Per-group top-k via row_number window — no global sort, one group-key shuffle.")
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        sortpart.top_k_per_group(
+            o, ["o_orderpriority"], 3, F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rnk")
+    )
+
+
+# --- TeraValidate-style property check -------------------------------
+# The Spark side PROVES sortedness + checksum invariance; the oracle
+# states the expected verdict (the property itself is the test —
+# SortValidator.java's record-stats/hash invariance, SURVEY §5.3).
+
+_SORT_VALIDATE_ORACLE = """
+SELECT COUNT(*) AS n_rows, TRUE AS is_sorted, TRUE AS checksum_match
+FROM lineitem
+"""
+
+
+@register("sort_validate", _SORT_VALIDATE_ORACLE, tags=("sort", "property"),
+          doc="TeraValidate/SortValidator parity: global order + order-insensitive checksum invariance of the sorted output.")
+def sort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return sortpart.sort_validate(li, "l_orderkey", "l_linenumber")
+
+
+# --- KeyFieldBased sort (unix-sort -k specs over tab-lines) ----------
+
+_KEYFIELD_ORACLE = """
+SELECT ROW_NUMBER() OVER (
+           ORDER BY CAST(parts[2] AS DOUBLE) DESC, CAST(parts[1] AS DOUBLE)
+       ) AS rnk,
+       line
+FROM (
+    SELECT string_split(line, chr(9)) AS parts, line
+    FROM (
+        SELECT concat_ws(chr(9), o_orderkey, o_totalprice, o_orderstatus) AS line
+        FROM orders
+    )
+)
+ORDER BY rnk
+LIMIT 50
+"""
+
+
+@register("keyfield_sort", _KEYFIELD_ORACLE, tags=("sort",),
+          doc="KeyFieldBasedComparator parity: '-k2,2nr -k1,1n' over tab-lines (numeric desc on field 2, tiebreak field 1).")
+def keyfield_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    lined = transforms.with_line(o, ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    cols = sortpart.key_field_sort_cols("-k2,2nr -k1,1n", F.col("line"))
+    w = Window.orderBy(*cols)
+    return (
+        lined.select(F.row_number().over(w).alias("rnk"), "line")
+        .orderBy("rnk")
+        .limit(50)
+    )

@@ -45,7 +45,22 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet scan → columnar, vectorized,
-    pushdown-capable (the strict upgrade over SequenceFile, SURVEY §1.3)."""
+    pushdown-capable (the strict upgrade over SequenceFile, SURVEY §1.3).
+
+    ``events.ts`` is TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects; read it as long nanos and normalize to a microsecond
+    TIMESTAMP_NTZ column (floor division — the same truncation DuckDB
+    applies), so downstream code sees an ordinary timestamp.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast(
+                "timestamp_ntz"
+            ),
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -86,11 +101,12 @@ def read_kv_text(
     separator → (key, value); no separator → whole line is the key,
     value is empty (the reference's documented behavior)."""
     line = spark.read.text(path)
-    # split(.., limit=2) keeps any further separators inside the value.
+    # split(.., limit=2) keeps any further separators inside the value;
+    # F.get is null-safe for separator-less lines (getItem throws under ANSI).
     parts = F.split(F.col("value"), sep, 2)
     return line.select(
-        parts.getItem(0).alias("key"),
-        F.coalesce(parts.getItem(1), F.lit("")).alias("value"),
+        F.get(parts, 0).alias("key"),
+        F.coalesce(F.get(parts, 1), F.lit("")).alias("value"),
     )
 
 

@@ -1,0 +1,70 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_2_10_0_src_mapreduce_spark.operators import (
+    aggregations,
+    joins,
+    sortpart,
+)
+
+
+def test_override_join_rightmost_wins(spark):
+    a = spark.createDataFrame([(1, "a1"), (2, "a2")], ["key", "value"])
+    b = spark.createDataFrame([(2, "b2"), (3, "b3")], ["key", "value"])
+    c = spark.createDataFrame([(3, "c3")], ["key", "value"])
+    out = {r.key: r.value for r in joins.override_join([a, b, c], "key", "value").collect()}
+    assert out == {1: "a1", 2: "b2", 3: "c3"}
+
+
+def test_semi_anti(spark):
+    left = spark.createDataFrame([(1,), (2,)], ["k"])
+    right = spark.createDataFrame([(2,), (2,)], ["j"])
+    cond = F.col("k") == F.col("j")
+    assert [r.k for r in joins.semi_join(left, right, cond).collect()] == [2]
+    assert [r.k for r in joins.anti_join(left, right, cond).collect()] == [1]
+
+
+def test_uniq_value_count_cap(spark):
+    df = spark.createDataFrame([("a", i % 7) for i in range(50)], ["k", "v"])
+    row = aggregations.uniq_value_count(df, ["k"], "v").collect()[0]
+    assert row.uniq_count == 7
+    row = aggregations.uniq_value_count(df, ["k"], "v", max_items=3).collect()[0]
+    assert row.uniq_count == 3
+
+
+def test_observe_counters(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], ["x"])
+    observed, obs = aggregations.observe_counters(
+        df, "m", {"rows": F.count(F.lit(1)), "sum_x": F.sum("x")}
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    assert obs.get == {"rows": 3, "sum_x": 6}
+
+
+def test_top_k_and_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("a", 3), ("b", 9), ("b", 2)], ["g", "v"]
+    )
+    top = sortpart.top_k(df, 2, F.desc("v"))
+    assert [r.v for r in top.collect()] == [9, 5]
+    per = sortpart.top_k_per_group(df, ["g"], 1, F.desc("v"))
+    assert {(r.g, r.v) for r in per.collect()} == {("a", 5), ("b", 9)}
+
+
+def test_key_field_sort_cols(spark):
+    df = spark.createDataFrame([("x\t10\tz",), ("y\t9\tz",)], ["line"])
+    cols = sortpart.key_field_sort_cols("-k2,2nr", F.col("line"))
+    out = [r.line.split("\t")[1] for r in df.orderBy(*cols).collect()]
+    assert out == ["10", "9"]  # numeric desc, not lexicographic
+
+
+def test_sort_validate_detects_sorted(spark):
+    df = spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], ["k", "v"])
+    row = sortpart.sort_validate(df, "k").collect()[0]
+    assert row.n_rows == 3 and row.is_sorted and row.checksum_match
+
+
+def test_repartition_by_key(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    assert sortpart.repartition_by_key(df, 4, "k").rdd.getNumPartitions() == 4
