@@ -1,0 +1,166 @@
+"""UDF/UDAF/UDTF surface (SURVEY.md §2.10).
+
+Parity map:
+- Mapper.map (arbitrary 1→0..N Java)    → Column exprs first;
+  ``map_in_pandas`` for genuinely imperative logic (Arrow-batched —
+  never row-at-a-time Python in the hot path)
+- Reducer.reduce (per-group iteration,
+  values ordered by secondary sort)     → ``reduce_groups`` /
+  ``secondary_sort_reduce`` (applyInPandas: the whole group as a
+  DataFrame — strictly stronger than mark/reset MarkableIterator)
+- Combiner                              → automatic (partial agg);
+  custom UDAF → pandas_udf GROUPED_AGG
+- Hadoop Streaming (PipeMapper/Reducer) → ``pipe_lines`` (rdd.pipe —
+  fork the command per partition, lines over stdin/stdout)
+- Partitioner.getPartition              → repartition(n, expr)
+  (sortpart.repartition_by_key)
+
+Scale notes: applyInPandas shuffles on the group key and materializes
+ONE GROUP per pandas frame — fine for bounded groups (a user's events),
+wrong for giant groups (use window functions or salting first).
+rdd.pipe forks one subprocess per partition, not per record; it is
+still the slow path (serialize→text→parse) and exists for parity, not
+for new code.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def pipe_lines(
+    df: DataFrame,
+    command: str,
+    *,
+    input_cols: Sequence[str] | None = None,
+    sep: str = "\t",
+    output_schema: str = "value string",
+) -> DataFrame:
+    """Hadoop Streaming parity (STREAMING/PipeMapRed.java [H]): fork
+    ``command`` once per partition, write records as sep-joined lines
+    to stdin, read output lines back.
+
+    Returns a DataFrame of ``output_schema`` (default: raw lines in
+    ``value``; pass e.g. ``"key string, value string"`` to re-split on
+    the first separator like a streaming reducer's output contract).
+    """
+    cols = input_cols or df.columns
+    lines = df.select(
+        F.concat_ws(sep, *[F.col(c).cast("string") for c in cols]).alias("value")
+    )
+    piped = lines.rdd.map(lambda r: r.value).pipe(command)
+    spark = df.sparkSession
+    out = spark.createDataFrame(piped.map(lambda line: (line,)), "value string")
+    n_fields = len(StructType.fromDDL(output_schema).fields)
+    if n_fields == 1 and output_schema.strip().startswith("value"):
+        return out
+    parts = F.split(F.col("value"), sep, n_fields)
+    fields = StructType.fromDDL(output_schema).fields
+    return out.select(
+        *[
+            F.get(parts, i).cast(f.dataType).alias(f.name)
+            for i, f in enumerate(fields)
+        ]
+    )
+
+
+def map_in_pandas(
+    df: DataFrame,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str | StructType,
+) -> DataFrame:
+    """General Mapper.map parity for logic Column exprs can't express:
+    Arrow-batched, 0..N output rows per input row."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = fn(pdf)
+            if len(out):
+                yield out
+
+    return df.mapInPandas(gen, schema)
+
+
+def reduce_groups(
+    df: DataFrame,
+    keys: Sequence[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str | StructType,
+    *,
+    order_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Reducer.reduce parity: ``fn`` sees one full group as a pandas
+    DataFrame, optionally pre-sorted by ``order_by`` — the exact
+    secondary-sort contract (composite key + grouping comparator,
+    SURVEY §2.5): values arrive ordered within the group.
+
+    Sorting INSIDE the pandas group (not sortWithinPartitions) because
+    applyInPandas re-shuffles on the keys; per-group sort is the only
+    ordering guarantee that survives, and it's O(group log group).
+    """
+    if order_by:
+        ob = list(order_by)
+
+        def wrapped(pdf: pd.DataFrame) -> pd.DataFrame:
+            return fn(pdf.sort_values(ob, kind="mergesort"))
+
+        return df.groupBy(*keys).applyInPandas(wrapped, schema)
+    return df.groupBy(*keys).applyInPandas(fn, schema)
+
+
+def secondary_sort_reduce(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    sort_keys: Sequence[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str | StructType,
+) -> DataFrame:
+    """Named alias making the SecondarySort example's contract explicit
+    (EX/SecondarySort.java [H]: IntPair composite key +
+    FirstGroupingComparator → reducer sees values sorted)."""
+    return reduce_groups(df, group_keys, fn, schema, order_by=sort_keys)
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 720.0,
+) -> DataFrame:
+    """The canonical manual-sessionization reducer (the reference's
+    only 'stateful' pattern, SURVEY §2.9): per user, order events by
+    time; a gap > ``gap_minutes`` starts a new session.
+
+    Implemented with ``secondary_sort_reduce`` to exercise the exact
+    reducer contract. Returns one row per session:
+    (user_id, session_id, n_events, start_ts, end_ts).
+    """
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = pdf[ts_col]
+        session = (ts.diff() > gap).cumsum()  # 0-based session index per user
+        g = pdf.groupby(session)[ts_col]
+        return pd.DataFrame(
+            {
+                user_col: pdf[user_col].iloc[0],
+                "session_id": range(g.ngroups),
+                "n_events": g.size().values,
+                "start_ts": g.min().values,
+                "end_ts": g.max().values,
+            }
+        )
+
+    return secondary_sort_reduce(
+        events.select(user_col, ts_col),
+        [user_col],
+        [ts_col],
+        per_user,
+        f"{user_col} long, session_id long, n_events long, start_ts timestamp_ntz, end_ts timestamp_ntz",
+    )

@@ -9,4 +9,5 @@ from hadoop_2_10_0_src_mapreduce_spark.plans.catalog import (  # noqa: F401
     joins,
     sorts,
     transforms,
+    udfops,
 )

@@ -55,11 +55,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # integer `div`, NOT `/`: float division loses precision on
+        # ~1.7e18 nanosecond values and shifts timestamps by ±1µs
         return df.withColumn(
-            "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -1,0 +1,86 @@
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from hadoop_2_10_0_src_mapreduce_spark.functions import udf as udfmod
+from hadoop_2_10_0_src_mapreduce_spark.plans.jobcontrol import JobControl, JobState
+
+
+def test_pipe_identity_and_parse(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    out = udfmod.pipe_lines(df, "cat", output_schema="k string, v int")
+    assert {(r.k, r.v) for r in out.collect()} == {("a", 1), ("b", 2)}
+
+
+def test_pipe_command(spark):
+    df = spark.createDataFrame([("x",)], ["s"])
+    out = udfmod.pipe_lines(df, "tr 'a-z' 'A-Z'")
+    assert out.collect()[0].value == "X"
+
+
+def test_map_in_pandas_one_to_many(spark):
+    df = spark.createDataFrame([(2,), (0,)], ["n"])
+
+    def repeat(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.loc[pdf.index.repeat(pdf.n)]
+
+    out = udfmod.map_in_pandas(df, repeat, "n int")
+    assert sorted(r.n for r in out.collect()) == [2, 2]
+
+
+def test_secondary_sort_reduce_ordering(spark):
+    # values must arrive to the reducer ordered by the sort key
+    df = spark.createDataFrame(
+        [("a", 3, "z"), ("a", 1, "x"), ("a", 2, "y"), ("b", 1, "q")],
+        ["g", "seq", "val"],
+    )
+
+    def concat_in_order(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"g": [pdf.g.iloc[0]], "joined": ["".join(pdf.val)]})
+
+    out = {
+        r.g: r.joined
+        for r in udfmod.secondary_sort_reduce(
+            df, ["g"], ["seq"], concat_in_order, "g string, joined string"
+        ).collect()
+    }
+    assert out == {"a": "xyz", "b": "q"}
+
+
+def test_sessionize_gap_split(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),
+        (1, "2024-01-01 12:00:00"),  # > 30min gap → new session
+        (2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"]).selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts"
+    )
+    out = udfmod.sessionize(df, gap_minutes=30).collect()
+    per_user = {(r.user_id, r.session_id): r.n_events for r in out}
+    assert per_user == {(1, 0): 2, (1, 1): 1, (2, 0): 1}
+
+
+def test_jobcontrol_dag_order_and_failure():
+    jc = JobControl()
+    ran: list[str] = []
+    jc.add("a", lambda deps: ran.append("a") or 1)
+    jc.add("b", lambda deps: ran.append("b") or deps["a"] + 1, depends_on=("a",))
+    jc.add("boom", lambda deps: 1 / 0, depends_on=("a",))
+    jc.add("after_boom", lambda deps: 99, depends_on=("boom",))
+    results = jc.run()
+    assert results == {"a": 1, "b": 2}
+    assert ran == ["a", "b"]
+    st = jc.states()
+    assert st["boom"] is JobState.FAILED
+    assert st["after_boom"] is JobState.DEPENDENT_FAILED
+
+
+def test_jobcontrol_cycle_detected():
+    jc = JobControl()
+    jc.add("x", lambda d: 1, depends_on=("y",))
+    jc.add("y", lambda d: 1, depends_on=("x",))
+    with pytest.raises(ValueError, match="cycle"):
+        jc.run()
