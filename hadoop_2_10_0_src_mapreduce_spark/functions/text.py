@@ -1,0 +1,187 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, fingerprinting.
+
+These extend the reference (its only text ops were tokenize/grep —
+SURVEY.md §2.3); they're the per-document scoring pass every LLM data
+pipeline runs before filtering. Everything is Column expressions —
+JVM-side, codegen-compiled, no Python in the row path — so a 100 TB
+corpus pays one vectorized scan.
+
+Each function has a ``*_SQL`` twin generating the equivalent DuckDB
+expression from the SAME constants, so catalog queries stay
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[a-z0-9]+"
+
+# Tiny per-language stopword profiles (public common-word lists). The
+# heuristic: predicted language = argmax over stopword-hit fraction,
+# with CJK-character fraction overriding for zh; ties break
+# lexicographically. Deliberately simple — n-gram models beat it, but
+# it is deterministic, vectorizable, and SQL-expressible.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "es", "por"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+}
+# \x{...} escapes parse identically in Java regex (Spark) and RE2
+# (DuckDB); \uXXXX would silently degrade in RE2.
+CJK_RANGE = "\\x{4e00}-\\x{9fff}"
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace-ish token count (the 'wc -w' of the pipeline)."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-flavored proxy count: word pieces + standalone punctuation.
+    Approximates tokenizer cost well enough for budgeting/filtering
+    without shipping a vocab to every executor."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def bpe_ish_token_count_sql(expr: str) -> str:
+    return rf"len(regexp_extract_all({expr}, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))"
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    toks = tokens(col)
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit fraction, plus CJK char fraction."""
+    n = F.greatest(token_count(col), F.lit(1))
+    scores = {
+        lang: F.round(stopword_hits(col, lang) / n, 6) for lang in STOPWORDS
+    }
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.greatest(F.length(c), F.lit(1))
+    cjk = F.length(F.regexp_replace(c, f"[^{CJK_RANGE}]", ""))
+    scores["zh"] = F.round(cjk / n_chars, 6)
+    return scores
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax over lang_scores; lexicographic tiebreak; 'und' when all
+    scores are zero (undetermined)."""
+    scores = lang_scores(col)
+    # sort by (score desc, lang asc): negate the score and sort the
+    # (neg, lang) structs ascending — struct compare is field-ordered
+    ordered = F.sort_array(
+        F.array(*[
+            F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
+            for lang in sorted(scores)
+        ])
+    )
+    first = F.get(ordered, 0)
+    return F.when(first["neg"] == 0, F.lit("und")).otherwise(first["lang"])
+
+
+def lang_id_sql(expr: str) -> str:
+    """DuckDB twin of lang_id built from the same STOPWORDS constants."""
+    toks = f"regexp_extract_all(lower({expr}), '{TOKEN_PATTERN}')"
+    n = f"greatest(len({toks}), 1)"
+    parts = []
+    for lang in sorted(STOPWORDS):
+        stop = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+        score = (
+            f"round(len(list_filter({toks}, t -> list_contains({stop}, t))) / {n}, 6)"
+        )
+        parts.append(f"{{'neg': -{score}, 'lang': '{lang}'}}")
+    cjk = (
+        f"round(length(regexp_replace({expr}, '[^{CJK_RANGE}]', '', 'g'))"
+        f" / greatest(length({expr}), 1), 6)"
+    )
+    parts.append(f"{{'neg': -{cjk}, 'lang': 'zh'}}")
+    arr = "[" + ", ".join(parts) + "]"
+    first = f"list_sort({arr})[1]"
+    return f"CASE WHEN {first}.neg = 0 THEN 'und' ELSE {first}.lang END"
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """The classic cheap quality signals: length, token count, mean
+    token length, punctuation ratio, stopword(en) ratio, uppercase
+    ratio, digit ratio."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.greatest(F.length(c), F.lit(1))
+    toks = tokens(col)
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    return {
+        "n_chars": F.length(c),
+        "n_tokens": F.size(toks),
+        "mean_token_len": F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n_toks, 6
+        ),
+        "punct_ratio": F.round(
+            F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", "")) / n_chars, 6
+        ),
+        "stopword_ratio": F.round(stopword_hits(col, "en") / n_toks, 6),
+        "digit_ratio": F.round(
+            F.length(F.regexp_replace(c, r"[^0-9]", "")) / n_chars, 6
+        ),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite 0..1-ish score: long enough, word-like tokens, some
+    stopwords (prose-like), not punct/digit soup. Weights are plain
+    constants — tune per corpus."""
+    f = quality_features(col)
+    length_term = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+    wordlen_term = F.when(
+        (f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 10), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    stop_term = F.least(f["stopword_ratio"] * 5, F.lit(1.0))
+    noise_term = F.greatest(
+        F.lit(0.0), F.lit(1.0) - f["punct_ratio"] * 4 - f["digit_ratio"] * 2
+    )
+    return F.round(
+        0.3 * length_term + 0.2 * wordlen_term + 0.2 * stop_term + 0.3 * noise_term, 6
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Exact-dedup fingerprint: md5 of whitespace-normalized lowercased
+    text (md5 exists in both engines, so oracles can reproduce it)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def fingerprint_sql(expr: str) -> str:
+    return rf"md5(regexp_replace(lower(trim({expr})), '\s+', ' ', 'g'))"
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """k-token shingles (the unit of n-gram Jaccard / MinHash):
+    ['a','b','c','d'], k=3 → ['a b c','b c d']. Empty when < k tokens."""
+    toks = tokens(col)
+    n = F.size(toks)
+    # guard n<k explicitly: sequence(1, 0) DESCENDS in Spark ([1,0]),
+    # feeding slice() an illegal start index
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+
+
+def shingles_sql(expr: str, k: int = 3) -> str:
+    toks = f"regexp_extract_all(lower({expr}), '{TOKEN_PATTERN}')"
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {k - 1}, 0) + 1),"
+        f" i -> array_to_string({toks}[i:i+{k - 1}], ' '))"
+    )

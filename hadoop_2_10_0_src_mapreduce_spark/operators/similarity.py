@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extension beyond the reference (no vector ops existed in Hadoop MR);
+the LLM-pipeline ANN pattern:
+
+- brute-force cosine top-k — the correctness anchor. Cross join is
+  O(n·q) but embarrassingly parallel; broadcast the (small) query set
+  so only the corpus scans.
+- LSH-bucketed ANN — random-hyperplane signs → bucket; only same-
+  bucket candidates are scored. Sub-linear probes at the cost of
+  recall; fixed-seed hyperplanes keep it reproducible. (cf. PAPERS.md
+  top-k similarity literature.)
+
+Dot products run JVM-side via zip_with/aggregate in DOUBLE with
+left-to-right accumulation — bit-identical to the DuckDB oracle's
+list_inner_product over DOUBLE[] (both sequential), so similarity
+values hash-match exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential double-precision dot product (JVM, codegen)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Returns (query_id, rnk, neighbor_id, sim). Ranking key is
+    (rounded sim desc, neighbor_id asc) so ties are deterministic.
+    The query side is broadcast — corpus never shuffles.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("_qv", "_cv"), round_digits).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "sim")
+    )
+
+
+def near_dup_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ τ).
+    Brute force; for the scale path bucket with lsh_signatures first."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine("_va", "_vb"), round_digits).alias("sim")
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def lsh_signatures(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH: ``n_tables`` independent
+    sign-bit buckets of ``n_planes`` bits each. One output row per
+    (vector, table): (…, table_idx, bucket). A single table's recall
+    on weakly-correlated vectors is a few percent (p_agree^bits); L
+    independent tables lift it to 1-(1-p)^L — the standard
+    speed/recall dial. Vectorized numpy inside Arrow batches."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables * n_planes, dim))
+    shifts = np.arange(n_planes, dtype=np.uint64)
+
+    def batches(it):
+        for pdf in it:
+            mat = np.stack(pdf[vec_col].map(np.asarray))
+            signs = (mat @ planes.T) > 0  # (rows, tables*planes)
+            signs = signs.reshape(len(mat), n_tables, n_planes)
+            buckets = (signs.astype(np.uint64) << shifts).sum(axis=2).astype(np.int64)
+            base = pdf.drop(columns=[vec_col])
+            for t in range(n_tables):
+                out = base.copy()
+                out["table_idx"] = t
+                out["bucket"] = buckets[:, t]
+                yield out
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in emb.schema.fields
+        if f.name != vec_col
+    )
+    return emb.mapInPandas(batches, f"{out_schema}, table_idx int, bucket long")
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 16,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: score only pairs colliding in ≥1 LSH table.
+    With 16 tables × 6 bits each vector probes ~L/2^b ≈ 1/4 of the
+    corpus here (recall ≈ 0.5 on these weakly-correlated fixtures —
+    measured in tests); on real embedding corpora with tight clusters
+    the same config probes far less. Candidates shuffle as (table,
+    bucket, id) — vectors never fan out."""
+    with_bucket = lsh_signatures(
+        emb.select(id_col, vec_col),
+        vec_col=vec_col,
+        n_planes=n_planes,
+        n_tables=n_tables,
+    ).join(emb.select(id_col, vec_col), id_col)
+    a = with_bucket.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "table_idx", "bucket"
+    )
+    b = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "table_idx", "bucket"
+    )
+    scored = (
+        a.join(b, ["table_idx", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("_qv", "_cv"), round_digits).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "sim")
+    )

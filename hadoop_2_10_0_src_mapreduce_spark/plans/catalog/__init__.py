@@ -6,8 +6,12 @@ operators."""
 from hadoop_2_10_0_src_mapreduce_spark.plans.catalog import (  # noqa: F401
     aggregates,
     core,
+    dedupops,
     joins,
+    simops,
     sorts,
+    streamops,
+    textops,
     transforms,
     udfops,
 )

@@ -1,0 +1,135 @@
+"""Catalog: deduplication extensions.
+
+All 500 fixture document texts are distinct, so dedup queries run over
+a deterministically CONSTRUCTED corpus: the documents plus planted
+exact copies (doc_id+10000 for doc_id%10==0) and near-duplicates with
+the last 5 tokens dropped (doc_id+20000 for doc_id%7==0, only docs
+with >10 tokens). Both engines build the same corpus from the same
+expressions, so oracles stay exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_2_10_0_src_mapreduce_spark.functions import text as T
+from hadoop_2_10_0_src_mapreduce_spark.functions.text import fingerprint_sql, shingles_sql
+from hadoop_2_10_0_src_mapreduce_spark.operators import dedup
+from hadoop_2_10_0_src_mapreduce_spark.plans.registry import register
+from hadoop_2_10_0_src_mapreduce_spark.sources.readers import load_table
+
+
+def corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies ∪ truncated near-dups (see module doc)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    toks = T.tokens("text")
+    near = (
+        d.where((F.col("doc_id") % 7 == 0) & (F.size(toks) > 10))
+        .select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, F.size(toks) - 5), " ").alias("text"),
+        )
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+_TOKS = f"regexp_extract_all(lower(text), '{T.TOKEN_PATTERN}')"
+
+_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 20000 AS doc_id,
+           array_to_string(({_TOKS})[1:len({_TOKS})-5], ' ') AS text
+    FROM documents WHERE doc_id % 7 = 0 AND len({_TOKS}) > 10
+"""
+
+# --- exact dedup ------------------------------------------------------
+
+_EXACT_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL})
+SELECT {fingerprint_sql('text')} AS fp,
+       MIN(doc_id) AS keeper,
+       COUNT(*) AS n_copies
+FROM corpus
+GROUP BY fp
+ORDER BY keeper
+"""
+
+
+@register("dedup_exact", _EXACT_ORACLE, tags=("dedup",),
+          doc="Exact dedup: hash-groupBy on normalized-text md5; keeper = min doc_id.")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_with_dups(spark, sf_dir)
+    return dedup.exact_dedup(corpus, "text", "doc_id").orderBy("keeper")
+
+
+# --- n-gram Jaccard (inverted-index candidates vs O(n²) oracle) -------
+
+_JACCARD_SQL_PAIRS = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+shingled AS (
+    SELECT doc_id, list_distinct({shingles_sql('text')}) AS sh
+    FROM corpus
+    WHERE len({shingles_sql('text')}) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh)) /
+             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM shingled a, shingled b
+WHERE a.doc_id < b.doc_id
+"""
+
+_NGRAM_ORACLE = f"""
+SELECT * FROM ({_JACCARD_SQL_PAIRS})
+WHERE jaccard >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_ORACLE, tags=("dedup",),
+          doc="n-gram Jaccard near-dup pairs (3-token shingles, J≥0.6) via inverted-index candidates; oracle brute-forces O(n²).")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_with_dups(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(
+        corpus, "text", "doc_id", k=3, threshold=0.6
+    ).orderBy("id_a", "id_b")
+
+
+# --- MinHash + LSH -----------------------------------------------------
+# Oracle = the same exact-Jaccard pairs at τ=0.8: LSH (32 bands × 4
+# rows) finds every J≥0.8 pair with P(miss) < 1e-10 on this corpus, and
+# candidates are verified with exact Jaccard, so false positives are
+# filtered — the outputs coincide. A recall unit test pins this.
+
+_MINHASH_ORACLE = f"""
+SELECT * FROM ({_JACCARD_SQL_PAIRS})
+WHERE jaccard >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE, tags=("dedup",),
+          doc="MinHash(128)+LSH(32×4) near-dup pairs, candidates exact-verified at J≥0.8; shuffles signatures only, never documents.")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_with_dups(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(
+        corpus, "text", "doc_id", k=3, num_hashes=128, bands=32, threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+# --- SimHash (no SQL-expressible oracle: signature needs numpy) -------
+
+
+@register("dedup_simhash", None, tags=("dedup",),
+          doc="SimHash-64 near-dup pairs (hamming ≤ 6) via 8-bit chunk pigeonhole buckets; rows-only check, recall pinned by unit test.")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_with_dups(spark, sf_dir)
+    return dedup.simhash_pairs(corpus, "text", "doc_id", max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )

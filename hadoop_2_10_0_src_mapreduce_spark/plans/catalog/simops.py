@@ -1,0 +1,87 @@
+"""Catalog: similarity-search extensions over the embeddings table.
+
+Cosine values are computed with sequential double accumulation on both
+sides (Spark aggregate/zip_with ≡ DuckDB list_inner_product over
+DOUBLE[]) — verified bit-identical — then rounded to 6 digits with
+neighbor-id tiebreaks, so top-k sets and order are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_2_10_0_src_mapreduce_spark.operators import similarity
+from hadoop_2_10_0_src_mapreduce_spark.plans.registry import register
+from hadoop_2_10_0_src_mapreduce_spark.sources.readers import load_table
+
+_COS = (
+    "list_inner_product(a.v, b.v) / "
+    "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
+)
+
+# --- brute-force top-k (correctness anchor) ---------------------------
+
+_TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round({_COS}, 6) AS sim
+    FROM e a, e b
+    WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, rnk, neighbor_id, sim
+FROM ranked WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
+@register("sim_topk_bruteforce", _TOPK_ORACLE, tags=("similarity",),
+          doc="Exact cosine top-5 neighbors for query vectors (vec_id<20); broadcast queries, corpus never shuffles.")
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rnk")
+
+
+# --- embedding-cosine near-dup on planted duplicates -------------------
+
+_NEARDUP_ORACLE = f"""
+WITH corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM corpus)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 6) AS sim
+FROM e a, e b
+WHERE a.vec_id < b.vec_id AND round({_COS}, 6) >= 0.99
+ORDER BY id_a, id_b
+"""
+
+
+@register("sim_near_dup_embeddings", _NEARDUP_ORACLE, tags=("similarity", "dedup"),
+          doc="Embedding-cosine near-dup pairs (sim≥0.99) over a corpus with planted copies.")
+def sim_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    return similarity.near_dup_pairs(corpus, threshold=0.99).orderBy("id_a", "id_b")
+
+
+# --- LSH-bucketed ANN (scale path; recall pinned by unit test) ---------
+
+
+@register("sim_ann_lsh", None, tags=("similarity",),
+          doc="Approximate top-5 via multi-table random-hyperplane LSH (16 tables x 6 bits); rows-only check + recall unit test vs brute force.")
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(emb, k=5).orderBy("query_id", "rnk")

@@ -1,0 +1,137 @@
+"""Catalog: text analysis extensions (lang-ID, quality, token counts,
+fingerprints) over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_2_10_0_src_mapreduce_spark.functions import text as T
+from hadoop_2_10_0_src_mapreduce_spark.plans.registry import register
+from hadoop_2_10_0_src_mapreduce_spark.sources.readers import load_table
+
+# --- token counting --------------------------------------------------
+
+_TOKEN_COUNT_ORACLE = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{T.TOKEN_PATTERN}')) AS n_tokens,
+       {T.bpe_ish_token_count_sql('text')} AS n_bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_token_counts", _TOKEN_COUNT_ORACLE, tags=("text",),
+          doc="Token counting: whitespace-ish + BPE-ish piece counts per document.")
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+# --- language ID ------------------------------------------------------
+
+_LANG_ID_ORACLE = f"""
+SELECT lang AS labeled_lang, {T.lang_id_sql('text')} AS pred_lang, COUNT(*) AS cnt
+FROM documents
+GROUP BY lang, pred_lang
+ORDER BY labeled_lang, pred_lang
+"""
+
+
+@register("text_lang_id", _LANG_ID_ORACLE, tags=("text",),
+          doc="Language-ID heuristic (stopword profiles + CJK chars): predicted vs labeled confusion counts.")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            T.lang_id("text").alias("pred_lang"),
+        )
+        .groupBy("labeled_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("labeled_lang", "pred_lang")
+    )
+
+
+# --- quality features + composite score -------------------------------
+
+_Q_TOKS = f"regexp_extract_all(lower(text), '{T.TOKEN_PATTERN}')"
+_Q_NTOK = f"greatest(len({_Q_TOKS}), 1)"
+_Q_NCH = "greatest(length(text), 1)"
+_Q_STOP = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS["en"]) + "]"
+_Q_FEATURES = {
+    "n_chars": "length(text)",
+    "n_tokens": f"len({_Q_TOKS})",
+    "mean_token_len": f"round(list_sum(list_transform({_Q_TOKS}, t -> length(t))) / {_Q_NTOK}, 6)",
+    "punct_ratio": rf"round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / {_Q_NCH}, 6)",
+    "stopword_ratio": f"round(len(list_filter({_Q_TOKS}, t -> list_contains({_Q_STOP}, t))) / {_Q_NTOK}, 6)",
+    "digit_ratio": f"round(length(regexp_replace(text, '[^0-9]', '', 'g')) / {_Q_NCH}, 6)",
+}
+_Q_SCORE_SQL = (
+    "round("
+    f"0.3 * least({_Q_FEATURES['n_tokens']} / 100.0, 1.0)"
+    f" + 0.2 * (CASE WHEN {_Q_FEATURES['mean_token_len']} BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)"
+    f" + 0.2 * least({_Q_FEATURES['stopword_ratio']} * 5, 1.0)"
+    f" + 0.3 * greatest(0.0, 1.0 - {_Q_FEATURES['punct_ratio']} * 4 - {_Q_FEATURES['digit_ratio']} * 2)"
+    ", 6)"
+)
+
+_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       {_Q_FEATURES['n_chars']} AS n_chars,
+       {_Q_FEATURES['n_tokens']} AS n_tokens,
+       {_Q_FEATURES['mean_token_len']} AS mean_token_len,
+       {_Q_FEATURES['punct_ratio']} AS punct_ratio,
+       {_Q_FEATURES['stopword_ratio']} AS stopword_ratio,
+       {_Q_FEATURES['digit_ratio']} AS digit_ratio,
+       {_Q_SCORE_SQL} AS quality
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_quality", _QUALITY_ORACLE, tags=("text",),
+          doc="Per-document quality features (length/punct/stopword/digit ratios) + composite score.")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = T.quality_features("text")
+    return docs.select(
+        "doc_id",
+        *[feats[name].alias(name) for name in
+          ("n_chars", "n_tokens", "mean_token_len", "punct_ratio",
+           "stopword_ratio", "digit_ratio")],
+        T.quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+# --- fingerprint + per-source rollup ----------------------------------
+
+_FINGERPRINT_ORACLE = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT {T.fingerprint_sql('text')}) AS n_distinct_fp,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("text_fingerprint_rollup", _FINGERPRINT_ORACLE, tags=("text",),
+          doc="Document fingerprinting (normalized md5) rolled up per source.")
+def text_fingerprint_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", "n_chars", T.fingerprint("text").alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct_fp"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )

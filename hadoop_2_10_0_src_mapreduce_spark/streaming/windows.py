@@ -1,0 +1,133 @@
+"""Structured Streaming extension (SURVEY.md §2.9).
+
+The reference has NO streaming runtime — Hadoop MR 2.10.0 is strictly
+batch; its closest idioms were re-running jobs on new input dirs and
+hand-written sessionization reducers. These operators are therefore an
+extension, anchored to the ``events`` fixture:
+
+- tumbling/sliding/session windows work identically in batch and
+  streaming (``window``/``session_window`` are plain expressions), so
+  the batch catalog queries below double as the oracle-checkable face
+  of the streaming path.
+- ``stream_events_windowed`` wires the same aggregation into an actual
+  readStream → watermark → writeStream pipeline (file source, memory
+  sink, availableNow trigger) — exercised in tests.
+
+Scale notes: watermark bounds state (late events beyond it are
+dropped); window aggs shuffle on (window, keys) — at 100 TB size the
+watermark to the real disorder of the source, not "1 day to be safe",
+or state explodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    duration: str = "1 day",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Fixed windows: (window_start, *group, n_events, sum-ish stats)."""
+    w = F.window(F.col(ts_col), duration)
+    return (
+        events.groupBy(w.alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n_events")
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    duration: str = "2 days",
+    slide: str = "1 day",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Overlapping windows: each event lands in duration/slide windows."""
+    w = F.window(F.col(ts_col), duration, slide)
+    return (
+        events.groupBy(w.alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n_events")
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    gap: str = "12 hours",
+    group_cols: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Gap-based sessions via the built-in session_window — the
+    declarative twin of udf.sessionize's applyInPandas reducer (same
+    semantics, state handled by Spark; works in batch AND streaming)."""
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        events.groupBy(w.alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(*group_cols, F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def stream_events_windowed(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    sink_table: str = "windowed_counts",
+    *,
+    ts_col: str = "ts",
+    duration: str = "1 day",
+    watermark: str = "1 day",
+) -> StreamingQuery:
+    """Actual streaming pipeline over a file source: readStream →
+    withWatermark → tumbling-window count → memory sink, availableNow
+    (process-everything-then-stop — the deterministic test trigger).
+
+    The same ``tumbling_window_counts`` expression runs in the batch
+    catalog, which is how correctness stays oracle-checkable while the
+    streaming runtime (state store, watermark) is exercised here.
+    """
+    src = spark.readStream.schema(schema).json(source_dir)
+    agg = tumbling_window_counts(src.withWatermark(ts_col, watermark),
+                                 ts_col=ts_col, duration=duration)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    sink_table: str = "deduped_events",
+    *,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> StreamingQuery:
+    """Streaming exact-dedup: dropDuplicatesWithinWatermark keeps state
+    only for the watermark horizon — the streaming face of
+    dedup.exact_dedup (bounded state instead of a full-corpus shuffle)."""
+    src = spark.readStream.schema(schema).json(source_dir)
+    deduped = src.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+    return (
+        deduped.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

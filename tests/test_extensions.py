@@ -1,0 +1,118 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_2_10_0_src_mapreduce_spark.functions import text as T
+from hadoop_2_10_0_src_mapreduce_spark.operators import dedup, similarity
+from tests.conftest import SF_SMALL
+
+
+def test_lang_id_on_real_sentences(spark):
+    rows = [
+        ("the cat sat on the mat and it is happy",),
+        ("der hund ist ein gutes tier und die katze",),
+        ("el perro es un animal y la casa es grande",),
+        ("le chat est un animal et les maisons pour une",),
+        ("你好世界这是中文",),  # CJK chars
+        ("zzz qqq xxx",),  # no stopwords → undetermined
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    out = [r.pred for r in df.select(T.lang_id("text").alias("pred")).collect()]
+    assert out == ["en", "de", "es", "fr", "zh", "und"]
+
+
+def test_quality_score_orders_texts(spark):
+    good = "the quick brown fox jumps over the lazy dog and it is a fine day for running in the park " * 3
+    noise = "@@@ ### $$$ 123 456 !!! ??? %%% ^^^ &&&"
+    df = spark.createDataFrame([(good,), (noise,)], ["text"])
+    scores = [r.q for r in df.select(T.quality_score("text").alias("q")).collect()]
+    assert scores[0] > scores[1]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("  hello world ",), ("different text",)], ["text"]
+    )
+    fps = [r.fp for r in df.select(T.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    out = [r.sh for r in df.select(T.shingles("text", 3).alias("sh")).collect()]
+    assert out[0] == ["a b c", "b c d"]
+    assert out[1] == []
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (5, "Same   TEXT"), (9, "other")], ["doc_id", "text"]
+    )
+    out = {r.keeper: r.n_copies for r in dedup.exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 2, 9: 1}
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    from hadoop_2_10_0_src_mapreduce_spark.plans.catalog.dedupops import corpus_with_dups
+
+    return corpus_with_dups(spark, SF_SMALL).cache()
+
+
+def test_minhash_lsh_recall_equals_exact(spark, dup_corpus):
+    """LSH(32×4) must find every exact-Jaccard≥0.8 pair on this corpus."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            dup_corpus, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            dup_corpus, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    assert exact, "corpus construction must plant J>=0.8 pairs"
+    assert lsh == exact
+
+
+def test_simhash_finds_planted_exact_dups(spark, dup_corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_pairs(dup_corpus, "text", "doc_id").collect()
+    }
+    planted = {
+        (r.doc_id, r.doc_id + 10000)
+        for r in dup_corpus.where(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 10000)
+        ).collect()
+    }
+    assert planted <= set(pairs)
+    assert all(pairs[p] == 0 for p in planted)  # identical text → distance 0
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, emb, k=5).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_lsh_topk(emb, k=5).collect()
+    }
+    recall = len(ann & brute) / len(brute)
+    # 16 tables × 6 bits on weakly-correlated vectors: recall ~0.5 by
+    # design (speed/recall tradeoff); pin a floor so regressions show.
+    assert recall >= 0.35, f"ANN recall collapsed: {recall:.3f}"
+
+
+def test_cosine_self_is_one(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(5)
+    sims = emb.select(
+        F.round(similarity.cosine("embedding", "embedding"), 9).alias("s")
+    ).collect()
+    assert all(abs(r.s - 1.0) < 1e-9 for r in sims)

@@ -1,0 +1,96 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_2_10_0_src_mapreduce_spark.functions import multimodal as mm
+from hadoop_2_10_0_src_mapreduce_spark.streaming import windows as sw
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, mm.pack_fake_media(1, 640, 480, b"img-payload-1")),
+        (2, mm.pack_fake_media(2, 16000, 2000, b"audio-payload")),
+        (3, mm.pack_fake_media(3, 4, 16, bytes(range(64)))),  # 4 frames x 16B
+    ]
+    return spark.createDataFrame(rows, "id long, media binary")
+
+
+def test_decode_meta(media_df):
+    out = {r.id: r for r in mm.decode_meta(media_df).collect()}
+    assert out[1].kind == "image" and (out[1].a, out[1].b) == (640, 480)
+    assert out[2].kind == "audio" and out[2].a == 16000
+    assert out[3].kind == "video" and out[3].payload_len == 64
+
+
+def test_decode_image_is_gated():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG....")
+
+
+def test_extract_features_deterministic(media_df):
+    a = {r.id: tuple(r.features) for r in mm.extract_features(media_df).collect()}
+    b = {r.id: tuple(r.features) for r in mm.extract_features(media_df).collect()}
+    assert a == b
+    assert all(len(v) == mm.FEATURE_DIM for v in a.values())
+    assert all(0.0 <= x < 1.0 for v in a.values() for x in v)
+
+
+def test_sample_frames(media_df):
+    frames = mm.sample_frames(media_df, every_n=2).collect()
+    # only the video row (id=3) emits; 4 frames sampled every 2 → idx 0, 2
+    assert [(r.id, r.frame_idx) for r in sorted(frames, key=lambda r: r.frame_idx)] == [
+        (3, 0),
+        (3, 2),
+    ]
+    by_idx = {r.frame_idx: bytes(r.frame) for r in frames}
+    assert by_idx[0] == bytes(range(16))
+    assert by_idx[2] == bytes(range(32, 48))
+
+
+EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+@pytest.fixture(scope="module")
+def stream_source(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("stream_src") / "data")
+    from hadoop_2_10_0_src_mapreduce_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value"
+    )
+    ev.coalesce(2).write.json(src)
+    return src, ev
+
+
+def test_streaming_tumbling_matches_batch(spark, stream_source):
+    src, ev = stream_source
+    q = sw.stream_events_windowed(spark, src, EVENT_SCHEMA, sink_table="t_counts")
+    q.awaitTermination(120)
+    streamed = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM t_counts").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): r.n_events
+        for r in sw.tumbling_window_counts(
+            ev.select(F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type")
+        ).collect()
+    }
+    # streaming ran with TimestampType; normalize keys via isoformat
+    streamed_n = {(k[0].isoformat(), k[1]): v for k, v in streamed.items()}
+    batch_n = {(k[0].isoformat(), k[1]): v for k, v in batch.items()}
+    assert streamed_n == batch_n
+
+
+def test_streaming_dedup_within_watermark(spark, stream_source, tmp_path_factory):
+    src, ev = stream_source
+    dup_dir = str(tmp_path_factory.mktemp("dup_src") / "data")
+    dup = ev.limit(100)
+    dup.unionAll(dup).coalesce(1).write.json(dup_dir)  # every event twice
+    q = sw.stream_dedup_within_watermark(spark, dup_dir, EVENT_SCHEMA, sink_table="dedup_out")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS c, count(DISTINCT event_id) AS d FROM dedup_out").collect()[0]
+    assert got.c == got.d == 100
