@@ -137,30 +137,71 @@ def sessionize(
     only 'stateful' pattern, SURVEY §2.9): per user, order events by
     time; a gap > ``gap_minutes`` starts a new session.
 
-    Implemented with ``secondary_sort_reduce`` to exercise the exact
-    reducer contract. Returns one row per session:
+    Physical strategy is the hardened MapReduce secondary-sort shape:
+    ``repartition(user)`` routes each user to exactly one partition,
+    ``sortWithinPartitions(user, ts)`` is the composite-key sort, and a
+    single ``mapInPandas`` pass streams each sorted partition with
+    bounded memory — vectorized across ALL users in a batch (no
+    per-group Python call, unlike applyInPandas) and carrying the open
+    session across Arrow batch boundaries, exactly as a Hadoop reducer
+    streamed values. Returns one row per session:
     (user_id, session_id, n_events, start_ts, end_ts).
     """
     gap = pd.Timedelta(minutes=gap_minutes)
+    out_cols = [user_col, "session_id", "n_events", "start_ts", "end_ts"]
 
-    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
-        ts = pdf[ts_col]
-        session = (ts.diff() > gap).cumsum()  # 0-based session index per user
-        g = pdf.groupby(session)[ts_col]
-        return pd.DataFrame(
-            {
-                user_col: pdf[user_col].iloc[0],
-                "session_id": range(g.ngroups),
-                "n_events": g.size().values,
-                "start_ts": g.min().values,
-                "end_ts": g.max().values,
-            }
+    def per_partition(batches):
+        carry = None  # open session: [user, session_ordinal, n, start, end]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            u, ts = pdf[user_col], pdf[ts_col]
+            brk = (u != u.shift()) | (ts.diff() > gap)
+            brk.iloc[0] = carry is None or u.iloc[0] != carry[0] or (
+                ts.iloc[0] - carry[4] > gap
+            )
+            grp = brk.cumsum()  # group 0 = continuation of carried session
+            agg = pdf.groupby(grp, sort=True).agg(
+                **{
+                    user_col: (user_col, "first"),
+                    "n_events": (ts_col, "size"),
+                    "start_ts": (ts_col, "min"),
+                    "end_ts": (ts_col, "max"),
+                }
+            ).reset_index(drop=True)
+            # session_id = 0-based ordinal within user, shifted for the
+            # carried user by (their open ordinal) + 1 if row 0 broke
+            agg["session_id"] = agg.groupby(user_col, sort=False).cumcount()
+            if carry is not None and agg[user_col].iloc[0] == carry[0]:
+                same = agg[user_col] == carry[0]
+                agg.loc[same, "session_id"] += carry[1] + int(brk.iloc[0])
+                if not brk.iloc[0]:  # merge carried open session into group 0
+                    agg.loc[0, "n_events"] += carry[2]
+                    agg.loc[0, "start_ts"] = carry[3]
+            last = agg.iloc[-1]
+            carry = [
+                last[user_col], int(last["session_id"]), int(last["n_events"]),
+                last["start_ts"], last["end_ts"],
+            ]
+            done = agg.iloc[:-1]
+            if not done.empty:
+                yield done[out_cols]
+        if carry is not None:
+            yield pd.DataFrame(
+                {
+                    user_col: [carry[0]], "session_id": [carry[1]],
+                    "n_events": [carry[2]], "start_ts": [carry[3]],
+                    "end_ts": [carry[4]],
+                }
+            )
+
+    return (
+        events.select(user_col, ts_col)
+        .repartition(user_col)
+        .sortWithinPartitions(user_col, ts_col)
+        .mapInPandas(
+            per_partition,
+            f"{user_col} long, session_id long, n_events long, "
+            "start_ts timestamp_ntz, end_ts timestamp_ntz",
         )
-
-    return secondary_sort_reduce(
-        events.select(user_col, ts_col),
-        [user_col],
-        [ts_col],
-        per_user,
-        f"{user_col} long, session_id long, n_events long, start_ts timestamp_ntz, end_ts timestamp_ntz",
     )

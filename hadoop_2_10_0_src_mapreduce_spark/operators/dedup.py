@@ -7,22 +7,28 @@ scale-first:
 
 - exact        : hash-groupBy on a normalized fingerprint — one shuffle
                  of (16-byte digest, id), never the text.
-- n-gram       : INVERTED-INDEX candidate generation (explode shingles,
-  Jaccard       self-join on shingle, distinct pairs) + exact Jaccard
-                 verify on candidates — O(pairs that share a shingle),
-                 not O(n²). The DuckDB oracle does the O(n²) version;
-                 results are identical because Jaccard > 0 ⇒ the pair
-                 shares a shingle.
-- MinHash+LSH  : vectorized numpy signatures via mapInPandas (Arrow
-                 batches), banding, bucket self-join, exact-Jaccard
-                 verify of candidates. Sub-quadratic: only bucket
-                 collisions are compared.
+- n-gram       : INVERTED-INDEX pipeline: explode shingles, self-join
+  Jaccard       on shingle, groupBy-count shared shingles per pair, then
+                 Jaccard = c / (|A| + |B| - c) from the counts alone —
+                 the shingle ARRAYS never shuffle, only (id_a, id_b)
+                 pairs, and map-side partial aggregation compresses the
+                 count shuffle. O(pairs that share a shingle), not
+                 O(n²). The DuckDB oracle does the O(n²) array version;
+                 results are identical because both compute the same
+                 integers c, |A|, |B| (inclusion–exclusion on distinct
+                 shingles) and the same round(·, 6).
+- MinHash+LSH  : signatures entirely JVM-side — min(xxhash64(i,
+                 shingle)) per hash index over the exploded inverted
+                 index (whole-stage codegen, no Python in the path),
+                 banding via xxhash64 of signature slices, bucket
+                 self-join on (band, hash) only, count-based
+                 exact-Jaccard verify of candidates. Sub-quadratic:
+                 only bucket collisions are compared.
 - SimHash      : 64-bit weighted-token signature; pairs within hamming
                  distance via 8×8-bit chunk pigeonhole buckets.
 
-Determinism: token hashing uses pandas' SipHash (fixed key) — stable
-across processes, machines, and runs; permutation constants come from
-a fixed-seed numpy Generator.
+Determinism: all hashing is Spark's xxhash64 (fixed seed) or pandas'
+SipHash (fixed key) — stable across processes, machines, and runs.
 """
 
 from __future__ import annotations
@@ -33,8 +39,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hadoop_2_10_0_src_mapreduce_spark.functions.text import fingerprint, shingles
-
-MERSENNE_61 = (1 << 61) - 1
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -54,71 +58,84 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     ).where(F.size("sh") > 0)
 
 
-def _exact_jaccard_on_candidates(cands: DataFrame, shingled: DataFrame,
-                                 threshold: float) -> DataFrame:
-    a = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+def _jaccard_from_counts(counted: DataFrame, shingled: DataFrame,
+                         threshold: float) -> DataFrame:
+    """(id_a, id_b, c=shared-shingle count) → exact Jaccard via
+    inclusion–exclusion: J = c / (|A| + |B| - c). The size table is a
+    few rows per document — broadcast, no shuffle of the pair stream."""
+    sizes = shingled.select("id", F.size("sh").alias("n"))
     return (
-        cands.join(a, "id_a").join(b, "id_b")
+        counted
+        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"})), "id_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"})), "id_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
+            F.round(F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")), 6),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
 
+def _exact_jaccard_on_candidates(cands: DataFrame, shingled: DataFrame,
+                                 threshold: float) -> DataFrame:
+    """Exact-Jaccard verify of candidate pairs without shuffling shingle
+    arrays: count shared shingles by double inverted-index join."""
+    inv = shingled.select("id", F.explode("sh").alias("shingle"))
+    counted = (
+        cands.join(inv.withColumnRenamed("id", "id_a"), "id_a")
+        .join(inv.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return _jaccard_from_counts(counted, shingled, threshold)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, *, k: int = 3, threshold: float = 0.6
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact Jaccard ≥ threshold)
-    over k-token shingles, via inverted-index candidate generation."""
-    sh = _shingled(df, text_col, id_col, k)
+    over k-token shingles. One inverted-index self-join; the
+    groupBy-count IS both candidate generation and the intersection
+    size, so no second pass over the data.
+
+    The shingled intermediate is persisted (MEMORY_AND_DISK): a
+    self-join evaluates its subtree once per side, and shingling —
+    regex tokenization + window slicing per document — is the most
+    expensive scalar work in the pipeline. One materialization, three
+    readers (both join sides + the size table)."""
+    sh = _shingled(df, text_col, id_col, k).persist()
     inv = sh.select("id", F.explode("sh").alias("shingle"))
-    cands = (
+    counted = (
         inv.alias("x")
         .join(inv.alias("y"), "shingle")
         .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    return _exact_jaccard_on_candidates(cands, sh, threshold)
-
-
-def _minhash_params(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.default_rng(42)  # fixed seed → reproducible LSH
-    a = rng.integers(1, MERSENNE_61, size=num_hashes, dtype=np.int64).astype(object)
-    b = rng.integers(0, MERSENNE_61, size=num_hashes, dtype=np.int64).astype(object)
-    return a, b
+    return _jaccard_from_counts(counted, sh, threshold)
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, *, k: int = 3,
     num_hashes: int = 128,
 ) -> DataFrame:
-    """(id, signature array<long>) — numpy-vectorized inside Arrow
-    batches; one scan, no shuffle."""
-    a, b = _minhash_params(num_hashes)
+    """(id, signature array<long>) — entirely JVM-side: hash family i is
+    ``xxhash64(i, shingle)`` (seeded by the leading literal), and the
+    signature is ``num_hashes`` min-aggregates over the exploded
+    inverted index. Whole-stage codegen end to end, map-side partial
+    min before the one shuffle on id."""
     sh = _shingled(df, text_col, id_col, k)
-
-    def batches(it):
-        for pdf in it:
-            out_ids, out_sigs = [], []
-            for id_, shl in zip(pdf["id"], pdf["sh"]):
-                h = pd.util.hash_array(np.asarray(shl, dtype=object)).astype(object)
-                # (a*h + b) mod p, object dtype = exact bigint math
-                sig = [int(min((ai * hv + bi) % MERSENNE_61 for hv in h))
-                       for ai, bi in zip(a, b)]
-                out_ids.append(id_)
-                out_sigs.append(sig)
-            yield pd.DataFrame({"id": out_ids, "sig": out_sigs})
-
-    return sh.mapInPandas(batches, "id long, sig array<long>")
+    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    mins = inv.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -134,7 +151,21 @@ def minhash_lsh_pairs(
     signatures are 128×8 bytes/doc regardless of doc size.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, k=k, num_hashes=num_hashes)
+    # persist both reused intermediates: the signature table feeds both
+    # sides of the bucket self-join, and the shingle table feeds both
+    # sides of the verify join — without persistence each is computed
+    # 2× (broadcast build + stream side).
+    sh = _shingled(df, text_col, id_col, k).persist()
+    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    mins = inv.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    sigs = mins.select(
+        "id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig")
+    ).persist()
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -153,7 +184,6 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    sh = _shingled(df, text_col, id_col, k)
     return _exact_jaccard_on_candidates(cands, sh, threshold)
 
 
@@ -189,8 +219,10 @@ def simhash_pairs(
 ) -> DataFrame:
     """Pairs within hamming distance via chunk pigeonhole: split the 64
     bits into 8 chunks; distance ≤ 6 ⇒ at least 2 chunks equal ⇒ the
-    pair collides in some chunk bucket. Bucket-join then verify."""
-    sigs = simhash_signatures(df, text_col, id_col)
+    pair collides in some chunk bucket. Bucket-join then verify.
+    Signatures are persisted: the Python signature pass is the dominant
+    cost and feeds both sides of the chunk self-join."""
+    sigs = simhash_signatures(df, text_col, id_col).persist()
     # shiftrightunsigned needs a literal shift amount — enumerate the 8
     # chunk expressions instead of a transform() lambda
     chunks = F.array(

@@ -86,6 +86,18 @@ def brute_force_topk(
     )
 
 
+def _corpus_matrix(emb: DataFrame, id_col: str, vec_col: str):
+    """(ids int64 array, matrix float64 [n, d], norms float64 [n]).
+    Collects ONE side of the all-pairs comparison for broadcast — the
+    same replicate-the-small-side contract as a broadcast hash join.
+    At 2k×64 this is 1 MB; beyond broadcast size, bucket with
+    lsh_signatures first instead of brute-forcing."""
+    pdf = emb.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+    return ids, mat, np.sqrt((mat * mat).sum(axis=1))
+
+
 def near_dup_pairs(
     emb: DataFrame,
     *,
@@ -95,16 +107,34 @@ def near_dup_pairs(
     round_digits: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ τ).
-    Brute force; for the scale path bucket with lsh_signatures first."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", F.round(cosine("_va", "_vb"), round_digits).alias("sim")
-        )
-        .where(F.col("sim") >= threshold)
+
+    Brute force as blocked matrix multiply: the corpus matrix is
+    broadcast once, each Arrow batch computes ``block @ corpus.T`` via
+    BLAS and emits only pairs above threshold — the O(n²) similarity
+    matrix is never materialized in the plan, and nothing but the
+    surviving pairs shuffles. For corpora past broadcast size, bucket
+    with lsh_signatures first."""
+    ids, mat, norms = _corpus_matrix(emb, id_col, vec_col)
+    bc = emb.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+    def batches(it):
+        c_ids, c_mat, c_norms = bc.value
+        for pdf in it:
+            b_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            b_mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+            sims = np.round(
+                (b_mat @ c_mat.T) / (b_norms[:, None] * c_norms[None, :]),
+                round_digits,
+            )
+            keep = (b_ids[:, None] < c_ids[None, :]) & (sims >= threshold)
+            r, c = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_a": b_ids[r], "id_b": c_ids[c], "sim": sims[r, c]}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        batches, "id_a long, id_b long, sim double"
     )
 
 
@@ -164,29 +194,46 @@ def ann_lsh_topk(
     measured in tests); on real embedding corpora with tight clusters
     the same config probes far less. Candidates shuffle as (table,
     bucket, id) — vectors never fan out."""
-    with_bucket = lsh_signatures(
+    buckets = lsh_signatures(
         emb.select(id_col, vec_col),
         vec_col=vec_col,
         n_planes=n_planes,
         n_tables=n_tables,
-    ).join(emb.select(id_col, vec_col), id_col)
-    a = with_bucket.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "table_idx", "bucket"
     )
-    b = with_bucket.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "table_idx", "bucket"
-    )
-    scored = (
+    a = buckets.select(F.col(id_col).alias("query_id"), "table_idx", "bucket")
+    b = buckets.select(F.col(id_col).alias("neighbor_id"), "table_idx", "bucket")
+    # candidate pairs are ids only — vectors never enter the bucket join
+    # or the dedup shuffle; scoring happens after, against a broadcast
+    # corpus matrix (BLAS per Arrow batch).
+    cands = (
         a.join(b, ["table_idx", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_qv", "_cv")
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine("_qv", "_cv"), round_digits).alias("sim"),
-        )
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
+    ids, mat, norms = _corpus_matrix(emb, id_col, vec_col)
+    row_of = {int(i): r for r, i in enumerate(ids)}
+    bc = emb.sparkSession.sparkContext.broadcast((row_of, mat, norms))
+
+    def score(it):
+        row_map, c_mat, c_norms = bc.value
+        for pdf in it:
+            qi = pdf["query_id"].map(row_map).to_numpy(dtype=np.int64)
+            ni = pdf["neighbor_id"].map(row_map).to_numpy(dtype=np.int64)
+            sims = np.round(
+                np.einsum("ij,ij->i", c_mat[qi], c_mat[ni])
+                / (c_norms[qi] * c_norms[ni]),
+                round_digits,
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "sim": sims,
+                }
+            )
+
+    scored = cands.mapInPandas(score, "query_id long, neighbor_id long, sim double")
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
