@@ -8,8 +8,10 @@ from hadoop_2_10_0_src_mapreduce_spark.plans.catalog import (  # noqa: F401
     core,
     dedupops,
     joins,
+    mmops,
     simops,
     sorts,
+    sourceops,
     streamops,
     textops,
     transforms,

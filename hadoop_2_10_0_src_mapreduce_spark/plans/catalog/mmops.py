@@ -1,0 +1,125 @@
+"""Catalog: multimodal-column queries (binary media + typed metadata).
+
+The container has no image/audio codecs, so media blobs are synthesized
+DETERMINISTICALLY from the documents table (kind/dims from doc_id and
+n_chars, payload = UTF-8 text bytes) with the FAKE container format from
+``functions.multimodal``. Because the synthesis is pure arithmetic on
+fixture columns, the post-decode aggregates are SQL-expressible and the
+DuckDB oracle checks the whole pack→decode→aggregate pipeline exactly —
+the decode plumbing (binary columns through Arrow batches, header
+parsing, 1→N frame explosion) is the part under test.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_2_10_0_src_mapreduce_spark.functions import multimodal as mm
+from hadoop_2_10_0_src_mapreduce_spark.plans.registry import register
+from hadoop_2_10_0_src_mapreduce_spark.sources.readers import load_table
+
+_FRAME_BYTES = 4
+
+
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (id, media binary): kind = doc_id%3+1, a = n_chars
+    mod 2^16, b = doc_id*7 mod 2^16, payload = utf-8 text bytes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            media = [
+                mm.pack_fake_media(
+                    int(doc_id) % 3 + 1,
+                    int(n_chars) % 65536,
+                    (int(doc_id) * 7) % 65536,
+                    str(text).encode("utf-8"),
+                )
+                for doc_id, text, n_chars in zip(
+                    pdf["doc_id"], pdf["text"], pdf["n_chars"]
+                )
+            ]
+            yield pd.DataFrame({"id": pdf["doc_id"].values, "media": media})
+
+    return docs.mapInPandas(batches, "id long, media binary")
+
+
+def synth_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with doc_id%3==2 → video containers: n_frames =
+    5 + doc_id%10, frame_bytes = 4, payload = n_frames*4 zero bytes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") % 3 == 2
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            media = [
+                mm.pack_fake_media(
+                    3, 5 + int(d) % 10, _FRAME_BYTES,
+                    b"\x00" * ((5 + int(d) % 10) * _FRAME_BYTES),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"id": pdf["doc_id"].values, "media": media})
+
+    return docs.mapInPandas(batches, "id long, media binary")
+
+
+# --- header decode (cheap metadata pass) -------------------------------
+
+_DECODE_ORACLE = """
+SELECT CASE doc_id % 3 + 1 WHEN 1 THEN 'image' WHEN 2 THEN 'audio'
+       ELSE 'video' END AS kind,
+       COUNT(*) AS n,
+       SUM(n_chars % 65536) AS sum_a,
+       SUM(doc_id * 7 % 65536) AS sum_b,
+       SUM(octet_length(encode(text))) AS sum_payload
+FROM documents
+GROUP BY kind
+ORDER BY kind
+"""
+
+
+@register("mm_decode_meta", _DECODE_ORACLE, tags=("multimodal",),
+          doc="Multimodal header decode: synthesized binary containers → decode_meta via Arrow-batched mapInPandas → per-kind aggregate; oracle recomputes from the source columns.")
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = mm.decode_meta(synth_media(spark, sf_dir))
+    return (
+        meta.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a").alias("sum_a"),
+            F.sum("b").alias("sum_b"),
+            F.sum("payload_len").alias("sum_payload"),
+        )
+        .orderBy("kind")
+    )
+
+
+# --- frame sampling (1→N explode-shaped decode) -------------------------
+
+_FRAMES_ORACLE = """
+SELECT COUNT(*) AS n_videos,
+       SUM((5 + doc_id % 10 + 1) // 2) AS n_frames_sampled,
+       SUM(((5 + doc_id % 10 + 1) // 2) * ((5 + doc_id % 10 + 1) // 2 - 1))
+           AS sum_frame_idx
+FROM documents
+WHERE doc_id % 3 = 2
+"""
+
+
+@register("mm_frame_sample", _FRAMES_ORACLE, tags=("multimodal",),
+          doc="Video frame sampling (every 2nd frame): 1→N mapInPandas explode over binary payloads; oracle derives sampled-frame arithmetic from doc_id.")
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = mm.sample_frames(synth_videos(spark, sf_dir), every_n=2)
+    # sum of sampled indices per video with m = ceil(n/2) frames sampled
+    # at stride 2 is 0+2+...+2(m-1) = m*(m-1); the oracle mirrors this.
+    return frames.agg(
+        F.countDistinct("id").alias("n_videos"),
+        F.count(F.lit(1)).alias("n_frames_sampled"),
+        F.sum("frame_idx").alias("sum_frame_idx"),
+    )

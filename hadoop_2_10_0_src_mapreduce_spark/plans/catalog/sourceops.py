@@ -1,0 +1,215 @@
+"""Catalog: source/sink roundtrip queries (SURVEY.md §2.1–2.2).
+
+Each query materializes a deterministic derived file set from a parquet
+fixture into a scratch dir, reads it back through the engine's reader
+(TextInputFormat / KeyValueTextInputFormat / FixedLengthInputFormat /
+MultipleInputs / partitionBy-sink parity paths), and aggregates. The
+oracle runs the same aggregate on the ORIGINAL table — so a hash match
+proves the write→read roundtrip is lossless, which is exactly what the
+reference's OutputFormat/InputFormat pairs promised.
+
+Aggregates are chosen order-independent and exact (counts, integer
+sums, min/max) so file/partition layout can't affect the hash.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_2_10_0_src_mapreduce_spark.plans.registry import register
+from hadoop_2_10_0_src_mapreduce_spark.sources.readers import (
+    load_table,
+    read_fixed_length,
+    read_kv_text,
+    read_multiple_inputs,
+    read_text_lines,
+)
+from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+    write_partitioned,
+    write_text_kv,
+)
+
+
+def _scratch(name: str) -> str:
+    """Per-query scratch dir, recreated on every call (idempotent)."""
+    root = os.environ.get(
+        "SPARK_GRAFT_SCRATCH",
+        os.path.join(tempfile.gettempdir(), "spark_graft_scratch"),
+    )
+    path = os.path.join(root, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+# --- TextInputFormat + gzip codec -------------------------------------
+
+_TEXT_GZIP_ORACLE = """
+SELECT COUNT(*) AS n_lines,
+       SUM(o_orderkey) AS sum_keys,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities
+FROM orders
+"""
+
+
+@register("scan_text_gzip", _TEXT_GZIP_ORACLE, tags=("source",),
+          doc="TextInputFormat + codec parity: orders → gzip text lines → read_text_lines → parse → aggregate; oracle on the original table proves the roundtrip lossless.")
+def scan_text_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_scratch("scan_text_gzip"), "orders_lines")
+    orders = load_table(spark, sf_dir, "orders")
+    lines = orders.select(
+        F.concat_ws(" ", F.col("o_orderkey").cast("string"), "o_orderpriority")
+        .alias("value")
+    )
+    lines.write.mode("overwrite").option("compression", "gzip").text(path)
+    back = read_text_lines(spark, path)
+    parts = F.split("value", " ", 2)
+    parsed = back.select(
+        F.get(parts, 0).cast("long").alias("key"),
+        F.get(parts, 1).alias("priority"),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("key").alias("sum_keys"),
+        F.countDistinct("priority").alias("n_priorities"),
+    )
+
+
+# --- KeyValueTextInputFormat / TextOutputFormat -----------------------
+
+_KV_TEXT_ORACLE = """
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n,
+       SUM(c_custkey) AS sum_keys
+FROM customer
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register("scan_kv_text", _KV_TEXT_ORACLE, tags=("source", "sink"),
+          doc="TextOutputFormat → KeyValueTextInputFormat roundtrip: customer as key<TAB>value lines, first-separator split, groupBy value.")
+def scan_kv_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_scratch("scan_kv_text"), "customer_kv")
+    customer = load_table(spark, sf_dir, "customer")
+    write_text_kv(customer, path, "c_custkey", "c_mktsegment", mode="overwrite")
+    back = read_kv_text(spark, path)
+    return (
+        back.groupBy(F.col("value").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("key").cast("long")).alias("sum_keys"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --- FixedLengthInputFormat -------------------------------------------
+
+_FIXED_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+"""
+
+_REC_LEN = 24  # 4 (key) + 16 (name) + 4 (regionkey), space-padded
+
+
+@register("scan_fixed_length", _FIXED_ORACLE, tags=("source",),
+          doc="FixedLengthInputFormat parity: nation as 24-byte fixed-width records → binaryRecords → substring field slicing → full-row roundtrip.")
+def scan_fixed_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_scratch("scan_fixed_length"), "nation.bin")
+    nation = load_table(spark, sf_dir, "nation")
+    # dimension table (25 rows): driver-side write of one binary file is
+    # the honest layout for a fixed-width record file
+    rows = nation.select("n_nationkey", "n_name", "n_regionkey").collect()
+    with open(path, "wb") as f:
+        for r in sorted(rows, key=lambda r: r.n_nationkey):
+            rec = f"{r.n_nationkey:<4d}{r.n_name:<16s}{r.n_regionkey:<4d}"
+            assert len(rec) == _REC_LEN
+            f.write(rec.encode("ascii"))
+    back = read_fixed_length(
+        spark, path, _REC_LEN,
+        fields=[("k", 1, 4), ("name", 5, 16), ("rk", 21, 4)],
+    )
+    return back.select(
+        F.trim("k").cast("int").alias("n_nationkey"),
+        F.trim("name").alias("n_name"),
+        F.trim("rk").cast("int").alias("n_regionkey"),
+    ).orderBy("n_nationkey")
+
+
+# --- MultipleInputs (per-path format + per-path mapper) ----------------
+
+_MULTI_ORACLE = """
+SELECT r_regionkey AS key, r_name AS name, 'region' AS src FROM region
+UNION ALL
+SELECT n_nationkey AS key, n_name AS name, 'nation' AS src FROM nation
+ORDER BY src, key
+"""
+
+
+@register("scan_multiple_inputs", _MULTI_ORACLE, tags=("source",),
+          doc="MultipleInputs parity: region via CSV + nation via JSON, per-source mapper to a common schema, unionByName.")
+def scan_multiple_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _scratch("scan_multiple_inputs")
+    csv_path, json_path = os.path.join(base, "region_csv"), os.path.join(base, "nation_json")
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    region.select("r_regionkey", "r_name").write.mode("overwrite").csv(csv_path)
+    nation.select("n_nationkey", "n_name").write.mode("overwrite").json(json_path)
+    csv_df = spark.read.schema("r_regionkey int, r_name string").csv(csv_path)
+    json_df = spark.read.schema("n_nationkey long, n_name string").json(json_path)
+    out = read_multiple_inputs(
+        [
+            (csv_df, lambda df: df.select(
+                F.col("r_regionkey").cast("long").alias("key"),
+                F.col("r_name").alias("name"),
+                F.lit("region").alias("src"),
+            )),
+            (json_df, lambda df: df.select(
+                F.col("n_nationkey").alias("key"),
+                F.col("n_name").alias("name"),
+                F.lit("nation").alias("src"),
+            )),
+        ]
+    )
+    return out.orderBy("src", "key")
+
+
+# --- MultipleOutputs sink (partitionBy) + read-back --------------------
+
+_PARTITIONED_ORACLE = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n,
+       SUM(o_orderkey) AS sum_keys,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+@register("sink_partitioned_roundtrip", _PARTITIONED_ORACLE, tags=("sink",),
+          doc="MultipleOutputs parity: orders written partitionBy(o_orderpriority) (content-derived dirs), read back, per-partition aggregate.")
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_scratch("sink_partitioned_roundtrip"), "orders_by_priority")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    write_partitioned(orders, path, "o_orderpriority", mode="overwrite")
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_keys"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("priority")
+    )

@@ -1,0 +1,57 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_2_10_0_src_mapreduce_spark.sources.readers import (
+    read_fixed_length,
+    read_kv_text,
+    read_multiple_inputs,
+    read_text_lines,
+)
+
+
+def test_read_kv_text_first_separator_only(spark, tmp_path):
+    """KeyValueLineRecordReader contract: split on FIRST tab; extra tabs
+    stay in the value; no tab → line is the key, value empty."""
+    p = str(tmp_path / "kv")
+    spark.createDataFrame(
+        [("a\t1",), ("b\t2\t3",), ("noseparator",)], ["value"]
+    ).coalesce(1).write.text(p)
+    out = {r.key: r.value for r in read_kv_text(spark, p).collect()}
+    assert out == {"a": "1", "b": "2\t3", "noseparator": ""}
+
+
+def test_read_text_lines_offset_key_unique(spark, tmp_path):
+    p = str(tmp_path / "lines")
+    spark.range(100).select(F.col("id").cast("string").alias("value")).write.text(p)
+    df = read_text_lines(spark, p, with_offset=True)
+    assert df.select("key").distinct().count() == 100
+
+
+def test_read_fixed_length_slices_fields(spark, tmp_path):
+    p = str(tmp_path / "fixed.bin")
+    with open(p, "wb") as f:
+        f.write(b"01ab" b"02cd" b"03ef")  # 3 records of 4 bytes
+    df = read_fixed_length(spark, p, 4, fields=[("num", 1, 2), ("tag", 3, 2)])
+    rows = sorted((r.num, r.tag) for r in df.collect())
+    assert rows == [("01", "ab"), ("02", "cd"), ("03", "ef")]
+
+
+def test_read_multiple_inputs_union_by_name(spark):
+    a = spark.createDataFrame([(1, "x")], ["k", "v"])
+    b = spark.createDataFrame([("y", 2)], ["v", "k"])  # reversed col order
+    out = read_multiple_inputs([(a, None), (b, None)])
+    assert sorted((r.k, r.v) for r in out.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_write_partitioned_creates_content_derived_dirs(spark, tmp_path):
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import write_partitioned
+
+    p = str(tmp_path / "part")
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], ["id", "grp"])
+    write_partitioned(df, p, "grp", mode="overwrite")
+    import os
+
+    dirs = {d for d in os.listdir(p) if d.startswith("grp=")}
+    assert dirs == {"grp=a", "grp=b"}
+    assert spark.read.parquet(p).count() == 3
