@@ -92,3 +92,37 @@ def cross_join(left: DataFrame, right: DataFrame) -> DataFrame:
     sane when one side is tiny; Spark broadcasts the small side
     (BroadcastNestedLoopJoin)."""
     return left.crossJoin(right)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: split each hot key's left rows across
+    ``salt_buckets`` shuffle partitions by salting, replicate the right
+    side once per bucket, join on (keys + salt), drop the salt.
+
+    This is the classic manual remedy for the reference's single-hot-
+    reducer pathology (one key → one reduce task); AQE's skew-join
+    splitting (on by default, session.SCALE_DEFAULTS) handles most
+    cases automatically — reach for this only when a join is both
+    skewed AND too large for AQE's post-shuffle splitting, e.g. a
+    power-law key joining a mid-size dimension.
+
+    The salt is a deterministic hash of the whole left row, so results
+    are reproducible run-to-run. Only inner/left joins make sense here
+    (right rows are replicated; a right/full join would duplicate
+    right-side non-matches)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
+    l_salted = left.withColumn("_salt", salt)
+    r_replicated = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return l_salted.join(r_replicated, keys + ["_salt"], how).drop("_salt")

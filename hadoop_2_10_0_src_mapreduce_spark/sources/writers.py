@@ -70,17 +70,17 @@ def write_sorted_bucketed(
     *,
     buckets: int = 32,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """MapFileOutputFormat parity: sorted, indexed KV file for point
     lookups. Bucketed+sorted table ≈ MapFile: a later equi-join on
     ``key`` against another table bucketed the same way skips the
-    shuffle entirely (CompositeInputFormat's precondition, made durable)."""
-    (
-        df.write.mode(mode)
-        .bucketBy(buckets, key)
-        .sortBy(key)
-        .saveAsTable(table_name)
-    )
+    shuffle entirely (CompositeInputFormat's precondition, made durable).
+    ``path`` makes it an external table (outside the warehouse dir)."""
+    writer = df.write.mode(mode).bucketBy(buckets, key).sortBy(key)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
 
 
 def write_null(df: DataFrame) -> None:
