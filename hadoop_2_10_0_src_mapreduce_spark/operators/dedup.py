@@ -24,17 +24,18 @@ scale-first:
                  self-join on (band, hash) only, count-based
                  exact-Jaccard verify of candidates. Sub-quadratic:
                  only bucket collisions are compared.
-- SimHash      : 64-bit weighted-token signature; pairs within hamming
-                 distance via 8×8-bit chunk pigeonhole buckets.
+- SimHash      : 64-bit weighted-token signature, JVM-side (64
+                 conditional sums over exploded xxhash64'd tokens);
+                 pairs within hamming distance via 8×8-bit chunk
+                 pigeonhole buckets.
 
-Determinism: all hashing is Spark's xxhash64 (fixed seed) or pandas'
-SipHash (fixed key) — stable across processes, machines, and runs.
+Determinism: all hashing is Spark's xxhash64 with fixed seeds — stable
+across processes, machines, and runs. No Python anywhere in the dedup
+row path.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -190,28 +191,33 @@ def minhash_lsh_pairs(
 def simhash_signatures(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
-    """64-bit SimHash over tokens weighted by frequency → (id, sim long)."""
+    """64-bit SimHash over tokens weighted by frequency → (id, sim long).
+
+    Entirely JVM-side: explode tokens, hash once with xxhash64, then 64
+    conditional sums per id — each token OCCURRENCE contributes ±1 to
+    every bit position, which equals the classic unique-token×frequency
+    weighting without a pre-count shuffle. The signed 64-bit signature
+    is reassembled as a sum of disjoint bit shifts (bit 63's shiftleft
+    wraps negative — exactly the two's-complement encoding we want).
+    One shuffle, map-side partial aggregation, whole-stage codegen."""
     from hadoop_2_10_0_src_mapreduce_spark.functions.text import tokens as tok_expr
 
-    toks = df.select(F.col(id_col).alias("id"), tok_expr(text_col).alias("toks")).where(
-        F.size("toks") > 0
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tok_expr(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    counted = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"_b{i}")
+            for i in range(64)
+        ]
     )
-
-    def batches(it):
-        for pdf in it:
-            ids, sims = [], []
-            for id_, tl in zip(pdf["id"], pdf["toks"]):
-                vals, counts = np.unique(np.asarray(tl, dtype=object), return_counts=True)
-                h = pd.util.hash_array(vals)  # uint64, deterministic
-                shift = np.arange(64, dtype=np.uint64)  # uint64 >> int64 is a numpy TypeError
-                bits = ((h[:, None] >> shift[None, :]) & np.uint64(1)).astype(np.int64)
-                acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-                sim = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
-                ids.append(id_)
-                sims.append(sim - (1 << 64) if sim >= (1 << 63) else sim)  # to signed
-            yield pd.DataFrame({"id": ids, "sim": sims})
-
-    return toks.mapInPandas(batches, "id long, sim long")
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.when(F.col(f"_b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sim = sim + F.shiftleft(bit, i)
+    return counted.select("id", sim.alias("sim"))
 
 
 def simhash_pairs(

@@ -171,3 +171,36 @@ def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT
+    o_orderstatus,
+    o_orderpriority,
+    COUNT(*) AS cnt,
+    SUM(o_orderkey) AS sum_keys
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@register("grouping_sets_counts", _GROUPING_SETS_ORACLE, tags=("agg",),
+          doc="GROUPING SETS upgrade: arbitrary grouping combinations in one pass (the reference ran one MR job per set).")
+def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").alias("sum_keys"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
