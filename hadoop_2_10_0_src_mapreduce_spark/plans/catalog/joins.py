@@ -171,3 +171,45 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").select("r_name")
     nation = load_table(spark, sf_dir, "nation").select("n_name")
     return joins.cross_join(region, nation).orderBy("r_name", "n_name")
+
+
+# --- as-of join (time-series lookup; absent in the reference) ----------
+# DuckDB has native ASOF JOIN — the strongest possible oracle for our
+# union-merge implementation. Purchases are pre-aggregated per
+# (user, ts) so the right side's (key, ts) is unique (both engines).
+
+_ASOF_ORACLE = """
+WITH clicks AS (
+    SELECT user_id, event_id, ts::TIMESTAMP AS ts
+    FROM events WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, ts::TIMESTAMP AS pts, round(max(value), 6) AS purchase_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, pts
+)
+SELECT c.user_id, c.event_id, c.ts, p.purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+    ON c.user_id = p.user_id AND c.ts >= p.pts
+ORDER BY c.user_id, c.event_id
+"""
+
+
+@register("join_asof", _ASOF_ORACLE, tags=("join", "time-series"),
+          doc="As-of join: each click matched to the user's most recent purchase value (union-merge + running last(); oracle is DuckDB's native ASOF JOIN).")
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_2_10_0_src_mapreduce_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("purchase_value"))
+    )
+    return asof_join(
+        clicks, purchases, ["user_id"], left_ts="ts", right_ts="ts"
+    ).orderBy("user_id", "event_id")

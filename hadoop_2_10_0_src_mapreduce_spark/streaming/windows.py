@@ -131,3 +131,54 @@ def stream_dedup_within_watermark(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_running_user_totals(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    sink_table: str = "user_totals",
+    *,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> StreamingQuery:
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    running (count, sum) per user, emitted on every update — the shape
+    of state the built-in window aggregations can't express (arbitrary
+    user-defined state transitions; swap the body for decayed averages,
+    ML feature state, etc.).
+
+    State is one (long, double) per user — bounded by the user
+    universe, not the stream length. In update mode each micro-batch
+    emits the new running totals for users it touched, so the LAST
+    emission per user equals the batch-mode groupBy aggregate — which
+    is exactly what the test asserts.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_totals(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {user_col: [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    src = spark.readStream.schema(schema).json(source_dir)
+    running = src.groupBy(user_col).applyInPandasWithState(
+        update_totals,
+        outputStructType=f"{user_col} long, n_events long, sum_value double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        running.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

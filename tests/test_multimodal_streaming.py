@@ -94,3 +94,30 @@ def test_streaming_dedup_within_watermark(spark, stream_source, tmp_path_factory
     q.awaitTermination(120)
     got = spark.sql("SELECT count(*) AS c, count(DISTINCT event_id) AS d FROM dedup_out").collect()[0]
     assert got.c == got.d == 100
+
+
+def test_streaming_stateful_running_totals(spark, stream_source):
+    """applyInPandasWithState running totals: the last emission per user
+    must equal the batch groupBy aggregate over the whole source."""
+    src, ev = stream_source
+    q = sw.stream_running_user_totals(spark, src, EVENT_SCHEMA, sink_table="u_totals")
+    q.awaitTermination(120)
+    # update mode emits one row per touched user per micro-batch;
+    # running counts are monotone, so max(n_events) is the final state
+    final = {
+        r.user_id: (r.n_events, round(r.sum_value, 6))
+        for r in spark.sql(
+            """SELECT user_id, n_events, sum_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                              ORDER BY n_events DESC) AS rn
+                 FROM u_totals
+               ) WHERE rn = 1"""
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert final == batch
