@@ -81,15 +81,25 @@ def _jaccard_from_counts(counted: DataFrame, shingled: DataFrame,
 def _exact_jaccard_on_candidates(cands: DataFrame, shingled: DataFrame,
                                  threshold: float) -> DataFrame:
     """Exact-Jaccard verify of candidate pairs without shuffling shingle
-    arrays: count shared shingles by double inverted-index join."""
-    inv = shingled.select("id", F.explode("sh").alias("shingle"))
+    arrays: count shared shingles by double inverted-index join. Joins
+    run on the 64-bit shingle hash, not the string — same counts
+    (distinct shingles stay distinct mod a ~2^-64 collision), far
+    cheaper to broadcast and compare."""
+    inv = _hashed_index(shingled)
     counted = (
         cands.join(inv.withColumnRenamed("id", "id_a"), "id_a")
-        .join(inv.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
+        .join(inv.withColumnRenamed("id", "id_b"), ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return _jaccard_from_counts(counted, shingled, threshold)
+
+
+def _hashed_index(shingled: DataFrame) -> DataFrame:
+    """Inverted index keyed by xxhash64(shingle): (id, h)."""
+    return shingled.select("id", F.explode("sh").alias("_s")).select(
+        "id", F.xxhash64("_s").alias("h")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -106,10 +116,10 @@ def ngram_jaccard_pairs(
     expensive scalar work in the pipeline. One materialization, three
     readers (both join sides + the size table)."""
     sh = _shingled(df, text_col, id_col, k).persist()
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    inv = _hashed_index(sh)
     counted = (
         inv.alias("x")
-        .join(inv.alias("y"), "shingle")
+        .join(inv.alias("y"), "h")
         .where(F.col("x.id") < F.col("y.id"))
         .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("c"))
@@ -127,10 +137,16 @@ def minhash_signatures(
     inverted index. Whole-stage codegen end to end, map-side partial
     min before the one shuffle on id."""
     sh = _shingled(df, text_col, id_col, k)
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    return _minhash_from_index(_hashed_index(sh), num_hashes)
+
+
+def _minhash_from_index(inv: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, h) inverted index → (id, sig): hash family i is
+    xxhash64(i, h) — re-hashing the 8-byte shingle hash is much cheaper
+    than re-hashing the shingle string num_hashes times."""
     mins = inv.groupBy("id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"_h{i}")
+            F.min(F.xxhash64(F.lit(i), "h")).alias(f"_h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -157,16 +173,7 @@ def minhash_lsh_pairs(
     # sides of the verify join — without persistence each is computed
     # 2× (broadcast build + stream side).
     sh = _shingled(df, text_col, id_col, k).persist()
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
-    mins = inv.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    sigs = mins.select(
-        "id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig")
-    ).persist()
+    sigs = _minhash_from_index(_hashed_index(sh), num_hashes).persist()
     banded = sigs.select(
         "id",
         F.posexplode(

@@ -1,0 +1,95 @@
+"""Property tests (hypothesis): the engine's hand-built operators vs
+naive single-process references on adversarial small inputs — the
+analog of the reference's self-validating workloads (SURVEY §5.3:
+TeraValidate/SortValidator style checks at any scale)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hadoop_2_10_0_src_mapreduce_spark.functions.udf import sessionize
+from hadoop_2_10_0_src_mapreduce_spark.operators.joins import asof_join
+
+_BASE = dt.datetime(2024, 1, 1)
+
+# (user, minutes-offset) event streams with heavy key collision
+_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 5000)),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _naive_sessions(rows: list[tuple[int, int]], gap_minutes: int):
+    """Reference sessionizer: per user, sorted, split on gap."""
+    out = {}
+    by_user: dict[int, list[int]] = {}
+    for u, m in rows:
+        by_user.setdefault(u, []).append(m)
+    for u, ms in by_user.items():
+        ms.sort()
+        sid, n, start = 0, 0, ms[0]
+        prev = ms[0]
+        for m in ms:
+            if m - prev > gap_minutes:
+                out[(u, sid)] = (n, start, prev)
+                sid, n, start = sid + 1, 0, m
+            n += 1
+            prev = m
+        out[(u, sid)] = (n, start, prev)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(_events)
+def test_sessionize_matches_naive(spark, rows):
+    gap = 60
+    df = spark.createDataFrame(
+        [(u, _BASE + dt.timedelta(minutes=m)) for u, m in rows],
+        "user_id long, ts timestamp_ntz",
+    )
+    got = {
+        (r.user_id, r.session_id): (
+            r.n_events,
+            int((r.start_ts - _BASE).total_seconds() // 60),
+            int((r.end_ts - _BASE).total_seconds() // 60),
+        )
+        for r in sessionize(df, gap_minutes=gap).collect()
+    }
+    assert got == _naive_sessions(rows, gap)
+
+
+_asof_left = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=1, max_size=25
+)
+_asof_right = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=0, max_size=25
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_asof_left, _asof_right)
+def test_asof_join_matches_naive(spark, lrows, rrows):
+    # unique (key, ts) on the right, as the operator contract requires
+    rmap = {}
+    for k, t in rrows:
+        rmap[(k, t)] = float(k * 1000 + t)
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], "k long, ts long, rowid long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rmap.items()] or [(99, -1, 0.0)],
+        "k long, ts long, v double",
+    )
+    got = {
+        r.rowid: r.v
+        for r in asof_join(left, right, ["k"], left_ts="ts", right_ts="ts").collect()
+    }
+    for i, (k, t) in enumerate(lrows):
+        cands = [(rt, v) for (rk, rt), v in rmap.items() if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, t, got[i], want)

@@ -55,3 +55,17 @@ def test_write_partitioned_creates_content_derived_dirs(spark, tmp_path):
     dirs = {d for d in os.listdir(p) if d.startswith("grp=")}
     assert dirs == {"grp=a", "grp=b"}
     assert spark.read.parquet(p).count() == 3
+
+
+def test_write_null_noop_sink(spark):
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import write_null
+
+    write_null(spark.range(100).withColumn("x", F.col("id") * 2))  # must not raise
+
+
+def test_read_text_lines_nline_partitioning(spark, tmp_path):
+    p = str(tmp_path / "nline")
+    spark.range(50).select(F.col("id").cast("string").alias("value")).write.text(p)
+    df = read_text_lines(spark, p, num_partitions=7)
+    assert df.rdd.getNumPartitions() == 7
+    assert df.count() == 50
