@@ -183,3 +183,36 @@ def lines_from_column(df: DataFrame, col: str | Column = "text") -> DataFrame:
     reference's text-line inputs onto ``documents.text``)."""
     c = F.col(col) if isinstance(col, str) else col
     return df.select(c.alias("value"))
+
+
+def read_csv_skip_bad_records(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    sep: str = ",",
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """SkipBadRecords parity (CORE/mapred/SkipBadRecords.java [H],
+    SURVEY §4.2): the reference skipped unparseable records after
+    retry-and-blacklist; Spark's PERMISSIVE mode does it declaratively —
+    malformed rows land in ``corrupt_col`` instead of failing the task.
+
+    Returns (good, bad): good rows with the declared schema, bad rows
+    as (raw_line,) for quarantine/inspection — the 'skipped records'
+    side-channel the reference wrote to counters."""
+    full_schema = f"{schema}, {corrupt_col} string"
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("sep", sep)
+        .csv(path)
+        .cache()  # one scan serves both branches; PERMISSIVE requires
+        # caching before filtering on the corrupt column (Spark docs)
+    )
+    good = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.where(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, bad

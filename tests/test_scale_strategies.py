@@ -96,3 +96,16 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    """Predicate pushdown + column pruning must reach the scan: the
+    FileScan should list PushedFilters and read ONLY the projected
+    columns (a scan reading all 16 lineitem columns for a 2-column
+    projection is wrong at any scale)."""
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    q = li.where(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in plan
+    m = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert m and "l_orderkey" in m[0] and "l_extendedprice" not in m[0]

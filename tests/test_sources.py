@@ -69,3 +69,17 @@ def test_read_text_lines_nline_partitioning(spark, tmp_path):
     df = read_text_lines(spark, p, num_partitions=7)
     assert df.rdd.getNumPartitions() == 7
     assert df.count() == 50
+
+
+def test_read_csv_skip_bad_records(spark, tmp_path):
+    from hadoop_2_10_0_src_mapreduce_spark.sources.readers import (
+        read_csv_skip_bad_records,
+    )
+
+    p = tmp_path / "mixed.csv"
+    p.write_text("1,alice\n2,bob\nnot-an-int,carol\n3,dan\n")
+    good, bad = read_csv_skip_bad_records(spark, str(p), "id int, name string")
+    assert sorted((r.id, r.name) for r in good.collect()) == [
+        (1, "alice"), (2, "bob"), (3, "dan"),
+    ]
+    assert [r.raw_line for r in bad.collect()] == ["not-an-int,carol"]
