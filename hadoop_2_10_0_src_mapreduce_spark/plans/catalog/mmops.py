@@ -123,3 +123,59 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames_sampled"),
         F.sum("frame_idx").alias("sum_frame_idx"),
     )
+
+
+# --- feature extraction composed into dedup ----------------------------
+# sha256-derived features are payload-deterministic, so two media blobs
+# share a feature vector iff their payloads are byte-identical — the
+# multimodal face of exact dedup. Corpus = documents + planted copies
+# (dedupops.corpus_with_dups), so duplicate groups exist by construction.
+
+_FEATURE_DEDUP_ORACLE = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+grps AS (
+    SELECT COUNT(*) AS n, MIN(doc_id) AS keeper
+    FROM corpus GROUP BY text HAVING COUNT(*) > 1
+)
+SELECT COUNT(*) AS n_dup_groups,
+       SUM(n) AS n_dup_members,
+       SUM(keeper) AS sum_keepers
+FROM grps
+"""
+
+
+@register("mm_feature_dedup", _FEATURE_DEDUP_ORACLE, tags=("multimodal", "dedup"),
+          doc="Multimodal exact dedup: extract_features (sha256 of payload) grouped to find byte-identical media; oracle groups the source text directly.")
+def mm_feature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "n_chars"
+    )
+    corpus = docs.unionByName(copies)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            media = [
+                mm.pack_fake_media(1, 0, 0, str(t).encode("utf-8"))
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame({"id": pdf["doc_id"].values, "media": media})
+
+    media_df = corpus.mapInPandas(batches, "id long, media binary")
+    feats = mm.extract_features(media_df)
+    grps = (
+        feats.groupBy("features")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("keeper"))
+        .where(F.col("n") > 1)
+    )
+    return grps.agg(
+        F.count(F.lit(1)).alias("n_dup_groups"),
+        F.sum("n").alias("n_dup_members"),
+        F.sum("keeper").alias("sum_keepers"),
+    )

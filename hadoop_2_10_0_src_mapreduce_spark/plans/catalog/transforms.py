@@ -179,3 +179,36 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("o_custkey")
     )
+
+
+# --- semi-structured extraction (ObjectWritable/GenericWritable's
+# tagged-any niche, SURVEY §1.2, upgraded to typed JSON parsing) -------
+
+_JSON_PROPS_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("json_props_extract", _JSON_PROPS_ORACLE, tags=("transform", "json"),
+          doc="Semi-structured extraction: from_json over the events.props JSON column, typed aggregate per event_type (the reference hand-encoded such payloads into Text).")
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k int")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
