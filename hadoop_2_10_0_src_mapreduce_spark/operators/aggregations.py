@@ -101,3 +101,40 @@ def observe_counters(df: DataFrame, name: str, exprs: dict[str, Column]) -> tupl
     pass. ``Observation.get`` after the action ≈ Counters.getGroup()."""
     obs = Observation(name)
     return df.observe(obs, *[e.alias(n) for n, e in exprs.items()]), obs
+
+
+#: ValueAggregatorDescriptor types → Spark expressions
+#: (LongValueSum/DoubleValueSum, LongValueMax/Min, UniqValueCount, ...)
+_AGGREGATOR_TYPES = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+    "count": F.count,
+    "uniq": F.countDistinct,
+}
+
+
+def value_aggregator(
+    df: DataFrame, keys: Sequence[str], specs: dict[str, str]
+) -> DataFrame:
+    """ValueAggregatorJob parity (lib/aggregate/* [H]): the reference's
+    declarative agg framework dispatched on ``"type:column"`` spec
+    strings emitted by mappers; here the same spec shape compiles to an
+    agg expression list in one pass (the generic reducer + combiner
+    split is Spark's partial/final agg).
+
+        value_aggregator(df, ["k"], {"total": "sum:v", "n_ids": "uniq:id"})
+
+    Unknown types raise with the valid list (the reference deferred to
+    a user plug-in class here; ours is `pandas_udf` GROUPED_AGG)."""
+    exprs = []
+    for out, spec in specs.items():
+        typ, _, col = spec.partition(":")
+        if typ not in _AGGREGATOR_TYPES or not col:
+            raise ValueError(
+                f"bad aggregator spec {spec!r}; want 'type:column' with "
+                f"type in {sorted(_AGGREGATOR_TYPES)}"
+            )
+        exprs.append(_AGGREGATOR_TYPES[typ](col).alias(out))
+    return df.groupBy(*keys).agg(*exprs)

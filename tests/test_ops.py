@@ -68,3 +68,24 @@ def test_sort_validate_detects_sorted(spark):
 def test_repartition_by_key(spark):
     df = spark.createDataFrame([(i,) for i in range(100)], ["k"])
     assert sortpart.repartition_by_key(df, 4, "k").rdd.getNumPartitions() == 4
+
+
+def test_value_aggregator_spec_dispatch(spark):
+    from hadoop_2_10_0_src_mapreduce_spark.operators.aggregations import (
+        value_aggregator,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 10), ("b", 3, 30)], ["k", "v", "w"]
+    )
+    out = {
+        r.k: (r.total, r.biggest, r.n_uniq_w)
+        for r in value_aggregator(
+            df, ["k"], {"total": "sum:v", "biggest": "max:v", "n_uniq_w": "uniq:w"}
+        ).collect()
+    }
+    assert out == {"a": (3, 2, 1), "b": (3, 3, 1)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        value_aggregator(df, ["k"], {"x": "median:v"})
