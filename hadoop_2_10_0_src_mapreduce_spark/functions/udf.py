@@ -150,6 +150,15 @@ def sessionize(
     gap = pd.Timedelta(minutes=gap_minutes)
     out_cols = [user_col, "session_id", "n_events", "start_ts", "end_ts"]
 
+    def _carry_frame(carry):
+        return pd.DataFrame(
+            {
+                user_col: [carry[0]], "session_id": [carry[1]],
+                "n_events": [carry[2]], "start_ts": [carry[3]],
+                "end_ts": [carry[4]],
+            }
+        )
+
     def per_partition(batches):
         carry = None  # open session: [user, session_ordinal, n, start, end]
         for pdf in batches:
@@ -157,7 +166,7 @@ def sessionize(
                 continue
             u, ts = pdf[user_col], pdf[ts_col]
             brk = (u != u.shift()) | (ts.diff() > gap)
-            brk.iloc[0] = carry is None or u.iloc[0] != carry[0] or (
+            brk.iloc[0] = carry is None or u.iloc[0] != carry[0] or bool(
                 ts.iloc[0] - carry[4] > gap
             )
             grp = brk.cumsum()  # group 0 = continuation of carried session
@@ -172,10 +181,17 @@ def sessionize(
             # session_id = 0-based ordinal within user, shifted for the
             # carried user by (their open ordinal) + 1 if row 0 broke
             agg["session_id"] = agg.groupby(user_col, sort=False).cumcount()
-            if carry is not None and agg[user_col].iloc[0] == carry[0]:
-                same = agg[user_col] == carry[0]
-                agg.loc[same, "session_id"] += carry[1] + int(brk.iloc[0])
-                if not brk.iloc[0]:  # merge carried open session into group 0
+            closed_carry = None
+            if carry is not None:
+                if agg[user_col].iloc[0] == carry[0]:
+                    same = agg[user_col] == carry[0]
+                    agg.loc[same, "session_id"] += carry[1] + int(brk.iloc[0])
+                if brk.iloc[0]:
+                    # the carried session is CLOSED by this batch's first
+                    # row (new user or gap) — it must be emitted, not
+                    # silently overwritten
+                    closed_carry = _carry_frame(carry)
+                else:  # merge carried open session into group 0
                     agg.loc[0, "n_events"] += carry[2]
                     agg.loc[0, "start_ts"] = carry[3]
             last = agg.iloc[-1]
@@ -183,17 +199,13 @@ def sessionize(
                 last[user_col], int(last["session_id"]), int(last["n_events"]),
                 last["start_ts"], last["end_ts"],
             ]
-            done = agg.iloc[:-1]
+            done = agg.iloc[:-1][out_cols]
+            if closed_carry is not None:
+                done = pd.concat([closed_carry, done], ignore_index=True)
             if not done.empty:
-                yield done[out_cols]
+                yield done
         if carry is not None:
-            yield pd.DataFrame(
-                {
-                    user_col: [carry[0]], "session_id": [carry[1]],
-                    "n_events": [carry[2]], "start_ts": [carry[3]],
-                    "end_ts": [carry[4]],
-                }
-            )
+            yield _carry_frame(carry)
 
     return (
         events.select(user_col, ts_col)

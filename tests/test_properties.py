@@ -93,3 +93,29 @@ def test_asof_join_matches_naive(spark, lrows, rrows):
         cands = [(rt, v) for (rk, rt), v in rmap.items() if rk == k and rt <= t]
         want = max(cands)[1] if cands else None
         assert got[i] == want, (i, k, t, got[i], want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_events)
+def test_sessionize_matches_naive_across_arrow_batches(spark, rows):
+    """Regression: the cross-batch carry must emit a carried session
+    that the next batch CLOSES (5-row Arrow batches force many
+    batch-boundary transitions that default batching never exercises)."""
+    gap = 60
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        df = spark.createDataFrame(
+            [(u, _BASE + dt.timedelta(minutes=m)) for u, m in rows],
+            "user_id long, ts timestamp_ntz",
+        )
+        got = {
+            (r.user_id, r.session_id): (
+                r.n_events,
+                int((r.start_ts - _BASE).total_seconds() // 60),
+                int((r.end_ts - _BASE).total_seconds() // 60),
+            )
+            for r in sessionize(df, gap_minutes=gap).collect()
+        }
+        assert got == _naive_sessions(rows, gap)
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
