@@ -17,11 +17,11 @@ scale-first:
                  results are identical because both compute the same
                  integers c, |A|, |B| (inclusion–exclusion on distinct
                  shingles) and the same round(·, 6).
-- MinHash+LSH  : signatures entirely JVM-side — min(xxhash64(i,
-                 shingle)) per hash index over the exploded inverted
-                 index (whole-stage codegen, no Python in the path),
-                 banding via xxhash64 of signature slices, bucket
-                 self-join on (band, hash) only, count-based
+- MinHash+LSH  : signatures entirely JVM-side — hash family i is
+                 min(xxhash64(i, shingle_hash)) over the exploded
+                 inverted index (whole-stage codegen, no Python in the
+                 path), banding via xxhash64 of signature slices,
+                 bucket self-join on (band, hash) only, count-based
                  exact-Jaccard verify of candidates. Sub-quadratic:
                  only bucket collisions are compared.
 - SimHash      : 64-bit weighted-token signature, JVM-side (64
@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hadoop_2_10_0_src_mapreduce_spark.functions.text import fingerprint, shingles
+from hadoop_2_10_0_src_mapreduce_spark.functions.text import fingerprint, tokens
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -53,10 +53,28 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(text_col, k)).alias("sh"),
-    ).where(F.size("sh") > 0)
+    """(id, sh: array<long>) — DISTINCT k-token shingle hashes per doc.
+
+    Shingle identity only ever feeds joins and distinct-counts, so the
+    string form is never built: each shingle is xxhash64 over its k
+    token columns directly (multi-arg xxhash64 chains per-value, so
+    ("ab","c") vs ("a","bc") don't collide the way naive concat would).
+    Counts match the string-shingle oracle modulo a ~2^-64 collision.
+    Tokens are materialized as a column first so the tokenizer regex
+    runs once per document, not once per shingle position."""
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
+    )
+    n = F.size("_toks")
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx, lambda i: F.xxhash64(*[F.get("_toks", i - 1 + j) for j in range(k)])
+    )
+    return base.select("id", F.array_distinct(sh).alias("sh")).where(
+        F.size("sh") > 0
+    )
 
 
 def _jaccard_from_counts(counted: DataFrame, shingled: DataFrame,
@@ -96,10 +114,8 @@ def _exact_jaccard_on_candidates(cands: DataFrame, shingled: DataFrame,
 
 
 def _hashed_index(shingled: DataFrame) -> DataFrame:
-    """Inverted index keyed by xxhash64(shingle): (id, h)."""
-    return shingled.select("id", F.explode("sh").alias("_s")).select(
-        "id", F.xxhash64("_s").alias("h")
-    )
+    """Inverted index (id, h) — shingles are already 64-bit hashes."""
+    return shingled.select("id", F.explode("sh").alias("h"))
 
 
 def ngram_jaccard_pairs(
