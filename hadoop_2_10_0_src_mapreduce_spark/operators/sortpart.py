@@ -107,3 +107,15 @@ def sort_validate(df: DataFrame, *cols: str) -> DataFrame:
         "is_sorted",
         (F.col("checksum_out") == F.col("checksum_in")).alias("checksum_match"),
     )
+
+
+def repartition_by_binary_range(
+    df: DataFrame, n: int, col: str | Column, *, offset: int = 0, length: int = 4
+) -> DataFrame:
+    """BinaryPartitioner parity (CORE/mapreduce/lib/partition/
+    BinaryPartitioner.java [H]): route rows by a byte-range of a binary
+    key. Spark shuffles on any expression, so this is repartition over
+    the sliced bytes (1-based substring offset, like the reference's
+    left offset)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return df.repartition(n, F.substring(c, offset + 1, length))

@@ -87,3 +87,29 @@ def write_null(df: DataFrame) -> None:
     """NullOutputFormat parity: run the plan, discard the output
     (side-effect/metrics-only jobs). Spark ships a 'noop' sink."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def write_side_outputs(
+    df: DataFrame,
+    base_path: str,
+    splits: dict[str, Column],
+    *,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """MultipleOutputs NAMED side-outputs parity (beyond partitionBy's
+    content-derived dirs): route rows to named outputs by predicate,
+    one filtered write per name — `<base_path>/<name>/`.
+
+    Predicates may overlap or under-cover (a row can go to several
+    outputs or none), matching MultipleOutputs.write(name, ...)
+    semantics where the mapper chooses destinations explicitly. Each
+    write re-reads the source plan; persist ``df`` first if it is
+    expensive and the split count is large."""
+    for name, cond in splits.items():
+        (
+            df.where(cond)
+            .write.mode(mode)
+            .format(format)
+            .save(f"{base_path}/{name}")
+        )

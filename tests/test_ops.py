@@ -70,6 +70,25 @@ def test_repartition_by_key(spark):
     assert sortpart.repartition_by_key(df, 4, "k").rdd.getNumPartitions() == 4
 
 
+def test_repartition_by_binary_range(spark):
+    df = spark.createDataFrame(
+        [(bytearray(b"aaaa-1"),), (bytearray(b"aaaa-2"),), (bytearray(b"bbbb-1"),)],
+        ["key"],
+    )
+    out = sortpart.repartition_by_binary_range(df, 4, "key", offset=0, length=4)
+    assert out.rdd.getNumPartitions() == 4
+    # Rows sharing the routed byte-range land in the same partition.
+    parts = (
+        out.rdd.mapPartitionsWithIndex(
+            lambda i, rows: [(bytes(r.key)[:4], i) for r in rows]
+        ).collect()
+    )
+    by_prefix = {}
+    for prefix, pid in parts:
+        by_prefix.setdefault(prefix, set()).add(pid)
+    assert all(len(pids) == 1 for pids in by_prefix.values())
+
+
 def test_value_aggregator_spec_dispatch(spark):
     from hadoop_2_10_0_src_mapreduce_spark.operators.aggregations import (
         value_aggregator,

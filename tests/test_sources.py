@@ -83,3 +83,19 @@ def test_read_csv_skip_bad_records(spark, tmp_path):
         (1, "alice"), (2, "bob"), (3, "dan"),
     ]
     assert [r.raw_line for r in bad.collect()] == ["not-an-int,carol"]
+
+
+def test_write_side_outputs_named_routing(spark, tmp_path):
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import write_side_outputs
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (30, "z")], ["id", "v"]
+    )
+    base = str(tmp_path / "side")
+    write_side_outputs(
+        df,
+        base,
+        {"small": F.col("id") < 10, "all_rows": F.lit(True)},
+    )
+    assert spark.read.parquet(f"{base}/small").count() == 2
+    assert spark.read.parquet(f"{base}/all_rows").count() == 3
