@@ -185,6 +185,46 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
 
+# --- Counters (CORE/mapreduce/counters/ [H]) -------------------------
+# The reference's Counters are add-only global metrics accumulated at
+# the AM from every task. Here: ONE scan computes every counter as a
+# conditional aggregate (partial aggregation = the Combiner), then
+# unpivots to (counter, value) rows — the counter-group report shape.
+# The live-metrics variant (no extra action) is
+# aggregations.observe_counters, exercised in tests.
+
+_COUNTERS_ORACLE = """
+SELECT counter, value FROM (
+    SELECT 'input_records' AS counter, COUNT(*)::BIGINT AS value FROM lineitem
+    UNION ALL
+    SELECT 'returned_records', COUNT(*) FILTER (WHERE l_returnflag = 'R')::BIGINT FROM lineitem
+    UNION ALL
+    SELECT 'zero_tax_records', COUNT(*) FILTER (WHERE l_tax = 0)::BIGINT FROM lineitem
+    UNION ALL
+    SELECT 'high_discount_records', COUNT(*) FILTER (WHERE l_discount >= 0.05)::BIGINT FROM lineitem
+)
+ORDER BY counter
+"""
+
+
+@register("job_counters", _COUNTERS_ORACLE, tags=("agg", "counters"),
+          doc="Counters parity (CORE/mapreduce/counters/ [H]): add-only global metrics from one scan — conditional aggregates unpivoted to (counter, value) report rows.")
+def job_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("input_records"),
+        F.count_if(F.col("l_returnflag") == "R").alias("returned_records"),
+        F.count_if(F.col("l_tax") == 0).alias("zero_tax_records"),
+        F.count_if(F.col("l_discount") >= 0.05).alias("high_discount_records"),
+    )
+    names = agg.columns
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    return (
+        agg.selectExpr(f"stack({len(names)}, {stack}) AS (counter, value)")
+        .orderBy("counter")
+    )
+
+
 @register("grouping_sets_counts", _GROUPING_SETS_ORACLE, tags=("agg",),
           doc="GROUPING SETS upgrade: arbitrary grouping combinations in one pass (the reference ran one MR job per set).")
 def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

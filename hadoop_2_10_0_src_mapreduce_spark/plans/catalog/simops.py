@@ -85,3 +85,13 @@ def sim_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_topk(emb, k=5).orderBy("query_id", "rnk")
+
+
+# --- IVF ANN (data-learned lists; the other half of the ANN dial) ------
+
+
+@register("sim_ann_ivf", None, tags=("similarity",),
+          doc="Approximate top-5 via IVF: spherical k-means lists, queries probe 4/16 nearest lists; rows-only check + recall unit test vs brute force.")
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_ivf_topk(emb, k=5).orderBy("query_id", "rnk")

@@ -84,6 +84,50 @@ def sort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sortpart.sort_validate(li, "l_orderkey", "l_linenumber")
 
 
+# --- TeraGen + TeraChecksum (EX/terasort/TeraGen.java ~320,
+# TeraChecksum via TeraValidate.java ~190 [H]) ------------------------
+# Deterministic distributed generation (spark.range splits the id space
+# across executors with zero shuffle — TeraGen's task-per-range layout)
+# followed by a global order-insensitive checksum over the generated
+# keys. md5-of-rownumber stands in for TeraGen's Random16 keygen (same
+# role: uniformly-distributed reproducible keys); the checksum is a
+# byte-polynomial over the key prefix, portable across engines.
+
+_TERAGEN_N = 100_000
+
+_TERAGEN_ORACLE = f"""
+SELECT COUNT(*) AS n_rows,
+       MIN(key10) AS min_key,
+       MAX(key10) AS max_key,
+       CAST(SUM(ascii(substring(key10, 1, 1)) * 65536
+              + ascii(substring(key10, 2, 1)) * 256
+              + ascii(substring(key10, 3, 1))) AS BIGINT) AS checksum
+FROM (
+    SELECT substring(md5(CAST(range AS VARCHAR)), 1, 20) AS key10
+    FROM range({_TERAGEN_N})
+)
+"""
+
+
+@register("teragen_checksum", _TERAGEN_ORACLE, tags=("sort", "generator"),
+          doc="TeraGen+TeraChecksum parity: shuffle-free distributed keygen over a split id range, then one global checksum aggregate.")
+def teragen_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gen = spark.range(_TERAGEN_N).select(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 20).alias("key10")
+    )
+    chk = (
+        F.ascii(F.substring("key10", 1, 1)) * 65536
+        + F.ascii(F.substring("key10", 2, 1)) * 256
+        + F.ascii(F.substring("key10", 3, 1))
+    )
+    return gen.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("key10").alias("min_key"),
+        F.max("key10").alias("max_key"),
+        F.sum(chk).cast("long").alias("checksum"),
+    )
+
+
 # --- KeyFieldBased sort (unix-sort -k specs over tab-lines) ----------
 
 _KEYFIELD_ORACLE = """

@@ -185,6 +185,23 @@ def lines_from_column(df: DataFrame, col: str | Column = "text") -> DataFrame:
     return df.select(c.alias("value"))
 
 
+def read_sequence_file(
+    spark: SparkSession,
+    path: str,
+    *,
+    key_name: str = "key",
+    value_name: str = "value",
+) -> DataFrame:
+    """SequenceFileInputFormat parity (CORE/mapreduce/lib/input/
+    SequenceFileInputFormat.java [H]): read a Hadoop SequenceFile of
+    Writable KV pairs into a two-column DataFrame (Writables auto-
+    convert to Python types). Legacy interop only — the native container
+    is parquet (``load_table``): SequenceFile has no column pruning or
+    predicate pushdown, so convert once and query the parquet."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(rdd, [key_name, value_name])
+
+
 def read_csv_skip_bad_records(
     spark: SparkSession,
     path: str,

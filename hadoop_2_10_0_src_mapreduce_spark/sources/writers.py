@@ -83,6 +83,15 @@ def write_sorted_bucketed(
     writer.saveAsTable(table_name)
 
 
+def write_sequence_file(df: DataFrame, path: str, key: str, value: str) -> None:
+    """SequenceFileOutputFormat parity (CORE/mapreduce/lib/output/
+    SequenceFileOutputFormat.java [H]): write (key, value) columns as a
+    Hadoop SequenceFile, Writable classes inferred from the Python
+    values. Interop escape hatch for legacy consumers — new data should
+    go through ``write_table`` (parquet plays SequenceFile's role)."""
+    df.select(key, value).rdd.map(tuple).saveAsSequenceFile(path)
+
+
 def write_null(df: DataFrame) -> None:
     """NullOutputFormat parity: run the plan, discard the output
     (side-effect/metrics-only jobs). Spark ships a 'noop' sink."""

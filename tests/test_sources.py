@@ -85,6 +85,17 @@ def test_read_csv_skip_bad_records(spark, tmp_path):
     assert [r.raw_line for r in bad.collect()] == ["not-an-int,carol"]
 
 
+def test_sequence_file_roundtrip(spark, tmp_path):
+    from hadoop_2_10_0_src_mapreduce_spark.sources.readers import read_sequence_file
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import write_sequence_file
+
+    df = spark.createDataFrame([(1, "alice"), (2, "bob")], ["id", "name"])
+    path = str(tmp_path / "seq")
+    write_sequence_file(df, path, "id", "name")
+    back = read_sequence_file(spark, path, key_name="id", value_name="name")
+    assert sorted((r.id, r.name) for r in back.collect()) == [(1, "alice"), (2, "bob")]
+
+
 def test_write_side_outputs_named_routing(spark, tmp_path):
     from hadoop_2_10_0_src_mapreduce_spark.sources.writers import write_side_outputs
 
