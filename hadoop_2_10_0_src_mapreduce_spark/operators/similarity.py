@@ -221,10 +221,13 @@ def _topk_from_candidates(
     vec_col: str,
     k: int,
     round_digits: int,
+    corpus: tuple | None = None,
 ) -> DataFrame:
     """Score (query_id, neighbor_id) candidate pairs against a broadcast
-    corpus matrix (BLAS per Arrow batch), then window top-k per query."""
-    ids, mat, norms = _corpus_matrix(emb, id_col, vec_col)
+    corpus matrix (BLAS per Arrow batch), then window top-k per query.
+    ``corpus`` lets the caller pass an already-collected
+    ``_corpus_matrix`` result instead of collecting a second time."""
+    ids, mat, norms = corpus or _corpus_matrix(emb, id_col, vec_col)
     row_of = {int(i): r for r, i in enumerate(ids)}
     bc = emb.sparkSession.sparkContext.broadcast((row_of, mat, norms))
 
@@ -270,6 +273,12 @@ def train_ivf_centroids(
     keeps lists reproducible run-to-run."""
     pdf = emb.select(vec_col).toPandas()
     mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+    return _kmeans_spherical(mat, n_centroids, n_iters, seed)
+
+
+def _kmeans_spherical(
+    mat: np.ndarray, n_centroids: int, n_iters: int, seed: int
+) -> np.ndarray:
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
     cents = mat[rng.choice(len(mat), n_centroids, replace=False)]
@@ -293,7 +302,10 @@ def ivf_assign(
     """Assign each vector to its ``n_probe`` nearest centroid lists
     (cosine). n_probe=1 partitions the corpus into inverted lists;
     n_probe>1 is the query-side probe fan-out. One row per (vector,
-    probed list); vectors themselves are dropped — only ids shuffle."""
+    probed list); vectors themselves are dropped — only ids shuffle.
+    ``probe_rank`` orders the probed lists by centroid proximity, so
+    rank 0 is the vector's home list — one pass serves both the
+    corpus-side filing (probe_rank = 0) and the query-side fan-out."""
     bc = emb.sparkSession.sparkContext.broadcast(centroids)
 
     def batches(it):
@@ -306,6 +318,7 @@ def ivf_assign(
             for p in range(n_probe):
                 out = base.copy()
                 out["list_id"] = order[:, p].astype(np.int32)
+                out["probe_rank"] = np.int32(p)
                 yield out
 
     out_schema = ", ".join(
@@ -313,7 +326,7 @@ def ivf_assign(
         for f in emb.schema.fields
         if f.name != vec_col
     )
-    return emb.mapInPandas(batches, f"{out_schema}, list_id int")
+    return emb.mapInPandas(batches, f"{out_schema}, list_id int, probe_rank int")
 
 
 def ann_ivf_topk(
@@ -334,18 +347,20 @@ def ann_ivf_topk(
     brute force in tests. Candidates shuffle as (list_id, id) pairs —
     vectors never fan out."""
     vecs = emb.select(id_col, vec_col)
-    cents = train_ivf_centroids(
-        vecs, vec_col=vec_col, n_centroids=n_centroids
-    )
-    corpus_lists = ivf_assign(vecs, cents, vec_col=vec_col, n_probe=1).select(
+    corpus = _corpus_matrix(vecs, id_col, vec_col)  # one collect: train + score
+    cents = _kmeans_spherical(corpus[1], n_centroids, n_iters=5, seed=42)
+    # One assignment pass serves both sides: probe_rank 0 is the home
+    # list (corpus filing); all ranks are the query-side probes.
+    assigned = ivf_assign(vecs, cents, vec_col=vec_col, n_probe=n_probe).persist()
+    corpus_lists = assigned.where(F.col("probe_rank") == 0).select(
         F.col(id_col).alias("neighbor_id"), "list_id"
     )
-    query_probes = ivf_assign(vecs, cents, vec_col=vec_col, n_probe=n_probe).select(
-        F.col(id_col).alias("query_id"), "list_id"
-    )
+    query_probes = assigned.select(F.col(id_col).alias("query_id"), "list_id")
     cands = (
         query_probes.join(corpus_lists, "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
-    return _topk_from_candidates(emb, cands, id_col, vec_col, k, round_digits)
+    return _topk_from_candidates(
+        emb, cands, id_col, vec_col, k, round_digits, corpus=corpus
+    )
