@@ -79,28 +79,52 @@ def repartition_by_key(df: DataFrame, n: int, *keys: str | Column) -> DataFrame:
 
 
 def sort_validate(df: DataFrame, *cols: str) -> DataFrame:
-    """TeraValidate/SortValidator parity as a property check: sort by
-    ``cols`` and emit one row proving (a) global monotonic order —
-    via lag() over the sorted output — and (b) content invariance —
-    an order-insensitive checksum equal on input and output.
+    """TeraValidate/SortValidator parity as a property check: emit one
+    row proving (a) global monotonic order of the sorted form of ``df``
+    and (b) content invariance — an order-insensitive checksum equal on
+    input and output.
 
-    Returns columns: n_rows, is_sorted (bool), checksum_in = checksum_out (bool).
+    Scale shape is TeraValidate's own (EX/terasort/TeraValidate.java
+    [H]): never a global-order window (single partition at 100 TB).
+    Range-partition on the key, prove monotonicity inside every
+    partition in parallel, then compare first/last keys of adjacent
+    partitions — the cross-partition check runs on #partitions rows.
+
+    Returns columns: n_rows, is_sorted (bool), checksum_match (bool).
     """
     key = F.struct(*[F.col(c) for c in cols])
     # sum the 64-bit hashes in decimal — a long sum overflows under ANSI
     hashed = F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
     checksum_in = df.agg(F.sum(hashed).alias("checksum_in"))
 
-    sorted_df = df.orderBy(*cols)
-    w = Window.orderBy(*cols)
-    flags = sorted_df.select(
-        hashed.alias("h"),
-        (key >= F.lag(key, 1).over(w)).alias("ok"),
+    ranged = df.repartitionByRange(*[F.col(c) for c in cols]).withColumn(
+        "_pid", F.spark_partition_id()
     )
-    out = flags.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min(F.coalesce(F.col("ok"), F.lit(True))).alias("is_sorted"),
-        F.sum("h").alias("checksum_out"),
+    w_in = Window.partitionBy("_pid").orderBy(*cols)
+    flags = ranged.select(
+        "_pid",
+        hashed.alias("h"),
+        key.alias("k"),
+        (key >= F.lag(key, 1).over(w_in)).alias("ok"),
+    )
+    per_part = flags.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.coalesce(F.col("ok"), F.lit(True))).alias("ok_within"),
+        F.sum("h").alias("h_sum"),
+        F.min("k").alias("first_key"),
+        F.max("k").alias("last_key"),
+    )
+    w_bound = Window.orderBy("_pid")  # one row per partition — tiny
+    bounded = per_part.withColumn(
+        "ok_boundary",
+        F.coalesce(
+            F.col("first_key") >= F.lag("last_key", 1).over(w_bound), F.lit(True)
+        ),
+    )
+    out = bounded.agg(
+        F.sum("n").alias("n_rows"),
+        F.min(F.col("ok_within") & F.col("ok_boundary")).alias("is_sorted"),
+        F.sum("h_sum").alias("checksum_out"),
     )
     return out.crossJoin(checksum_in).select(
         "n_rows",
