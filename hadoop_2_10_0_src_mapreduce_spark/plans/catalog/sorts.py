@@ -30,12 +30,18 @@ LIMIT 100
           doc="Total-order sort (TotalOrderPartitioner parity: sample→range-partition→sort is what orderBy does) + top-100 with rank.")
 def sort_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        o.select(F.row_number().over(w).alias("rnk"), "o_orderkey", "o_totalprice")
-        .orderBy("rnk")
+    # limit-first: Catalyst's distributed TakeOrdered picks the 100,
+    # the rank window then runs over 100 rows — never a full-table
+    # single-partition window.
+    top = (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return top.select(
+        F.row_number().over(w).alias("rnk"), "o_orderkey", "o_totalprice"
+    ).orderBy("rnk")
 
 
 # --- Per-group top-k (window) ----------------------------------------
@@ -153,9 +159,7 @@ def keyfield_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     lined = transforms.with_line(o, ["o_orderkey", "o_totalprice", "o_orderstatus"])
     cols = sortpart.key_field_sort_cols("-k2,2nr -k1,1n", F.col("line"))
-    w = Window.orderBy(*cols)
-    return (
-        lined.select(F.row_number().over(w).alias("rnk"), "line")
-        .orderBy("rnk")
-        .limit(50)
-    )
+    # limit-first (distributed TakeOrdered), then rank the 50 survivors.
+    top = lined.orderBy(*cols).limit(50)
+    w = Window.orderBy(*sortpart.key_field_sort_cols("-k2,2nr -k1,1n", F.col("line")))
+    return top.select(F.row_number().over(w).alias("rnk"), "line").orderBy("rnk")
