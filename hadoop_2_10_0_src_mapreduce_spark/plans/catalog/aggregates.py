@@ -178,7 +178,7 @@ SELECT
     o_orderstatus,
     o_orderpriority,
     COUNT(*) AS cnt,
-    SUM(o_orderkey) AS sum_keys
+    CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST

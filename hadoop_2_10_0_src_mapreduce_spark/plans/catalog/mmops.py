@@ -75,9 +75,9 @@ _DECODE_ORACLE = """
 SELECT CASE doc_id % 3 + 1 WHEN 1 THEN 'image' WHEN 2 THEN 'audio'
        ELSE 'video' END AS kind,
        COUNT(*) AS n,
-       SUM(n_chars % 65536) AS sum_a,
-       SUM(doc_id * 7 % 65536) AS sum_b,
-       SUM(octet_length(encode(text))) AS sum_payload
+       CAST(SUM(n_chars % 65536) AS BIGINT) AS sum_a,
+       CAST(SUM(doc_id * 7 % 65536) AS BIGINT) AS sum_b,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_payload
 FROM documents
 GROUP BY kind
 ORDER BY kind
@@ -104,9 +104,9 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FRAMES_ORACLE = """
 SELECT COUNT(*) AS n_videos,
-       SUM((5 + doc_id % 10 + 1) // 2) AS n_frames_sampled,
-       SUM(((5 + doc_id % 10 + 1) // 2) * ((5 + doc_id % 10 + 1) // 2 - 1))
-           AS sum_frame_idx
+       CAST(SUM((5 + doc_id % 10 + 1) // 2) AS BIGINT) AS n_frames_sampled,
+       CAST(SUM(((5 + doc_id % 10 + 1) // 2) * ((5 + doc_id % 10 + 1) // 2 - 1))
+           AS BIGINT) AS sum_frame_idx
 FROM documents
 WHERE doc_id % 3 = 2
 """
@@ -142,8 +142,8 @@ grps AS (
     FROM corpus GROUP BY text HAVING COUNT(*) > 1
 )
 SELECT COUNT(*) AS n_dup_groups,
-       SUM(n) AS n_dup_members,
-       SUM(keeper) AS sum_keepers
+       CAST(SUM(n) AS BIGINT) AS n_dup_members,
+       CAST(SUM(keeper) AS BIGINT) AS sum_keepers
 FROM grps
 """
 

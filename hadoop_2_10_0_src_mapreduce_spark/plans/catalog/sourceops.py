@@ -51,7 +51,7 @@ def _scratch(name: str) -> str:
 
 _TEXT_GZIP_ORACLE = """
 SELECT COUNT(*) AS n_lines,
-       SUM(o_orderkey) AS sum_keys,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
        COUNT(DISTINCT o_orderpriority) AS n_priorities
 FROM orders
 """
@@ -85,7 +85,7 @@ def scan_text_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KV_TEXT_ORACLE = """
 SELECT c_mktsegment AS segment,
        COUNT(*) AS n,
-       SUM(c_custkey) AS sum_keys
+       CAST(SUM(c_custkey) AS BIGINT) AS sum_keys
 FROM customer
 GROUP BY segment
 ORDER BY segment
@@ -185,7 +185,7 @@ def scan_multiple_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARTITIONED_ORACLE = """
 SELECT o_orderpriority AS priority,
        COUNT(*) AS n,
-       SUM(o_orderkey) AS sum_keys,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
        MIN(o_totalprice) AS min_price,
        MAX(o_totalprice) AS max_price
 FROM orders

@@ -114,7 +114,7 @@ _FINGERPRINT_ORACLE = f"""
 SELECT source,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT {T.fingerprint_sql('text')}) AS n_distinct_fp,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY source
 ORDER BY source

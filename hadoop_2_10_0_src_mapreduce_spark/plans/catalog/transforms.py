@@ -187,7 +187,7 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_PROPS_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events

@@ -42,10 +42,10 @@ SELECT user_id, session_id, COUNT(*) AS n_events,
        MIN(ts) AS start_ts, MAX(ts) AS end_ts
 FROM (
     SELECT user_id, ts,
-           SUM(CASE WHEN prev_ts IS NULL
+           CAST(SUM(CASE WHEN prev_ts IS NULL
                       OR ts - prev_ts > INTERVAL {_GAP_MIN} MINUTE
                     THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts) - 1 AS session_id
+               OVER (PARTITION BY user_id ORDER BY ts) - 1 AS BIGINT) AS session_id
     FROM (
         SELECT user_id, ts,
                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts

@@ -57,6 +57,45 @@ def frame_signature(cols: list[str], rows: list[tuple]) -> tuple[int, list[str],
     return len(rows), sorted(cols), h
 
 
+# --- driver-parity guard -------------------------------------------------
+# The DRIVER canonicalizes both sides through pandas; this gate hashes the
+# raw python objects (fetchall/collect). The one way those disagree is the
+# numeric family: DuckDB HUGEINT (any un-cast SUM over integers) and DECIMAL
+# land in pandas as float64 and render "123.0", while Spark's int64 renders
+# "123" — hash_match false at the driver even though the values are equal
+# here. Round 1 shipped 8 red queries exactly this way, so flag any column
+# whose numeric family differs between the Spark schema and DuckDB's types.
+
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+_SPARK_FLOAT = {"float", "double"}
+_DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+
+def _num_family_mismatches(sdf, ocols, otypes) -> list[str]:
+    spark_kind = {}
+    for f in sdf.schema.fields:
+        t = f.dataType.simpleString()
+        if t in _SPARK_INT:
+            spark_kind[f.name] = "i"
+        elif t in _SPARK_FLOAT or t.startswith("decimal"):
+            spark_kind[f.name] = "f"
+    bad = []
+    for c, ot in zip(ocols, otypes):
+        ot = str(ot)
+        if ot == "HUGEINT":
+            bad.append(f"{c}: DuckDB HUGEINT (un-cast integer SUM?) -> "
+                       "pandas float64 at the driver; CAST(... AS BIGINT)")
+            continue
+        ok = ("i" if ot in _DUCK_INT
+              else "f" if ot in ("FLOAT", "DOUBLE") or ot.startswith("DECIMAL")
+              else None)
+        sk = spark_kind.get(c)
+        if sk and ok and sk != ok:
+            bad.append(f"{c}: spark {sk!r} vs duckdb {ot} -> driver hash divergence")
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -92,6 +131,7 @@ def main() -> int:
         try:
             orel = con.sql(oracles[name])
             ocols = list(orel.columns)
+            otypes = list(orel.types)
             orows = orel.fetchall()
         except Exception as ex:  # noqa: BLE001
             failures.append((name, f"duckdb error: {ex}"))
@@ -100,6 +140,13 @@ def main() -> int:
         s_sig = frame_signature([c for c in scols], [tuple(r) for r in srows])
         o_sig = frame_signature(ocols, orows)
         checked += 1
+        family_bad = _num_family_mismatches(sdf, ocols, otypes)
+        if family_bad:
+            failures.append((name, "; ".join(family_bad)))
+            print(f"FAIL  {name}: driver-parity type mismatch")
+            for msg in family_bad:
+                print(f"  {msg}")
+            continue
         if s_sig == o_sig:
             print(f"OK    {name}: {s_sig[0]} rows, hash {s_sig[2]} [{time.time()-t0:.1f}s]")
         else:
