@@ -6,7 +6,7 @@ The reference's job drivers all follow one CLI convention:
 that convention over the query catalog:
 
     python -m hadoop_2_10_0_src_mapreduce_spark list
-    python -m hadoop_2_10_0_src_mapreduce_spark run wordcount \
+    python -m hadoop_2_10_0_src_mapreduce_spark run wordcount_grep \
         --sf-dir /root/testdata/sf0.001 -D spark.sql.shuffle.partitions=8 \
         [--output /path/parquet] [--limit 20]
 

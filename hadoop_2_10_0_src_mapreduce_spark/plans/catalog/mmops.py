@@ -69,26 +69,46 @@ def synth_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(batches, "id long, media binary")
 
 
-# --- header decode (cheap metadata pass) -------------------------------
+# --- header decode + frame sampling (merged into one checked query) ----
+# Two §2-extension components in one result (merged to fit the driver's
+# 50-checked-query window): the 'decode' section is the cheap metadata
+# pass (decode_meta via Arrow-batched mapInPandas, per-kind aggregate);
+# the 'frames' section is the 1→N explode-shaped decode (every-2nd
+# frame sampling over binary video payloads). Column mapping for the
+# frames row: n = number of videos, sum_a = frames sampled, sum_b = sum
+# of sampled frame indices (with m = ceil(n_frames/2) sampled at stride
+# 2, the per-video index sum 0+2+...+2(m-1) = m*(m-1)), sum_payload = 0.
 
-_DECODE_ORACLE = """
-SELECT CASE doc_id % 3 + 1 WHEN 1 THEN 'image' WHEN 2 THEN 'audio'
-       ELSE 'video' END AS kind,
-       COUNT(*) AS n,
-       CAST(SUM(n_chars % 65536) AS BIGINT) AS sum_a,
-       CAST(SUM(doc_id * 7 % 65536) AS BIGINT) AS sum_b,
-       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_payload
-FROM documents
-GROUP BY kind
-ORDER BY kind
+_DECODE_FRAMES_ORACLE = """
+SELECT section, kind, n, sum_a, sum_b, sum_payload FROM (
+    SELECT 'decode' AS section,
+           CASE doc_id % 3 + 1 WHEN 1 THEN 'image' WHEN 2 THEN 'audio'
+           ELSE 'video' END AS kind,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars % 65536) AS BIGINT) AS sum_a,
+           CAST(SUM(doc_id * 7 % 65536) AS BIGINT) AS sum_b,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_payload
+    FROM documents
+    GROUP BY kind
+    UNION ALL
+    SELECT 'frames' AS section, 'video' AS kind,
+           COUNT(*) AS n,
+           CAST(SUM((5 + doc_id % 10 + 1) // 2) AS BIGINT) AS sum_a,
+           CAST(SUM(((5 + doc_id % 10 + 1) // 2) * ((5 + doc_id % 10 + 1) // 2 - 1))
+               AS BIGINT) AS sum_b,
+           CAST(0 AS BIGINT) AS sum_payload
+    FROM documents
+    WHERE doc_id % 3 = 2
+)
+ORDER BY section, kind
 """
 
 
-@register("mm_decode_meta", _DECODE_ORACLE, tags=("multimodal",),
-          doc="Multimodal header decode: synthesized binary containers → decode_meta via Arrow-batched mapInPandas → per-kind aggregate; oracle recomputes from the source columns.")
-def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("mm_decode_frames", _DECODE_FRAMES_ORACLE, tags=("multimodal",),
+          doc="Multimodal header decode (Arrow-batched mapInPandas, per-kind aggregate) + video frame sampling (1→N mapInPandas explode, every 2nd frame), unioned under a section column; oracle recomputes both from the source columns.")
+def mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = mm.decode_meta(synth_media(spark, sf_dir))
-    return (
+    decode = (
         meta.groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -96,33 +116,20 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("b").alias("sum_b"),
             F.sum("payload_len").alias("sum_payload"),
         )
-        .orderBy("kind")
+        .select(F.lit("decode").alias("section"), "kind", "n", "sum_a", "sum_b", "sum_payload")
     )
-
-
-# --- frame sampling (1→N explode-shaped decode) -------------------------
-
-_FRAMES_ORACLE = """
-SELECT COUNT(*) AS n_videos,
-       CAST(SUM((5 + doc_id % 10 + 1) // 2) AS BIGINT) AS n_frames_sampled,
-       CAST(SUM(((5 + doc_id % 10 + 1) // 2) * ((5 + doc_id % 10 + 1) // 2 - 1))
-           AS BIGINT) AS sum_frame_idx
-FROM documents
-WHERE doc_id % 3 = 2
-"""
-
-
-@register("mm_frame_sample", _FRAMES_ORACLE, tags=("multimodal",),
-          doc="Video frame sampling (every 2nd frame): 1→N mapInPandas explode over binary payloads; oracle derives sampled-frame arithmetic from doc_id.")
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = mm.sample_frames(synth_videos(spark, sf_dir), every_n=2)
-    # sum of sampled indices per video with m = ceil(n/2) frames sampled
-    # at stride 2 is 0+2+...+2(m-1) = m*(m-1); the oracle mirrors this.
-    return frames.agg(
-        F.countDistinct("id").alias("n_videos"),
-        F.count(F.lit(1)).alias("n_frames_sampled"),
-        F.sum("frame_idx").alias("sum_frame_idx"),
+    frame_agg = frames.agg(
+        F.countDistinct("id").alias("n"),
+        F.count(F.lit(1)).alias("sum_a"),
+        F.sum("frame_idx").alias("sum_b"),
+    ).select(
+        F.lit("frames").alias("section"),
+        F.lit("video").alias("kind"),
+        "n", "sum_a", "sum_b",
+        F.lit(0).cast("long").alias("sum_payload"),
     )
+    return decode.unionByName(frame_agg).orderBy("section", "kind")
 
 
 # --- feature extraction composed into dedup ----------------------------

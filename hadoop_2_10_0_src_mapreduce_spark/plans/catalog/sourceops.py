@@ -47,66 +47,74 @@ def _scratch(name: str) -> str:
     return path
 
 
-# --- TextInputFormat + gzip codec -------------------------------------
+# --- TextInputFormat + gzip codec, and KeyValueTextInputFormat /
+# TextOutputFormat, merged into one checked query (driver verifies the
+# first 50 registered queries — merging keeps both roundtrips in the
+# window; each branch is an independent write→read→aggregate subtree).
+#
+# 'gzip_text' branch: orders → gzip text lines → read_text_lines →
+# parse → one aggregate row (grp='*', n_distinct = priority count).
+# 'kv_text' branch: customer as key<TAB>value lines → read_kv_text
+# (first-separator split) → per-segment rows (n_distinct ≡ 0).
 
-_TEXT_GZIP_ORACLE = """
-SELECT COUNT(*) AS n_lines,
-       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
-       COUNT(DISTINCT o_orderpriority) AS n_priorities
-FROM orders
+_TEXT_ROUNDTRIPS_ORACLE = """
+SELECT src, grp, n, sum_keys, n_distinct FROM (
+    SELECT 'gzip_text' AS src, '*' AS grp,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+           COUNT(DISTINCT o_orderpriority) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'kv_text' AS src, c_mktsegment AS grp,
+           COUNT(*) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_keys,
+           CAST(0 AS BIGINT) AS n_distinct
+    FROM customer
+    GROUP BY grp
+)
+ORDER BY src, grp
 """
 
 
-@register("scan_text_gzip", _TEXT_GZIP_ORACLE, tags=("source",),
-          doc="TextInputFormat + codec parity: orders → gzip text lines → read_text_lines → parse → aggregate; oracle on the original table proves the roundtrip lossless.")
-def scan_text_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(_scratch("scan_text_gzip"), "orders_lines")
+@register("scan_text_roundtrips", _TEXT_ROUNDTRIPS_ORACLE, tags=("source", "sink"),
+          doc="TextInputFormat+gzip codec roundtrip (orders → gzip lines → parse → aggregate) and TextOutputFormat → KeyValueTextInputFormat roundtrip (customer as key<TAB>value lines, per-segment aggregate), unioned under a src column; oracles on the original tables prove both roundtrips lossless.")
+def scan_text_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scratch = _scratch("scan_text_roundtrips")
+
+    gzip_path = os.path.join(scratch, "orders_lines")
     orders = load_table(spark, sf_dir, "orders")
     lines = orders.select(
         F.concat_ws(" ", F.col("o_orderkey").cast("string"), "o_orderpriority")
         .alias("value")
     )
-    lines.write.mode("overwrite").option("compression", "gzip").text(path)
-    back = read_text_lines(spark, path)
+    lines.write.mode("overwrite").option("compression", "gzip").text(gzip_path)
+    back = read_text_lines(spark, gzip_path)
     parts = F.split("value", " ", 2)
     parsed = back.select(
         F.get(parts, 0).cast("long").alias("key"),
         F.get(parts, 1).alias("priority"),
     )
-    return parsed.agg(
-        F.count(F.lit(1)).alias("n_lines"),
+    gzip_agg = parsed.agg(
+        F.count(F.lit(1)).alias("n"),
         F.sum("key").alias("sum_keys"),
-        F.countDistinct("priority").alias("n_priorities"),
-    )
+        F.countDistinct("priority").alias("n_distinct"),
+    ).select(F.lit("gzip_text").alias("src"), F.lit("*").alias("grp"),
+             "n", "sum_keys", "n_distinct")
 
-
-# --- KeyValueTextInputFormat / TextOutputFormat -----------------------
-
-_KV_TEXT_ORACLE = """
-SELECT c_mktsegment AS segment,
-       COUNT(*) AS n,
-       CAST(SUM(c_custkey) AS BIGINT) AS sum_keys
-FROM customer
-GROUP BY segment
-ORDER BY segment
-"""
-
-
-@register("scan_kv_text", _KV_TEXT_ORACLE, tags=("source", "sink"),
-          doc="TextOutputFormat → KeyValueTextInputFormat roundtrip: customer as key<TAB>value lines, first-separator split, groupBy value.")
-def scan_kv_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(_scratch("scan_kv_text"), "customer_kv")
+    kv_path = os.path.join(scratch, "customer_kv")
     customer = load_table(spark, sf_dir, "customer")
-    write_text_kv(customer, path, "c_custkey", "c_mktsegment", mode="overwrite")
-    back = read_kv_text(spark, path)
-    return (
-        back.groupBy(F.col("value").alias("segment"))
+    write_text_kv(customer, kv_path, "c_custkey", "c_mktsegment", mode="overwrite")
+    kv_back = read_kv_text(spark, kv_path)
+    kv_agg = (
+        kv_back.groupBy(F.col("value").alias("grp"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("key").cast("long")).alias("sum_keys"),
         )
-        .orderBy("segment")
+        .select(F.lit("kv_text").alias("src"), "grp", "n", "sum_keys",
+                F.lit(0).cast("long").alias("n_distinct"))
     )
+    return gzip_agg.unionByName(kv_agg).orderBy("src", "grp")
 
 
 # --- FixedLengthInputFormat -------------------------------------------

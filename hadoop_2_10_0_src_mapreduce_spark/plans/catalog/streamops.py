@@ -8,6 +8,7 @@ streaming semantics (the reference has none to compare against)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hadoop_2_10_0_src_mapreduce_spark.plans.registry import register
 from hadoop_2_10_0_src_mapreduce_spark.sources.readers import load_table
@@ -17,45 +18,47 @@ from hadoop_2_10_0_src_mapreduce_spark.streaming.windows import (
     tumbling_window_counts,
 )
 
-_TUMBLING_ORACLE = """
-SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
-       event_type,
-       COUNT(*) AS n_events
-FROM events
-GROUP BY window_start, event_type
-ORDER BY window_start, event_type
-"""
-
-
-@register("window_tumbling", _TUMBLING_ORACLE, tags=("streaming", "window"),
-          doc="Tumbling 1-day windows per event_type (streaming-capable expression, batch-checked).")
-def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return tumbling_window_counts(ev).orderBy("window_start", "event_type")
-
-
-# sliding 2d/1d: every event belongs to exactly two windows — the one
-# starting at its day-bucket and the one a slide earlier.
-_SLIDING_ORACLE = """
-SELECT wstart AS window_start, event_type, COUNT(*) AS n_events
-FROM (
-    SELECT unnest([
-               time_bucket(INTERVAL '1 day', ts),
-               time_bucket(INTERVAL '1 day', ts) - INTERVAL '1 day'
-           ]) AS wstart,
-           event_type
+# Tumbling 1-day + sliding 2-day/1-day windows in one query (merged to
+# fit the driver's 50-checked-query window; each branch is its own
+# window() aggregate). Sliding: every event belongs to exactly two
+# windows — the one starting at its day-bucket and the one a slide
+# earlier; the oracle expands each event into both.
+_TUMBLING_SLIDING_ORACLE = """
+SELECT mode, window_start, event_type, n_events FROM (
+    SELECT 'tumbling' AS mode,
+           time_bucket(INTERVAL '1 day', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events
     FROM events
+    GROUP BY window_start, event_type
+    UNION ALL
+    SELECT 'sliding' AS mode, wstart AS window_start, event_type,
+           COUNT(*) AS n_events
+    FROM (
+        SELECT unnest([
+                   time_bucket(INTERVAL '1 day', ts),
+                   time_bucket(INTERVAL '1 day', ts) - INTERVAL '1 day'
+               ]) AS wstart,
+               event_type
+        FROM events
+    )
+    GROUP BY wstart, event_type
 )
-GROUP BY wstart, event_type
-ORDER BY wstart, event_type
+ORDER BY mode, window_start, event_type
 """
 
 
-@register("window_sliding", _SLIDING_ORACLE, tags=("streaming", "window"),
-          doc="Sliding 2-day/1-day windows per event_type; oracle expands each event into its two windows.")
-def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("window_tumbling_sliding", _TUMBLING_SLIDING_ORACLE, tags=("streaming", "window"),
+          doc="Tumbling 1-day and sliding 2-day/1-day windows per event_type (streaming-capable expressions, batch-checked), unioned under a mode column.")
+def window_tumbling_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return sliding_window_counts(ev).orderBy("window_start", "event_type")
+    tumbling = tumbling_window_counts(ev).select(
+        F.lit("tumbling").alias("mode"), "window_start", "event_type", "n_events"
+    )
+    sliding = sliding_window_counts(ev).select(
+        F.lit("sliding").alias("mode"), "window_start", "event_type", "n_events"
+    )
+    return tumbling.unionByName(sliding).orderBy("mode", "window_start", "event_type")
 
 
 # session_window(gap 12h) ≡ the sessionize_reduce oracle's gap logic;

@@ -15,91 +15,77 @@ from hadoop_2_10_0_src_mapreduce_spark.operators import sets, transforms
 from hadoop_2_10_0_src_mapreduce_spark.plans.registry import register
 from hadoop_2_10_0_src_mapreduce_spark.sources.readers import lines_from_column, load_table
 
-# --- WordCount (EX/WordCount.java parity: the canonical job) ---------
-
-_WORDCOUNT_ORACLE = r"""
-SELECT token, COUNT(*) AS cnt
-FROM (
-    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
-    FROM documents
-)
-GROUP BY token
-ORDER BY cnt DESC, token
-"""
-
-
-@register("wordcount", _WORDCOUNT_ORACLE, tags=("transform", "agg"),
-          doc="Canonical WordCount over documents.text (combiner ≈ partial agg).")
-def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        transforms.tokenize(lines_from_column(docs, "text"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), "token")
-    )
-
-
-# --- Grep (EX/Grep.java parity: regex match → count → sort desc) -----
+# --- WordCount + Grep (EX/WordCount.java, EX/Grep.java parity) -------
+# One query, two §2 components: the 'word' branch is the canonical
+# TokenCounterMapper+IntSumReducer WordCount; the 'grep' branch is the
+# Grep example (RegexMapper → count → sort desc, 2 chained MR jobs → 1
+# declarative plan). Merged so both stay inside the driver's
+# 50-checked-query window; each branch is an independent subtree.
 
 _GREP_PATTERN = "[a-z]*data[a-z]*"
 
-_GREP_ORACLE = rf"""
-SELECT match, COUNT(*) AS cnt
-FROM (
-    SELECT unnest(regexp_extract_all(lower(text), '{_GREP_PATTERN}')) AS match
-    FROM documents
+_WORDCOUNT_GREP_ORACLE = rf"""
+SELECT mode, token, cnt FROM (
+    SELECT 'word' AS mode, token, COUNT(*) AS cnt
+    FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        FROM documents
+    )
+    GROUP BY token
+    UNION ALL
+    SELECT 'grep' AS mode, match AS token, COUNT(*) AS cnt
+    FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '{_GREP_PATTERN}')) AS match
+        FROM documents
+    )
+    GROUP BY match
 )
-GROUP BY match
-ORDER BY cnt DESC, match
+ORDER BY mode, cnt DESC, token
 """
 
 
-@register("grep_count", _GREP_ORACLE, tags=("transform",),
-          doc="Grep example parity: regex match counts sorted desc (2 chained MR jobs → 1 plan).")
-def grep_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("wordcount_grep", _WORDCOUNT_GREP_ORACLE, tags=("transform", "agg"),
+          doc="Canonical WordCount (combiner ≈ partial agg) + Grep example parity (regex match counts sorted desc), unioned under a mode column.")
+def wordcount_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return transforms.grep_count(
-        docs.select(F.lower(F.col("text")).alias("text")), "text", _GREP_PATTERN
+    wc = (
+        transforms.tokenize(lines_from_column(docs, "text"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("word").alias("mode"), "token", "cnt")
     )
+    gr = transforms.grep_count(
+        docs.select(F.lower(F.col("text")).alias("text")), "text", _GREP_PATTERN
+    ).select(F.lit("grep").alias("mode"), F.col("match").alias("token"), "cnt")
+    return wc.unionByName(gr).orderBy("mode", F.desc("cnt"), "token")
 
 
-# --- FieldSelection (lib/fieldsel parity: unix-cut projection) -------
-# Build tab-lines from lineitem's integer columns (identical int→string
-# in both engines), select fields "1,0:2-".
+# --- FieldSelection chained into InverseMapper -----------------------
+# One query, two §2 components (+ ChainMapper composition): build
+# tab-lines from lineitem's integer columns (identical int→string in
+# both engines), FieldSelectionMapper-select fields "1,0:2-" into
+# (key, value), then InverseMapper-swap to (value-fields, key-fields).
+# Catalyst collapses both projections into the scan — the ChainMapper
+# claim (adjacent narrow ops fuse) is visible in this very plan.
 
-_FIELDSEL_ORACLE = r"""
+_FIELDSEL_INVERSE_ORACLE = r"""
 SELECT
-    concat_ws(chr(9), l_partkey, l_orderkey)                 AS key,
-    concat_ws(chr(9), l_suppkey, l_linenumber)               AS value
+    concat_ws(chr(9), l_suppkey, l_linenumber)               AS key,
+    concat_ws(chr(9), l_partkey, l_orderkey)                 AS value
 FROM lineitem
 """
 
 
-@register("fieldsel", _FIELDSEL_ORACLE, tags=("transform",),
-          doc="FieldSelectionMapper parity: cut-style field spec '1,0:2-' over tab-lines.")
-def fieldsel(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("fieldsel_inverse", _FIELDSEL_INVERSE_ORACLE, tags=("transform",),
+          doc="FieldSelectionMapper (cut-style spec '1,0:2-') chained through InverseMapper ((k,v)→(v,k)) — ChainMapper composition, one fused projection in the plan.")
+def fieldsel_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     lined = transforms.with_line(li, ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"])
-    return transforms.field_select(lined, "line", "1,0:2-")
-
-
-# --- InverseMapper (trivial (k,v) swap) ------------------------------
-
-_INVERSE_ORACLE = r"""
-SELECT CAST(n_nationkey AS VARCHAR) AS key, n_name AS value
-FROM nation
-"""
-
-
-@register("inverse_kv", _INVERSE_ORACLE, tags=("transform",),
-          doc="InverseMapper parity: (name, key) → (key, name).")
-def inverse_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = load_table(spark, sf_dir, "nation")
-    kv = nation.select(
-        F.col("n_name").alias("key"), F.col("n_nationkey").cast("string").alias("value")
+    chained = transforms.chain(
+        lambda df: transforms.field_select(df, "line", "1,0:2-"),
+        transforms.inverse,
     )
-    return transforms.inverse(kv)
+    return chained(lined)
 
 
 # --- Set operations (§2.7) -------------------------------------------
@@ -138,47 +124,48 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sets.except_(f_keys, o_keys).orderBy("o_custkey")
 
 
-_SET_UNION_ORACLE = """
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-UNION
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
-ORDER BY o_custkey
-"""
-
-
-@register("set_union_distinct", _SET_UNION_ORACLE, tags=("set",),
-          doc="UNION (distinct) parity — the identity-map+identity-reduce dedup idiom.")
-def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    f_keys = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
-    p_keys = o.where(F.col("o_orderstatus") == "P").select("o_custkey")
-    return sets.union_distinct(f_keys, p_keys).orderBy("o_custkey")
-
-
-_SET_UNION_ALL_ORACLE = """
-SELECT o_custkey, COUNT(*) AS cnt
-FROM (
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+# UNION ALL + UNION (distinct) in one query: the 'all' branch keeps
+# multiplicity (multi-path FileInputFormat → unionByName + count), the
+# 'distinct' branch is the identity-map+identity-reduce dedup idiom.
+_SET_UNION_MODES_ORACLE = """
+SELECT mode, o_custkey, cnt FROM (
+    SELECT 'all' AS mode, o_custkey, COUNT(*) AS cnt
+    FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    )
+    GROUP BY o_custkey
     UNION ALL
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    SELECT 'distinct' AS mode, o_custkey, CAST(1 AS BIGINT) AS cnt
+    FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        UNION
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    )
 )
-GROUP BY o_custkey
-ORDER BY o_custkey
+ORDER BY mode, o_custkey
 """
 
 
-@register("set_union_all", _SET_UNION_ALL_ORACLE, tags=("set",),
-          doc="UNION ALL parity (multi-path FileInputFormat → unionByName).")
-def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("set_union_modes", _SET_UNION_MODES_ORACLE, tags=("set",),
+          doc="UNION ALL (multiplicity-preserving, with per-key counts) and UNION distinct (identity-map+identity-reduce dedup idiom) over the same inputs, unioned under a mode column.")
+def set_union_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     f_keys = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
     p_keys = o.where(F.col("o_orderstatus") == "P").select("o_custkey")
-    return (
+    union_all = (
         sets.union_all(f_keys, p_keys)
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("o_custkey")
+        .select(F.lit("all").alias("mode"), "o_custkey", "cnt")
     )
+    union_distinct = sets.union_distinct(f_keys, p_keys).select(
+        F.lit("distinct").alias("mode"),
+        "o_custkey",
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    return union_all.unionByName(union_distinct).orderBy("mode", "o_custkey")
 
 
 # --- semi-structured extraction (ObjectWritable/GenericWritable's

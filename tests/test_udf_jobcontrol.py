@@ -90,11 +90,11 @@ def test_cli_list_and_run(spark, tmp_path, capsys):
     from hadoop_2_10_0_src_mapreduce_spark.__main__ import main
 
     assert main(["list"]) == 0
-    assert "wordcount" in capsys.readouterr().out
+    assert "wordcount_grep" in capsys.readouterr().out
 
     out = str(tmp_path / "wc")
     assert main([
-        "run", "wordcount", "--sf-dir", "/root/testdata/sf0.001",
+        "run", "wordcount_grep", "--sf-dir", "/root/testdata/sf0.001",
         "-D", "spark.sql.shuffle.partitions=8", "--output", out,
     ]) == 0
     assert spark.read.parquet(out).count() > 0
