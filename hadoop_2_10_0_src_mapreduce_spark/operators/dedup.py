@@ -213,29 +213,57 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str, id_col: str
+    df: DataFrame, text_col: str, id_col: str, *, token_hash: str = "xxhash64"
 ) -> DataFrame:
     """64-bit SimHash over tokens weighted by frequency → (id, sim long).
 
-    Entirely JVM-side: explode tokens, hash once with xxhash64, then 64
-    conditional sums per id — each token OCCURRENCE contributes ±1 to
-    every bit position, which equals the classic unique-token×frequency
-    weighting without a pre-count shuffle. The signed 64-bit signature
-    is reassembled as a sum of disjoint bit shifts (bit 63's shiftleft
+    Entirely JVM-side: explode tokens, hash once, then 64 conditional
+    sums per id — each token OCCURRENCE contributes ±1 to every bit
+    position, which equals the classic unique-token×frequency weighting
+    without a pre-count shuffle. The signed 64-bit signature is
+    reassembled as a sum of disjoint bit shifts (bit 63's shiftleft
     wraps negative — exactly the two's-complement encoding we want).
-    One shuffle, map-side partial aggregation, whole-stage codegen."""
+    One shuffle, map-side partial aggregation, whole-stage codegen.
+
+    ``token_hash``:
+    - "xxhash64" (default, fastest): Spark's native 64-bit hash. Not
+      reproducible outside Spark, so results are only rows-checkable.
+    - "md5": the 64 bits are the first 16 hex digits of md5(token),
+      bit i = (digit[i//4] >> (i%4)) & 1 — md5 is engine-independent,
+      so a DuckDB oracle can recompute signatures exactly. Costs a
+      string hash + 16 hex-digit extractions per occurrence; still
+      JVM-side whole-stage codegen, used by the oracle-checked
+      catalog query."""
     from hadoop_2_10_0_src_mapreduce_spark.functions.text import tokens as tok_expr
 
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tok_expr(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    counted = toks.groupBy("id").agg(
-        *[
-            F.sum(
-                F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"_b{i}")
+    )
+    if token_hash == "xxhash64":
+        hashed = toks.withColumn("h", F.xxhash64("tok"))
+        bits = [
+            F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) for i in range(64)
+        ]
+    elif token_hash == "md5":
+        # materialize the 16 hex-digit values as columns so the md5 and
+        # each substring/conv run once per token, not once per bit
+        hashed = toks.withColumn("_hex", F.md5("tok")).select(
+            "id",
+            *[
+                F.conv(F.substring("_hex", j + 1, 1), 16, 10)
+                .cast("int")
+                .alias(f"_d{j}")
+                for j in range(16)
+            ],
+        )
+        bits = [
+            F.shiftright(F.col(f"_d{i // 4}"), i % 4).bitwiseAND(F.lit(1))
             for i in range(64)
         ]
+    else:  # pragma: no cover - guard against typos at call sites
+        raise ValueError(f"unknown token_hash: {token_hash!r}")
+    counted = hashed.groupBy("id").agg(
+        *[F.sum(bits[i] * 2 - 1).alias(f"_b{i}") for i in range(64)]
     )
     sim = F.lit(0).cast("long")
     for i in range(64):
@@ -245,14 +273,15 @@ def simhash_signatures(
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 6
+    df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 6,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Pairs within hamming distance via chunk pigeonhole: split the 64
     bits into 8 chunks; distance ≤ 6 ⇒ at least 2 chunks equal ⇒ the
     pair collides in some chunk bucket. Bucket-join then verify.
-    Signatures are persisted: the Python signature pass is the dominant
-    cost and feeds both sides of the chunk self-join."""
-    sigs = simhash_signatures(df, text_col, id_col).persist()
+    Signatures are persisted: the signature pass is the dominant cost
+    and feeds both sides of the chunk self-join."""
+    sigs = simhash_signatures(df, text_col, id_col, token_hash=token_hash).persist()
     # shiftrightunsigned needs a literal shift amount — enumerate the 8
     # chunk expressions instead of a transform() lambda
     chunks = F.array(

@@ -123,13 +123,60 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-# --- SimHash (no SQL-expressible oracle: signature needs numpy) -------
+# --- SimHash -----------------------------------------------------------
+# Oracle-checkable because the catalog query hashes tokens with md5
+# (engine-independent) instead of Spark's xxhash64: bit i of a token's
+# 64-bit hash is (hexdigit[i//4] >> (i%4)) & 1 over the first 16 hex
+# digits of md5(token) — the oracle recomputes the identical signatures
+# in DuckDB SQL (instr-on-hex-digit = Spark's conv), then brute-forces
+# every pair's hamming distance. All arithmetic is integer, so the
+# match is exact. The xxhash64 default stays the scale path.
 
 
-@register("dedup_simhash", None, tags=("dedup",),
-          doc="SimHash-64 near-dup pairs (hamming ≤ 6) via 8-bit chunk pigeonhole buckets; rows-only check, recall pinned by unit test.")
+def _simhash_oracle() -> str:
+    digits = ",\n           ".join(
+        f"instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1 AS d{j}"
+        for j in range(16)
+    )
+    bit_sums = ",\n           ".join(
+        f"SUM(((d{i // 4} >> {i % 4}) & 1) * 2 - 1) AS s{i}" for i in range(64)
+    )
+    sig_bits = ",\n           ".join(
+        f"CASE WHEN s{i} > 0 THEN 1 ELSE 0 END AS t{i}" for i in range(64)
+    )
+    hamming = " + ".join(f"abs(a.t{i} - b.t{i})" for i in range(64))
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+toks AS (
+    SELECT doc_id, unnest({_TOKS}) AS tok FROM corpus
+),
+hx AS (SELECT doc_id, md5(tok) AS h FROM toks),
+dig AS (SELECT doc_id,
+           {digits}
+        FROM hx),
+sums AS (SELECT doc_id,
+           {bit_sums}
+         FROM dig GROUP BY doc_id),
+bits AS (SELECT doc_id,
+           {sig_bits}
+         FROM sums),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           {hamming} AS hamming
+    FROM bits a, bits b
+    WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+FROM pairs
+WHERE hamming <= 6
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_simhash", _simhash_oracle(), tags=("dedup",),
+          doc="SimHash-64 near-dup pairs (hamming ≤ 6) via 8-bit chunk pigeonhole buckets; md5-derived bits so the oracle recomputes exact signatures; recall additionally pinned by unit test.")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_dups(spark, sf_dir)
-    return dedup.simhash_pairs(corpus, "text", "doc_id", max_hamming=6).orderBy(
-        "id_a", "id_b"
-    )
+    return dedup.simhash_pairs(
+        corpus, "text", "doc_id", max_hamming=6, token_hash="md5"
+    ).orderBy("id_a", "id_b")
