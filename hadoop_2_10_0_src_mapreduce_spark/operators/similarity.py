@@ -11,6 +11,12 @@ the LLM-pipeline ANN pattern:
   recall; fixed-seed hyperplanes keep it reproducible. (cf. PAPERS.md
   top-k similarity literature.)
 
+Nothing on any query path collects the corpus to the driver: candidate
+generation shuffles ids only, scoring joins candidates back to the
+distributed vectors, and IVF k-means trains on a bounded deterministic
+sample. The plans here survive a corpus that is 1000× larger than the
+driver's memory.
+
 Dot products run JVM-side via zip_with/aggregate in DOUBLE with
 left-to-right accumulation — bit-identical to the DuckDB oracle's
 list_inner_product over DOUBLE[] (both sequential), so similarity
@@ -20,7 +26,6 @@ values hash-match exactly.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -86,16 +91,67 @@ def brute_force_topk(
     )
 
 
-def _corpus_matrix(emb: DataFrame, id_col: str, vec_col: str):
-    """(ids int64 array, matrix float64 [n, d], norms float64 [n]).
-    Collects ONE side of the all-pairs comparison for broadcast — the
-    same replicate-the-small-side contract as a broadcast hash join.
-    At 2k×64 this is 1 MB; beyond broadcast size, bucket with
-    lsh_signatures first instead of brute-forcing."""
-    pdf = emb.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy(dtype=np.int64)
-    mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-    return ids, mat, np.sqrt((mat * mat).sum(axis=1))
+def _score_pairs(
+    emb: DataFrame,
+    cands: DataFrame,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """Score (query_id, neighbor_id) candidate pairs by joining them
+    back to the DISTRIBUTED vector table — two hash joins on id, then
+    the JVM zip_with/aggregate cosine (sequential double accumulation,
+    bit-identical to the DuckDB oracle). Nothing is collected to the
+    driver: the corpus stays partitioned, candidate ids shuffle, and a
+    vector copy rides along only for the surviving candidate rows.
+    Locally Spark broadcast-joins the (small) vector side; at cluster
+    scale both joins degrade gracefully to shuffle hash joins."""
+    qv = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    return (
+        cands.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("_qv", "_nv"), round_digits).alias("sim"),
+        )
+    )
+
+
+def _bucket_candidates(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    *,
+    symmetric: bool = False,
+) -> DataFrame:
+    """Distinct candidate id pairs colliding in ≥1 LSH table. With
+    ``symmetric`` the pair is emitted once as query_id < neighbor_id
+    (for near-dup); otherwise both directions survive (for per-query
+    top-k). Only (table, bucket, id) triples shuffle — vectors never
+    enter the self-join."""
+    buckets = lsh_signatures(
+        emb.select(id_col, vec_col),
+        vec_col=vec_col,
+        n_planes=n_planes,
+        n_tables=n_tables,
+    )
+    a = buckets.select(F.col(id_col).alias("query_id"), "table_idx", "bucket")
+    b = buckets.select(F.col(id_col).alias("neighbor_id"), "table_idx", "bucket")
+    cond = (
+        F.col("query_id") < F.col("neighbor_id")
+        if symmetric
+        else F.col("query_id") != F.col("neighbor_id")
+    )
+    return (
+        a.join(b, ["table_idx", "bucket"])
+        .where(cond)
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
 
 
 def near_dup_pairs(
@@ -105,36 +161,29 @@ def near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.99,
     round_digits: int = 6,
+    n_planes: int = 6,
+    n_tables: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ τ).
 
-    Brute force as blocked matrix multiply: the corpus matrix is
-    broadcast once, each Arrow batch computes ``block @ corpus.T`` via
-    BLAS and emits only pairs above threshold — the O(n²) similarity
-    matrix is never materialized in the plan, and nothing but the
-    surviving pairs shuffles. For corpora past broadcast size, bucket
-    with lsh_signatures first."""
-    ids, mat, norms = _corpus_matrix(emb, id_col, vec_col)
-    bc = emb.sparkSession.sparkContext.broadcast((ids, mat, norms))
-
-    def batches(it):
-        c_ids, c_mat, c_norms = bc.value
-        for pdf in it:
-            b_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            b_mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-            b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
-            sims = np.round(
-                (b_mat @ c_mat.T) / (b_norms[:, None] * c_norms[None, :]),
-                round_digits,
-            )
-            keep = (b_ids[:, None] < c_ids[None, :]) & (sims >= threshold)
-            r, c = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"id_a": b_ids[r], "id_b": c_ids[c], "sim": sims[r, c]}
-            )
-
-    return emb.select(id_col, vec_col).mapInPandas(
-        batches, "id_a long, id_b long, sim double"
+    LSH-bucketed, fully distributed: random-hyperplane buckets generate
+    candidate pairs (ids only), which are exactly rescored JVM-side via
+    the join-back in _score_pairs — no driver-side corpus collect
+    anywhere on the path. Identical vectors share every sign bit, so
+    true duplicates collide in ALL tables (recall exactly 1 for them);
+    for near-dups at τ=0.99 a pair agrees per bit w.p.
+    1-arccos(0.99)/π ≈ 0.955, so missing all 16 6-bit tables has
+    probability (1-0.955⁶)¹⁶ ≈ 1.4e-10 — negligible, and the exact
+    rescore means any surviving pair's sim is exact. For lower
+    thresholds raise n_tables (recall = 1-(1-p^b)^L)."""
+    cands = _bucket_candidates(
+        emb, id_col, vec_col, n_planes, n_tables, symmetric=True
+    )
+    scored = _score_pairs(emb, cands, id_col, vec_col, round_digits)
+    return scored.where(F.col("sim") >= threshold).select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "sim",
     )
 
 
@@ -194,23 +243,7 @@ def ann_lsh_topk(
     measured in tests); on real embedding corpora with tight clusters
     the same config probes far less. Candidates shuffle as (table,
     bucket, id) — vectors never fan out."""
-    buckets = lsh_signatures(
-        emb.select(id_col, vec_col),
-        vec_col=vec_col,
-        n_planes=n_planes,
-        n_tables=n_tables,
-    )
-    a = buckets.select(F.col(id_col).alias("query_id"), "table_idx", "bucket")
-    b = buckets.select(F.col(id_col).alias("neighbor_id"), "table_idx", "bucket")
-    # candidate pairs are ids only — vectors never enter the bucket join
-    # or the dedup shuffle; scoring happens after, against a broadcast
-    # corpus matrix (BLAS per Arrow batch).
-    cands = (
-        a.join(b, ["table_idx", "bucket"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
+    cands = _bucket_candidates(emb, id_col, vec_col, n_planes, n_tables)
     return _topk_from_candidates(emb, cands, id_col, vec_col, k, round_digits)
 
 
@@ -221,35 +254,11 @@ def _topk_from_candidates(
     vec_col: str,
     k: int,
     round_digits: int,
-    corpus: tuple | None = None,
 ) -> DataFrame:
-    """Score (query_id, neighbor_id) candidate pairs against a broadcast
-    corpus matrix (BLAS per Arrow batch), then window top-k per query.
-    ``corpus`` lets the caller pass an already-collected
-    ``_corpus_matrix`` result instead of collecting a second time."""
-    ids, mat, norms = corpus or _corpus_matrix(emb, id_col, vec_col)
-    row_of = {int(i): r for r, i in enumerate(ids)}
-    bc = emb.sparkSession.sparkContext.broadcast((row_of, mat, norms))
-
-    def score(it):
-        row_map, c_mat, c_norms = bc.value
-        for pdf in it:
-            qi = pdf["query_id"].map(row_map).to_numpy(dtype=np.int64)
-            ni = pdf["neighbor_id"].map(row_map).to_numpy(dtype=np.int64)
-            sims = np.round(
-                np.einsum("ij,ij->i", c_mat[qi], c_mat[ni])
-                / (c_norms[qi] * c_norms[ni]),
-                round_digits,
-            )
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "neighbor_id": pdf["neighbor_id"],
-                    "sim": sims,
-                }
-            )
-
-    scored = cands.mapInPandas(score, "query_id long, neighbor_id long, sim double")
+    """Score candidate pairs via the distributed join-back (_score_pairs)
+    then window top-k per query. Ranking key is (sim desc, neighbor_id
+    asc) so ties are deterministic."""
+    scored = _score_pairs(emb, cands, id_col, vec_col, round_digits)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -261,17 +270,32 @@ def _topk_from_candidates(
 def train_ivf_centroids(
     emb: DataFrame,
     *,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_iters: int = 5,
     seed: int = 42,
+    max_train: int = 4096,
 ) -> np.ndarray:
-    """Spherical k-means centroids, trained driver-side on a sample.
-    At scale, the training sample stays small (centroids converge from
-    a few hundred vectors per list); only the [n_centroids, dim]
-    matrix — kilobytes — is broadcast for assignment. Fixed-seed init
-    keeps lists reproducible run-to-run."""
-    pdf = emb.select(vec_col).toPandas()
+    """Spherical k-means centroids, trained driver-side on a BOUNDED
+    sample — never the full corpus. When the corpus exceeds
+    ``max_train`` rows, a deterministic hash stride
+    (pmod(xxhash64(id), ceil(n/max_train)) == 0) keeps ~max_train
+    vectors regardless of partitioning, so training is reproducible and
+    the driver holds at most max_train·dim doubles (a few MB) however
+    large the corpus grows. Centroids converge from a few hundred
+    vectors per list, so the cap does not hurt quality; only the
+    [n_centroids, dim] matrix — kilobytes — is broadcast for
+    assignment. Fixed-seed init + id-ordered sample keep lists
+    reproducible run-to-run."""
+    sample = emb.select(id_col, vec_col)
+    n = sample.count()
+    if n > max_train:
+        stride = -(-n // max_train)  # ceil
+        sample = sample.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
+        )
+    pdf = sample.orderBy(id_col).select(vec_col).toPandas()
     mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
     return _kmeans_spherical(mat, n_centroids, n_iters, seed)
 
@@ -347,8 +371,9 @@ def ann_ivf_topk(
     brute force in tests. Candidates shuffle as (list_id, id) pairs —
     vectors never fan out."""
     vecs = emb.select(id_col, vec_col)
-    corpus = _corpus_matrix(vecs, id_col, vec_col)  # one collect: train + score
-    cents = _kmeans_spherical(corpus[1], n_centroids, n_iters=5, seed=42)
+    cents = train_ivf_centroids(
+        vecs, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+    )
     # One assignment pass serves both sides: probe_rank 0 is the home
     # list (corpus filing); all ranks are the query-side probes.
     assigned = ivf_assign(vecs, cents, vec_col=vec_col, n_probe=n_probe).persist()
@@ -361,6 +386,4 @@ def ann_ivf_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
-    return _topk_from_candidates(
-        emb, cands, id_col, vec_col, k, round_digits, corpus=corpus
-    )
+    return _topk_from_candidates(emb, cands, id_col, vec_col, k, round_digits)
