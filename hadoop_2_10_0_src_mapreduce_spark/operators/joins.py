@@ -142,53 +142,62 @@ def asof_join(
     lookup the reference had no primitive for — SURVEY §2.4).
 
     Implemented as the union-merge pattern: tag and union both inputs,
-    one shuffle on the keys, then ``last(..., ignorenulls)`` over a
-    (ts, tag)-ordered running window carries the latest right payload
-    forward onto each left row. Right rows sort before left rows at
-    equal timestamps, so ties match (ASOF's ≤). Scales like a
-    sort-merge join: one shuffle + one partition-local sort, no
-    range-explosion. Right (key, ts) pairs should be unique — pre-
-    aggregate duplicates or the carried payload is pick-of-equals.
+    one shuffle on the keys, then a single ``last(..., ignorenulls)``
+    over a (ts, tag)-ordered running window carries the latest right
+    row's payload forward onto each left row. The whole right payload
+    travels as ONE struct, so every output column comes from the SAME
+    matched right row — per-column carries would backfill a NULL field
+    from an older right row, silently mixing rows. Right rows sort
+    before left rows at equal timestamps, so ties match (ASOF's ≤).
+    Scales like a sort-merge join: one shuffle + one partition-local
+    sort, no range-explosion. Right (key, ts) pairs should be unique —
+    pre-aggregate duplicates or the carried payload is pick-of-equals.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join supports left/inner, got {how!r}")
+    from pyspark.sql.types import StructType
     from pyspark.sql.window import Window
 
     keys = list(on)
     lcols = [c for c in left.columns if c not in keys + [left_ts]]
     rpayload = [c for c in right.columns if c not in keys + [right_ts]]
-    rtypes = {f.name: f.dataType for f in right.schema.fields}
     ltypes = {f.name: f.dataType for f in left.schema.fields}
+    if rpayload:
+        rstruct_type = StructType(
+            [f for f in right.schema.fields if f.name in rpayload]
+        )
+        rpay_col = F.struct(*rpayload)
+    else:  # payload-less right side still needs a match marker
+        rstruct_type = "int"
+        rpay_col = F.lit(1)
     l2 = left.select(
         *keys,
         F.col(left_ts).alias("_ats"),
         F.lit(1).alias("_tag"),
         *lcols,
-        *[F.lit(None).cast(rtypes[c]).alias(c) for c in rpayload],
+        F.lit(None).cast(rstruct_type).alias("_rpay"),
     )
     r2 = right.select(
         *keys,
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_tag"),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
-        *rpayload,
+        rpay_col.alias("_rpay"),
     )
     w = (
         Window.partitionBy(*keys)
         .orderBy("_ats", "_tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = l2.unionByName(r2).select(
-        *keys,
-        "_ats",
-        "_tag",
-        *lcols,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rpayload],
-        F.last(F.when(F.col("_tag") == 0, F.lit(1)), ignorenulls=True)
-        .over(w)
-        .alias("_matched"),
+    filled = l2.unionByName(r2).withColumn(
+        "_m", F.last("_rpay", ignorenulls=True).over(w)
     )
     out = filled.where(F.col("_tag") == 1)
     if how == "inner":
-        out = out.where(F.col("_matched") == 1)
-    return out.drop("_tag", "_matched").withColumnRenamed("_ats", left_ts)
+        out = out.where(F.col("_m").isNotNull())
+    return out.select(
+        *keys,
+        F.col("_ats").alias(left_ts),
+        *lcols,
+        *[F.col("_m")[c].alias(c) for c in rpayload],
+    )

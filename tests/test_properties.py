@@ -95,6 +95,19 @@ def test_asof_join_matches_naive(spark, lrows, rrows):
         assert got[i] == want, (i, k, t, got[i], want)
 
 
+def test_asof_join_null_payload_not_backfilled(spark):
+    """Regression: every payload column must come from the SAME matched
+    right row — a NULL field in the matched row stays NULL instead of
+    being backfilled from an older right row (the per-column-carry bug)."""
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 1, "old-a", "old-b"), (1, 5, None, "new-b")],
+        "k long, ts long, a string, b string",
+    )
+    row = asof_join(left, right, ["k"]).collect()[0]
+    assert (row.a, row.b) == (None, "new-b")
+
+
 @settings(max_examples=8, deadline=None)
 @given(_events)
 def test_sessionize_matches_naive_across_arrow_batches(spark, rows):
