@@ -70,6 +70,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- n-gram Jaccard (inverted-index candidates vs O(n²) oracle) -------
+# Both engines apply the same stop-shingle document-frequency cap (the
+# hot-key guard that keeps the inverted-index self-join sub-quadratic
+# at corpus scale), so Jaccard-over-retained-shingles stays exact.
+
+_DF_CAP = 100
 
 _JACCARD_SQL_PAIRS = f"""
 WITH corpus AS ({_CORPUS_SQL}),
@@ -77,11 +82,17 @@ shingled AS (
     SELECT doc_id, list_distinct({shingles_sql('text')}) AS sh
     FROM corpus
     WHERE len({shingles_sql('text')}) > 0
-)
+),
+inv AS (SELECT doc_id, unnest(sh) AS h FROM shingled),
+kept AS (
+    SELECT doc_id, h FROM inv
+    WHERE h IN (SELECT h FROM inv GROUP BY h HAVING COUNT(*) <= {_DF_CAP})
+),
+capped AS (SELECT doc_id, list(h) AS sh FROM kept GROUP BY doc_id)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(len(list_intersect(a.sh, b.sh)) /
              len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-FROM shingled a, shingled b
+FROM capped a, capped b
 WHERE a.doc_id < b.doc_id
 """
 
@@ -93,11 +104,11 @@ ORDER BY id_a, id_b
 
 
 @register("dedup_ngram_jaccard", _NGRAM_ORACLE, tags=("dedup",),
-          doc="n-gram Jaccard near-dup pairs (3-token shingles, J≥0.6) via inverted-index candidates; oracle brute-forces O(n²).")
+          doc="n-gram Jaccard near-dup pairs (3-token shingles, J≥0.6, stop-shingle df-cap) via inverted-index candidates; oracle brute-forces O(n²) with the same cap.")
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_dups(spark, sf_dir)
     return dedup.ngram_jaccard_pairs(
-        corpus, "text", "doc_id", k=3, threshold=0.6
+        corpus, "text", "doc_id", k=3, threshold=0.6, max_doc_freq=_DF_CAP
     ).orderBy("id_a", "id_b")
 
 
@@ -115,11 +126,12 @@ ORDER BY id_a, id_b
 
 
 @register("dedup_minhash_lsh", _MINHASH_ORACLE, tags=("dedup",),
-          doc="MinHash(128)+LSH(32×4) near-dup pairs, candidates exact-verified at J≥0.8; shuffles signatures only, never documents.")
+          doc="MinHash(128)+LSH(32×4) near-dup pairs, candidates exact-verified at J≥0.8 over df-capped shingles; shuffles signatures only, never documents.")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_dups(spark, sf_dir)
     return dedup.minhash_lsh_pairs(
-        corpus, "text", "doc_id", k=3, num_hashes=128, bands=32, threshold=0.8
+        corpus, "text", "doc_id", k=3, num_hashes=128, bands=32, threshold=0.8,
+        max_doc_freq=_DF_CAP,
     ).orderBy("id_a", "id_b")
 
 
@@ -174,7 +186,7 @@ ORDER BY id_a, id_b
 
 
 @register("dedup_simhash", _simhash_oracle(), tags=("dedup",),
-          doc="SimHash-64 near-dup pairs (hamming ≤ 6) via 8-bit chunk pigeonhole buckets; md5-derived bits so the oracle recomputes exact signatures; recall additionally pinned by unit test.")
+          doc="SimHash-64 near-dup pairs (hamming ≤ 6) via chunk-pair pigeonhole tables (28 tables, 16-bit keys); md5-derived bits so the oracle recomputes exact signatures; recall additionally pinned by unit test.")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_dups(spark, sf_dir)
     return dedup.simhash_pairs(

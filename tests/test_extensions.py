@@ -79,6 +79,31 @@ def test_minhash_lsh_recall_equals_exact(spark, dup_corpus):
     assert lsh == exact
 
 
+def test_df_cap_drops_stop_shingles(spark):
+    """Hot-key guard: a shingle shared by every doc (the join key that
+    goes quadratic at scale) is dropped when its document frequency
+    exceeds the cap, and Jaccard is recomputed over the retained sets
+    on BOTH the inverted-index and the MinHash verify paths."""
+    stop = "the quick brown"  # one shared 3-shingle across all docs
+    rows = [(i, f"{stop} unique{i} tail{i} end{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # uncapped: every pair shares exactly the stop shingle: J = 1/7 ≈ .14
+    uncapped = dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.1
+    ).collect()
+    assert len(uncapped) == 15 and all(abs(r.jaccard - 1 / 7) < 1e-6 for r in uncapped)
+    # capped at df<=5: the shared shingle (df=6) is dropped -> no pairs
+    for fn in (dedup.ngram_jaccard_pairs, dedup.minhash_lsh_pairs):
+        assert fn(
+            df, "text", "doc_id", threshold=0.1, max_doc_freq=5
+        ).count() == 0
+
+
+def test_simhash_rejects_uncoverable_hamming():
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(None, "text", "doc_id", max_hamming=8)
+
+
 def test_simhash_finds_planted_exact_dups(spark, dup_corpus):
     pairs = {
         (r.id_a, r.id_b): r.hamming
