@@ -80,7 +80,14 @@ def read_text_lines(
     offset LongWritable key (monotonic per-partition id — offsets were
     only ever used as a unique-ish key, not arithmetic).
     ``num_partitions`` gives NLineInputFormat-style control over task
-    granularity (Spark normally decides from file size).
+    granularity (Spark normally decides from file size). Documented
+    delta vs NLineInputFormat (CORE/mapreduce/lib/input/
+    NLineInputFormat.java [H]): the reference guaranteed EXACTLY N lines
+    per split (its point was sizing each map task's work); repartition
+    gives k near-equal partitions without a per-line count guarantee.
+    Spark sizes tasks by bytes, so the guarantee buys nothing here — if
+    a strict N-per-group is ever needed, derive a group id with
+    ``floor(row_number/N)`` and repartition on it.
     """
     df = spark.read.text(path)
     if num_partitions:

@@ -17,19 +17,45 @@ wrappers choosing format/layout:
 - LazyOutputFormat        → Spark file sinks already skip empty
   partitions; nothing to do.
 - NullOutputFormat        → write_null (the 'noop' sink).
-- DBOutputFormat          → df.write.jdbc (thin; no JDBC server on-box).
+- DBOutputFormat          → write_jdbc (batched JDBC insert).
+- BloomMapFile            → write_table(bloom_filter_cols=...) (parquet
+  bloom filters play BloomMapFile's membership-test role, SURVEY §1.3).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def write_table(df: DataFrame, path: str, *, mode: str = "error", compression: str = "zstd") -> None:
+def write_table(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "error",
+    compression: str = "zstd",
+    bloom_filter_cols: tuple[str, ...] = (),
+    bloom_ndv: int | None = None,
+) -> None:
     """The engine's default sink: compressed parquet. ``mode='error'``
-    mirrors OutputFormat.checkOutputSpecs failing on existing output."""
-    df.write.mode(mode).option("compression", compression).parquet(path)
+    mirrors OutputFormat.checkOutputSpecs failing on existing output.
+
+    ``bloom_filter_cols`` is BloomMapFile parity (COMMON/io/
+    BloomMapFile.java [H]): per-column parquet bloom filters let later
+    point lookups skip row groups whose filter rejects the key — the
+    same negative-membership shortcut BloomMapFile.get() used before
+    touching the sorted index. ``bloom_ndv`` sizes the filter (expected
+    distinct values per row group); leave None for parquet-mr's default
+    (1M NDV → ~1.2 MB per column chunk — set it when keys per row group
+    are far fewer, or the filters dominate small files)."""
+    writer = df.write.mode(mode).option("compression", compression)
+    for col in bloom_filter_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+        if bloom_ndv is not None:
+            writer = writer.option(
+                f"parquet.bloom.filter.expected.ndv#{col}", str(bloom_ndv)
+            )
+    writer.parquet(path)
 
 
 def write_text_kv(
@@ -81,6 +107,99 @@ def write_sorted_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+
+
+def lookup_sorted_bucketed(
+    spark: SparkSession,
+    table_name: str,
+    key: str,
+    key_value,
+) -> DataFrame:
+    """MapFile point-lookup parity (MapFileOutputFormat#getEntry /
+    MapFile.Reader.get, CORE/mapreduce/lib/output/MapFileOutputFormat.java
+    [H]): fetch the rows for one key from a table written by
+    ``write_sorted_bucketed``.
+
+    Scale shape: an equality filter on the bucket column prunes the scan
+    to ONE bucket's files (the plan shows ``SelectedBucketsCount: 1 out
+    of N`` — asserted in tests/test_sources.py), so the lookup touches
+    1/N of the data no matter how large the table is — the same index
+    skip MapFile's in-memory key index bought the reference. Combine
+    with ``write_table(bloom_filter_cols=...)`` for row-group-level
+    negative lookups inside the bucket.
+
+    Planning detail: Spark's DisableUnnecessaryBucketedScan rule strips
+    bucket info from filter-only plans (it only values bucketing for
+    exchange avoidance, not pruning), which would silently scan all N
+    buckets. We pin the bucket-pruned physical plan by planning eagerly
+    with that rule off; the DataFrame caches its QueryExecution, so the
+    pruning survives later actions with the session conf restored."""
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        df = spark.table(table_name).where(F.col(key) == F.lit(key_value))
+        df._jdf.queryExecution().executedPlan()  # materialize the plan now
+        return df
+    finally:
+        spark.conf.set(conf_key, prev)
+
+
+def jdbc_write_options(
+    url: str,
+    table: str,
+    *,
+    batch_size: int = 1000,
+    isolation_level: str = "READ_UNCOMMITTED",
+    truncate: bool = False,
+    properties: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Option bag for ``write_jdbc``, split out so the plumbing is unit-
+    testable without a database. Defaults mirror DBOutputFormat's
+    posture: inserts batched per task (DBRecordWriter batched
+    PreparedStatement.executeBatch; ``batchsize`` is Spark's knob) and
+    no cross-task transaction (the reference committed per task;
+    READ_UNCOMMITTED keeps partition writes independent)."""
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "batchsize": str(batch_size),
+        "isolationLevel": isolation_level,
+        "truncate": str(truncate).lower(),
+    }
+    opts.update(properties or {})
+    return opts
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "append",
+    batch_size: int = 1000,
+    isolation_level: str = "READ_UNCOMMITTED",
+    truncate: bool = False,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """DBOutputFormat parity (CORE/mapreduce/lib/db/DBOutputFormat.java
+    [H]): batched INSERTs into a JDBC table, one connection per
+    partition — exactly Spark's JDBC sink. Writes are NOT atomic across
+    partitions (neither were the reference's per-task commits); use
+    ``truncate=True`` + ``mode='overwrite'`` to reload in place without
+    dropping indexes. Untested against a live server on-box (no JDBC
+    server in the container; option plumbing covered by unit test)."""
+    writer = df.write.format("jdbc").mode(mode)
+    for k, v in jdbc_write_options(
+        url,
+        table,
+        batch_size=batch_size,
+        isolation_level=isolation_level,
+        truncate=truncate,
+        properties=properties,
+    ).items():
+        writer = writer.option(k, v)
+    writer.save()
 
 
 def write_sequence_file(df: DataFrame, path: str, key: str, value: str) -> None:

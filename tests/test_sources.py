@@ -96,6 +96,73 @@ def test_sequence_file_roundtrip(spark, tmp_path):
     assert sorted((r.id, r.name) for r in back.collect()) == [(1, "alice"), (2, "bob")]
 
 
+def test_mapfile_point_lookup_prunes_to_one_bucket(spark, tmp_path):
+    """MapFile.Reader.get parity: an equality lookup on the bucket key
+    must scan ONE bucket's files (SelectedBucketsCount: 1 out of 8) —
+    the 1/N index skip that makes point lookups O(table/N) at 100 TB."""
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        lookup_sorted_bucketed,
+        write_sorted_bucketed,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_sorted_bucketed(df, "t_mapfile", "k", buckets=8, path=str(tmp_path / "mf"))
+    try:
+        hit = lookup_sorted_bucketed(spark, "t_mapfile", "k", 42)
+        plan = hit._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan
+        assert [(r.k, r.v) for r in hit.collect()] == [(42, 84)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_mapfile")
+
+
+def test_jdbc_write_options_plumbing():
+    """DBOutputFormat parity, sans server: batching/isolation/truncate
+    knobs must land in the option bag Spark's JDBC sink consumes."""
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import jdbc_write_options
+
+    opts = jdbc_write_options(
+        "jdbc:postgresql://db/warehouse",
+        "out_table",
+        batch_size=5000,
+        truncate=True,
+        properties={"user": "etl"},
+    )
+    assert opts["url"] == "jdbc:postgresql://db/warehouse"
+    assert opts["dbtable"] == "out_table"
+    assert opts["batchsize"] == "5000"
+    assert opts["isolationLevel"] == "READ_UNCOMMITTED"
+    assert opts["truncate"] == "true"
+    assert opts["user"] == "etl"
+
+
+def test_write_table_bloom_filter_emitted(spark, tmp_path):
+    """BloomMapFile parity: bloom-enabled parquet must carry the filter
+    bytes (footer advertises a bloom offset for the column; the files
+    grow by the filter size) and read back identically."""
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import write_table
+
+    df = spark.range(20_000).select(F.col("id").alias("k")).coalesce(1)
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    write_table(df, plain)
+    write_table(df, bloomed, bloom_filter_cols=("k",), bloom_ndv=20_000)
+
+    import os
+
+    def pq_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    # a 20k-NDV filter is ~dozens of KB; zstd'd data alone is identical
+    assert pq_bytes(bloomed) > pq_bytes(plain) + 10_000
+    assert spark.read.parquet(bloomed).count() == 20_000
+
+
 def test_write_side_outputs_named_routing(spark, tmp_path):
     from hadoop_2_10_0_src_mapreduce_spark.sources.writers import write_side_outputs
 
