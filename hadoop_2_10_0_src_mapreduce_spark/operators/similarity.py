@@ -87,21 +87,27 @@ def brute_force_topk(
 
     Returns (query_id, rnk, neighbor_id, sim). Ranking key is
     (rounded sim desc, neighbor_id asc) so ties are deterministic.
-    The query side is broadcast — corpus never shuffles.
+    The query side is broadcast — corpus never shuffles. Casts and
+    norms are projected below the cross join (once per vector, values
+    identical to per-pair evaluation), so each of the O(n·q) pairs
+    pays only the single sequential dot.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
+    ).withColumn("_qn", F.sqrt(_dot_pre("_qv", "_qv")))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    )
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_cv")
+    ).withColumn("_cn", F.sqrt(_dot_pre("_cv", "_cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("_qv", "_cv"), round_digits).alias("sim"),
+            F.round(
+                _dot_pre("_qv", "_cv") / (F.col("_qn") * F.col("_cn")),
+                round_digits,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -188,7 +194,7 @@ def near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.99,
     round_digits: int = 6,
-    n_planes: int = 6,
+    n_planes: int = 12,
     n_tables: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ τ).
@@ -199,10 +205,15 @@ def near_dup_pairs(
     anywhere on the path. Identical vectors share every sign bit, so
     true duplicates collide in ALL tables (recall exactly 1 for them);
     for near-dups at τ=0.99 a pair agrees per bit w.p.
-    1-arccos(0.99)/π ≈ 0.955, so missing all 16 6-bit tables has
-    probability (1-0.955⁶)¹⁶ ≈ 1.4e-10 — negligible, and the exact
-    rescore means any surviving pair's sim is exact. For lower
-    thresholds raise n_tables (recall = 1-(1-p^b)^L)."""
+    1-arccos(0.99)/π ≈ 0.955, so missing all 16 12-bit tables has
+    probability (1-0.955¹²)¹⁶ ≈ 1.1e-6 — negligible, and the exact
+    rescore means any surviving pair's sim is exact. 12 bits (not the
+    ANN paths' 6) because a 0.99 threshold tolerates the narrower
+    per-table recall in exchange for 2⁶× smaller buckets — on
+    uncorrelated vectors expected candidates drop from n²·L/2⁷ to
+    n²·L/2¹³, which is what keeps the bucket self-join sub-quadratic
+    as the corpus grows. For lower thresholds drop n_planes / raise
+    n_tables (recall = 1-(1-p^b)^L)."""
     cands = _bucket_candidates(emb, id_col, vec_col, n_planes, n_tables)
     scored = _score_pairs(emb, cands, id_col, vec_col, round_digits)
     return scored.where(F.col("sim") >= threshold).select(

@@ -151,6 +151,64 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.3, f"IVF recall collapsed: {recall:.3f}"
 
 
+def test_ann_ivf_exhaustive_probe_equals_bruteforce(spark):
+    """Probing every list makes IVF's candidate set the whole corpus,
+    so the grouped-BLAS scorer must reproduce brute force exactly —
+    pins the block scoring + per-group-topk + global-rerank pipeline
+    against the oracle-checked exact path."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, emb, k=5).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_ivf_topk(
+            emb, k=5, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    assert ann == brute
+
+
+def test_ann_lsh_single_bucket_equals_bruteforce(spark):
+    """Zero hyperplanes → one bucket holding the whole corpus: the
+    per-bucket top-k must equal brute force, and the cross-table dedup
+    must not drop or duplicate anything."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, emb, k=5).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_lsh_topk(
+            emb, k=5, n_planes=0, n_tables=2
+        ).collect()
+    }
+    assert ann == brute
+
+
+def test_pairs_topk_tie_break_and_self_exclusion():
+    """The numpy group scorer must match the engine's deterministic
+    ranking contract: rounded sim desc, neighbor_id asc on ties, and
+    never a self-pair."""
+    import numpy as np
+
+    qids = np.array([1], dtype=np.int64)
+    qmat = np.array([[1.0, 0.0]])
+    cids = np.array([4, 3, 2, 1], dtype=np.int64)  # deliberately unsorted
+    cmat = np.array([[0.6, 0.8], [0.0, 1.0], [0.0, 1.0], [1.0, 0.0]])
+    out = similarity._pairs_topk(qids, qmat, cids, cmat, k=3, round_digits=6)
+    # self (id 1) excluded; 4 scores 0.6; 2 and 3 tie at 0.0 → id asc
+    assert list(out.neighbor_id) == [4, 2, 3]
+    assert list(out.sim) == [0.6, 0.0, 0.0]
+    assert list(out.query_id) == [1, 1, 1]
+
+    # k larger than the group never manufactures rows
+    out_all = similarity._pairs_topk(qids, qmat, cids, cmat, k=99, round_digits=6)
+    assert len(out_all) == 3
+
+
 def test_cosine_self_is_one(spark):
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(5)
     sims = emb.select(
