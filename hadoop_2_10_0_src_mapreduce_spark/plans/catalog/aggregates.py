@@ -244,3 +244,50 @@ def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+# --- ValueAggregator spec strings (§2.5 framework) --------------------
+# The reference's declarative agg framework dispatched on "type:column"
+# descriptor strings (lib/aggregate/ValueAggregatorJob.java,
+# ValueAggregatorDescriptor.java [H]); value_aggregator compiles the
+# same spec shape into one agg expression list. The double-valued sum
+# goes through a DECIMAL column first so the result is accumulation-
+# order independent (registry determinism rules).
+
+_VALUEAGG_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       ROUND(MAX(value), 6) AS max_value,
+       ROUND(MIN(value), 6) AS min_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("valueagg_specs", _VALUEAGG_ORACLE, tags=("agg", "framework"),
+          doc="ValueAggregator framework parity: 'type:column' spec strings (count/sum/max/min/uniq) compiled to one grouped agg pass over events.")
+def valueagg_specs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("value_dec"),
+        F.round("value", 6).alias("value_r"),
+    )
+    out = aggregations.value_aggregator(
+        ev,
+        ["event_type"],
+        {
+            "n_events": "count:event_id",
+            "total_value": "sum:value_dec",
+            "max_value": "max:value_r",
+            "min_value": "min:value_r",
+            "n_users": "uniq:user_id",
+        },
+    )
+    return out.withColumn("total_value", F.col("total_value").cast("double")).orderBy(
+        "event_type"
+    )

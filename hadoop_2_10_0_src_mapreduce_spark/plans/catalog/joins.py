@@ -213,3 +213,41 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         clicks, purchases, ["user_id"], left_ts="ts", right_ts="ts"
     ).orderBy("user_id", "event_id")
+
+
+# --- skew-salted join (§2.4 scale helper) ------------------------------
+# The manual remedy for the reference's single-hot-reducer pathology
+# (one key → one reduce task): salt the left side, replicate the right
+# side per salt bucket, join on (keys + salt). The oracle is the PLAIN
+# join — salting must be invisible in the result, which is exactly what
+# the hash check proves.
+
+_SALTED_ORACLE = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+@register("join_salted", _SALTED_ORACLE, tags=("join", "skew"),
+          doc="Skew-salted join (salt left, replicate right per bucket, join on keys+salt): result hash-identical to the plain join — salting is invisible in the output.")
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = joins.salted_join(li, orders, ["l_orderkey"], salt_buckets=8)
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("priority")
+    )

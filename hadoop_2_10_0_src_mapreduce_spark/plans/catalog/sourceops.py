@@ -119,73 +119,78 @@ def scan_text_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- FixedLengthInputFormat -------------------------------------------
 
-_FIXED_ORACLE = """
-SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+# --- FixedLengthInputFormat + MultipleInputs, one checked slot --------
+# Three readers feeding one harmonized (src, key, name, aux) schema:
+# the 'fixed' branch roundtrips nation through 24-byte fixed-width
+# binary records; the 'region'/'nation' branches are MultipleInputs
+# parity (per-path format + per-path mapper: CSV and JSON).
+
+_FIXED_MULTI_ORACLE = """
+SELECT src, key, name, aux FROM (
+    SELECT 'fixed' AS src, CAST(n_nationkey AS BIGINT) AS key,
+           n_name AS name, n_regionkey AS aux
+    FROM nation
+    UNION ALL
+    SELECT 'region', CAST(r_regionkey AS BIGINT), r_name, 0 FROM region
+    UNION ALL
+    SELECT 'nation', CAST(n_nationkey AS BIGINT), n_name, 0 FROM nation
+)
+ORDER BY src, key
 """
 
 _REC_LEN = 24  # 4 (key) + 16 (name) + 4 (regionkey), space-padded
 
 
-@register("scan_fixed_length", _FIXED_ORACLE, tags=("source",),
-          doc="FixedLengthInputFormat parity: nation as 24-byte fixed-width records → binaryRecords → substring field slicing → full-row roundtrip.")
-def scan_fixed_length(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(_scratch("scan_fixed_length"), "nation.bin")
+@register("scan_fixed_multi", _FIXED_MULTI_ORACLE, tags=("source",),
+          doc="FixedLengthInputFormat parity (nation as 24-byte fixed-width binary records → substring slicing) + MultipleInputs parity (region via CSV, nation via JSON, per-source mapper), unioned under a src column.")
+def scan_fixed_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _scratch("scan_fixed_multi")
     nation = load_table(spark, sf_dir, "nation")
-    # dimension table (25 rows): driver-side write of one binary file is
-    # the honest layout for a fixed-width record file
+    region = load_table(spark, sf_dir, "region")
+
+    # fixed-width branch — dimension table (25 rows): driver-side write
+    # of one binary file is the honest layout for a fixed-width record
+    # file; keep the comment honest if the fixture grows.
+    bin_path = os.path.join(base, "nation.bin")
     rows = nation.select("n_nationkey", "n_name", "n_regionkey").collect()
-    with open(path, "wb") as f:
+    with open(bin_path, "wb") as f:
         for r in sorted(rows, key=lambda r: r.n_nationkey):
             rec = f"{r.n_nationkey:<4d}{r.n_name:<16s}{r.n_regionkey:<4d}"
             assert len(rec) == _REC_LEN
             f.write(rec.encode("ascii"))
-    back = read_fixed_length(
-        spark, path, _REC_LEN,
+    fixed = read_fixed_length(
+        spark, bin_path, _REC_LEN,
         fields=[("k", 1, 4), ("name", 5, 16), ("rk", 21, 4)],
+    ).select(
+        F.lit("fixed").alias("src"),
+        F.trim("k").cast("long").alias("key"),
+        F.trim("name").alias("name"),
+        F.trim("rk").cast("int").alias("aux"),
     )
-    return back.select(
-        F.trim("k").cast("int").alias("n_nationkey"),
-        F.trim("name").alias("n_name"),
-        F.trim("rk").cast("int").alias("n_regionkey"),
-    ).orderBy("n_nationkey")
 
-
-# --- MultipleInputs (per-path format + per-path mapper) ----------------
-
-_MULTI_ORACLE = """
-SELECT r_regionkey AS key, r_name AS name, 'region' AS src FROM region
-UNION ALL
-SELECT n_nationkey AS key, n_name AS name, 'nation' AS src FROM nation
-ORDER BY src, key
-"""
-
-
-@register("scan_multiple_inputs", _MULTI_ORACLE, tags=("source",),
-          doc="MultipleInputs parity: region via CSV + nation via JSON, per-source mapper to a common schema, unionByName.")
-def scan_multiple_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _scratch("scan_multiple_inputs")
+    # MultipleInputs branch: per-path format + per-path mapper
     csv_path, json_path = os.path.join(base, "region_csv"), os.path.join(base, "nation_json")
-    region = load_table(spark, sf_dir, "region")
-    nation = load_table(spark, sf_dir, "nation")
     region.select("r_regionkey", "r_name").write.mode("overwrite").csv(csv_path)
     nation.select("n_nationkey", "n_name").write.mode("overwrite").json(json_path)
     csv_df = spark.read.schema("r_regionkey int, r_name string").csv(csv_path)
     json_df = spark.read.schema("n_nationkey long, n_name string").json(json_path)
-    out = read_multiple_inputs(
+    multi = read_multiple_inputs(
         [
             (csv_df, lambda df: df.select(
+                F.lit("region").alias("src"),
                 F.col("r_regionkey").cast("long").alias("key"),
                 F.col("r_name").alias("name"),
-                F.lit("region").alias("src"),
+                F.lit(0).alias("aux"),
             )),
             (json_df, lambda df: df.select(
+                F.lit("nation").alias("src"),
                 F.col("n_nationkey").alias("key"),
                 F.col("n_name").alias("name"),
-                F.lit("nation").alias("src"),
+                F.lit(0).alias("aux"),
             )),
         ]
     )
-    return out.orderBy("src", "key")
+    return fixed.unionByName(multi).orderBy("src", "key")
 
 
 # --- MultipleOutputs sink (partitionBy) + read-back --------------------

@@ -10,28 +10,6 @@ from hadoop_2_10_0_src_mapreduce_spark.functions import text as T
 from hadoop_2_10_0_src_mapreduce_spark.plans.registry import register
 from hadoop_2_10_0_src_mapreduce_spark.sources.readers import load_table
 
-# --- token counting --------------------------------------------------
-
-_TOKEN_COUNT_ORACLE = rf"""
-SELECT doc_id,
-       len(regexp_extract_all(lower(text), '{T.TOKEN_PATTERN}')) AS n_tokens,
-       {T.bpe_ish_token_count_sql('text')} AS n_bpe_tokens
-FROM documents
-ORDER BY doc_id
-"""
-
-
-@register("text_token_counts", _TOKEN_COUNT_ORACLE, tags=("text",),
-          doc="Token counting: whitespace-ish + BPE-ish piece counts per document.")
-def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        T.token_count("text").alias("n_tokens"),
-        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
-
-
 # --- language ID ------------------------------------------------------
 
 _LANG_ID_ORACLE = f"""
@@ -80,10 +58,14 @@ _Q_SCORE_SQL = (
     ", 6)"
 )
 
+# Token counting (whitespace-ish + BPE-ish) rides in the same per-doc
+# row as the quality features — one checked-window slot for both §M7
+# text components, one scan of documents.
 _QUALITY_ORACLE = f"""
 SELECT doc_id,
        {_Q_FEATURES['n_chars']} AS n_chars,
        {_Q_FEATURES['n_tokens']} AS n_tokens,
+       {T.bpe_ish_token_count_sql('text')} AS n_bpe_tokens,
        {_Q_FEATURES['mean_token_len']} AS mean_token_len,
        {_Q_FEATURES['punct_ratio']} AS punct_ratio,
        {_Q_FEATURES['stopword_ratio']} AS stopword_ratio,
@@ -94,16 +76,18 @@ ORDER BY doc_id
 """
 
 
-@register("text_quality", _QUALITY_ORACLE, tags=("text",),
-          doc="Per-document quality features (length/punct/stopword/digit ratios) + composite score.")
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("text_token_quality", _QUALITY_ORACLE, tags=("text",),
+          doc="Per-document token counts (whitespace-ish + BPE-ish) and quality features (length/punct/stopword/digit ratios) + composite score, in one scan.")
+def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feats = T.quality_features("text")
     return docs.select(
         "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
         *[feats[name].alias(name) for name in
-          ("n_chars", "n_tokens", "mean_token_len", "punct_ratio",
-           "stopword_ratio", "digit_ratio")],
+          ("mean_token_len", "punct_ratio", "stopword_ratio", "digit_ratio")],
         T.quality_score("text").alias("quality"),
     ).orderBy("doc_id")
 

@@ -90,38 +90,39 @@ def fieldsel_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Set operations (§2.7) -------------------------------------------
 
-_SET_INTERSECT_ORACLE = """
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-INTERSECT
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-ORDER BY o_custkey
+# INTERSECT + EXCEPT over the same inputs, unioned under a mode column
+# (one checked-window slot instead of two; same operators exercised).
+_SET_INTERSECT_EXCEPT_ORACLE = """
+SELECT mode, o_custkey FROM (
+    SELECT 'intersect' AS mode, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'except' AS mode, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+)
+ORDER BY mode, o_custkey
 """
 
 
-@register("set_intersect", _SET_INTERSECT_ORACLE, tags=("set",),
-          doc="INTERSECT parity: custkeys with both F- and O-status orders.")
-def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("set_intersect_except", _SET_INTERSECT_EXCEPT_ORACLE, tags=("set",),
+          doc="INTERSECT (custkeys with both F- and O-status orders) and EXCEPT (F but never O) over the same inputs, under a mode column.")
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     f_keys = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
     o_keys = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
-    return sets.intersect(f_keys, o_keys).orderBy("o_custkey")
-
-
-_SET_EXCEPT_ORACLE = """
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-EXCEPT
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-ORDER BY o_custkey
-"""
-
-
-@register("set_except", _SET_EXCEPT_ORACLE, tags=("set",),
-          doc="EXCEPT parity: custkeys with F-status but no O-status orders.")
-def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    f_keys = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
-    o_keys = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
-    return sets.except_(f_keys, o_keys).orderBy("o_custkey")
+    both = sets.intersect(f_keys, o_keys).select(
+        F.lit("intersect").alias("mode"), "o_custkey"
+    )
+    only_f = sets.except_(f_keys, o_keys).select(
+        F.lit("except").alias("mode"), "o_custkey"
+    )
+    return both.unionByName(only_f).orderBy("mode", "o_custkey")
 
 
 # UNION ALL + UNION (distinct) in one query: the 'all' branch keeps
@@ -199,3 +200,44 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- ChainMapper / ChainReducer (§2.3) --------------------------------
+# A [MAP+ / REDUCE MAP*] chain as the reference composed them
+# (CORE/mapreduce/lib/chain/ChainMapper.java, ChainReducer.java [H]):
+# tokenize → regex-filter → count → post-reduce reshape. In Spark the
+# chain is one declarative plan — adjacent narrow stages fuse into a
+# single codegen stage; the value of `chain` is the reference's
+# composition API, checked here end-to-end against the oracle.
+
+_CHAIN_ORACLE = """
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents
+),
+filtered AS (
+    SELECT token FROM toks WHERE regexp_matches(token, '^[a-z]{4,}$')
+),
+counted AS (
+    SELECT token, COUNT(*) AS cnt FROM filtered GROUP BY token
+)
+SELECT upper(token) AS token_uc, cnt FROM counted
+ORDER BY token_uc
+"""
+
+
+@register("chain_transforms", _CHAIN_ORACLE, tags=("transform", "chain"),
+          doc="ChainMapper/ChainReducer parity: tokenize → regex filter → count → post-reduce uppercase, composed via transforms.chain into one fused plan.")
+def chain_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pipeline = transforms.chain(
+        lambda df: transforms.tokenize(df, "text"),              # ChainMapper 1
+        lambda df: df.where(F.col("token").rlike("^[a-z]{4,}$")),  # ChainMapper 2
+        lambda df: df.groupBy("token").agg(                      # the reducer
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        lambda df: df.select(                                    # ChainReducer post-map
+            F.upper("token").alias("token_uc"), "cnt"
+        ),
+    )
+    return pipeline(docs).orderBy("token_uc")
