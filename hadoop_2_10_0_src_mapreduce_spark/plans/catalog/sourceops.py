@@ -22,15 +22,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_2_10_0_src_mapreduce_spark.plans.registry import register
+from hadoop_2_10_0_src_mapreduce_spark.plans.jobcontrol import JobControl
 from hadoop_2_10_0_src_mapreduce_spark.sources.readers import (
     load_table,
     read_fixed_length,
     read_kv_text,
     read_multiple_inputs,
+    read_sequence_file,
     read_text_lines,
 )
 from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
     write_partitioned,
+    write_sequence_file,
     write_text_kv,
 )
 
@@ -56,6 +59,10 @@ def _scratch(name: str) -> str:
 # parse → one aggregate row (grp='*', n_distinct = priority count).
 # 'kv_text' branch: customer as key<TAB>value lines → read_kv_text
 # (first-separator split) → per-segment rows (n_distinct ≡ 0).
+# 'seqfile' branch: supplier → Hadoop SequenceFile (Writable KV) →
+# read_sequence_file → one aggregate row; proves the legacy-interop
+# container roundtrips losslessly too (dimension-sized on purpose —
+# the SequenceFile path is RDD-based, parquet is the native container).
 
 _TEXT_ROUNDTRIPS_ORACLE = """
 SELECT src, grp, n, sum_keys, n_distinct FROM (
@@ -71,13 +78,19 @@ SELECT src, grp, n, sum_keys, n_distinct FROM (
            CAST(0 AS BIGINT) AS n_distinct
     FROM customer
     GROUP BY grp
+    UNION ALL
+    SELECT 'seqfile' AS src, '*' AS grp,
+           COUNT(*) AS n,
+           CAST(SUM(s_suppkey) AS BIGINT) AS sum_keys,
+           COUNT(DISTINCT s_name) AS n_distinct
+    FROM supplier
 )
 ORDER BY src, grp
 """
 
 
 @register("scan_text_roundtrips", _TEXT_ROUNDTRIPS_ORACLE, tags=("source", "sink"),
-          doc="TextInputFormat+gzip codec roundtrip (orders → gzip lines → parse → aggregate) and TextOutputFormat → KeyValueTextInputFormat roundtrip (customer as key<TAB>value lines, per-segment aggregate), unioned under a src column; oracles on the original tables prove both roundtrips lossless.")
+          doc="TextInputFormat+gzip codec roundtrip (orders → gzip lines → parse → aggregate), TextOutputFormat → KeyValueTextInputFormat roundtrip (customer as key<TAB>value lines, per-segment aggregate), and SequenceFile Writable-KV roundtrip (supplier), unioned under a src column; oracles on the original tables prove all three roundtrips lossless.")
 def scan_text_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = _scratch("scan_text_roundtrips")
 
@@ -114,10 +127,19 @@ def scan_text_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("kv_text").alias("src"), "grp", "n", "sum_keys",
                 F.lit(0).cast("long").alias("n_distinct"))
     )
-    return gzip_agg.unionByName(kv_agg).orderBy("src", "grp")
+    seq_path = os.path.join(scratch, "supplier_seq")
+    supplier = load_table(spark, sf_dir, "supplier")
+    write_sequence_file(supplier, seq_path, "s_suppkey", "s_name")
+    seq_back = read_sequence_file(spark, seq_path)
+    seq_agg = seq_back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("key").cast("long")).alias("sum_keys"),
+        F.countDistinct("value").alias("n_distinct"),
+    ).select(F.lit("seqfile").alias("src"), F.lit("*").alias("grp"),
+             "n", "sum_keys", "n_distinct")
 
+    return gzip_agg.unionByName(kv_agg).unionByName(seq_agg).orderBy("src", "grp")
 
-# --- FixedLengthInputFormat -------------------------------------------
 
 # --- FixedLengthInputFormat + MultipleInputs, one checked slot --------
 # Three readers feeding one harmonized (src, key, name, aux) schema:
@@ -207,22 +229,40 @@ ORDER BY priority
 """
 
 
-@register("sink_partitioned_roundtrip", _PARTITIONED_ORACLE, tags=("sink",),
-          doc="MultipleOutputs parity: orders written partitionBy(o_orderpriority) (content-derived dirs), read back, per-partition aggregate.")
+@register("sink_partitioned_roundtrip", _PARTITIONED_ORACLE, tags=("sink", "jobcontrol"),
+          doc="MultipleOutputs parity run as a JobControl DAG: job 'write' materializes orders partitionBy(o_orderpriority) (content-derived dirs), dependent job 'aggregate' reads the files back and aggregates per partition — the reference's multi-job materialize-then-consume workflow, driver-checked end to end.")
 def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_scratch("sink_partitioned_roundtrip"), "orders_by_priority")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderpriority"
-    )
-    write_partitioned(orders, path, "o_orderpriority", mode="overwrite")
-    back = spark.read.parquet(path)
-    return (
-        back.groupBy(F.col("o_orderpriority").alias("priority"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("o_orderkey").alias("sum_keys"),
-            F.min("o_totalprice").alias("min_price"),
-            F.max("o_totalprice").alias("max_price"),
+
+    # Two ControlledJobs, exactly the reference's shape (JobControl.java
+    # [H]): the downstream job consumes the upstream's MATERIALIZED
+    # output (not its DataFrame), so the dependency is real — job 2
+    # cannot run before job 1's files exist.
+    def write_stage(_deps: dict) -> str:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
         )
-        .orderBy("priority")
-    )
+        write_partitioned(orders, path, "o_orderpriority", mode="overwrite")
+        return path
+
+    def aggregate_stage(deps: dict) -> DataFrame:
+        back = spark.read.parquet(deps["write"])
+        return (
+            back.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").alias("sum_keys"),
+                F.min("o_totalprice").alias("min_price"),
+                F.max("o_totalprice").alias("max_price"),
+            )
+            .orderBy("priority")
+        )
+
+    jc = JobControl()
+    jc.add("write", write_stage)
+    jc.add("aggregate", aggregate_stage, depends_on=("write",))
+    results = jc.run()
+    if "aggregate" not in results:  # surface upstream failure, don't return None
+        states = {n: s.value for n, s in jc.states().items()}
+        raise RuntimeError(f"JobControl DAG failed: {states}")
+    return results["aggregate"]
