@@ -24,18 +24,23 @@ caller needs:
   values to per-pair evaluation, a fraction of the work — interpreted
   higher-order functions are the cost center, measured ~25 µs per
   extra array pass per pair).
-- grouped-BLAS (``_pairs_topk`` under applyInPandas): for the ANN
-  top-k paths the LSH bucket / IVF list IS a co-partition, so each
+- grouped-BLAS (``_pairs_topk`` under applyInPandas): for the IVF
+  top-k path the (list, block) shard IS a co-partition, so each
   group's similarity block is one numpy matmul over Arrow batches —
   no per-pair expression evaluation at all, and each group emits only
   its per-query top-k, so the global re-rank sees ≤ groups·k rows per
-  query instead of every candidate pair. This is also the 100 TB
-  shape: vectors shuffle once, partitioned by list/bucket (exactly how
-  a distributed IVF/LSH index is laid out), and per-group blocks are
-  bounded by the list size, not the corpus.
+  query instead of every candidate pair. ``_shard_blocks`` caps every
+  group at ~2·block_size rows, so a hot list costs extra shuffle rows,
+  never executor memory. The LSH top-k path instead generates DISTINCT
+  candidate id pairs (hot buckets capped deterministically) and
+  rescored through the exact-sequential join-back — slightly more
+  shuffle than block scoring, in exchange for bit-exact oracle
+  verifiability of the whole query.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -223,6 +228,26 @@ def near_dup_pairs(
     )
 
 
+def md5_planes(n_tables: int, n_planes: int, dim: int) -> np.ndarray:
+    """Engine-independent pseudo-random hyperplanes: component
+    (table t, plane p, dim d) = 2·u − 1 where u = the first 8 hex
+    digits of md5("t:p:d") read as a uint32, scaled by 2⁻³². Every
+    step (÷2³², ×2, −1) is exact in binary64, so ANY engine that can
+    compute md5 reproduces the planes bit-for-bit — the same trick
+    dedup_simhash uses for its signature bits (catalog/dedupops.py),
+    here giving DuckDB a way to recompute LSH buckets exactly.
+    Uniform (not Gaussian) components: sign-LSH only needs a
+    symmetric continuous direction distribution, and uniform is the
+    distribution a few lines of portable SQL can reproduce."""
+    planes = np.empty((n_tables * n_planes, dim))
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for d in range(dim):
+                h = hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()
+                planes[t * n_planes + p, d] = 2.0 * (int(h[:8], 16) / 2**32) - 1.0
+    return planes
+
+
 def lsh_signatures(
     emb: DataFrame,
     *,
@@ -232,6 +257,7 @@ def lsh_signatures(
     n_tables: int = 16,
     seed: int = 42,
     keep_vec: bool = False,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Multi-table random-hyperplane LSH: ``n_tables`` independent
     sign-bit buckets of ``n_planes`` bits each. One output row per
@@ -240,18 +266,36 @@ def lsh_signatures(
     independent tables lift it to 1-(1-p)^L — the standard
     speed/recall dial. Vectorized numpy inside Arrow batches.
 
+    ``planes`` (shape [n_tables·n_planes, dim], e.g. ``md5_planes``)
+    switches to EXACT mode: vectors are upcast to float64 and the sign
+    dots accumulate sequentially over dims (one vectorized multiply-add
+    per dim, left-to-right) — bit-identical to DuckDB's
+    list_inner_product / Spark's aggregate(zip_with(...)), so an
+    external oracle can recompute every bucket. Default (None) keeps
+    fixed-seed Gaussian planes and a single BLAS matmul — same
+    semantics, fastest path, engine-reproducible only via the seed.
+
     ``keep_vec`` carries the vector through to the output so a
     downstream groupBy(table, bucket) co-locates each bucket's vectors
     for block scoring — the vector fans out L× (an LSH index stores L
     copies by construction); leave False when only ids should shuffle."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables * n_planes, dim))
+    exact = planes is not None
+    if planes is None:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables * n_planes, dim))
     shifts = np.arange(n_planes, dtype=np.uint64)
 
     def batches(it):
         for pdf in it:
             mat = np.stack(pdf[vec_col].map(np.asarray))
-            signs = (mat @ planes.T) > 0  # (rows, tables*planes)
+            if exact:
+                mat = mat.astype(np.float64)
+                acc = np.zeros((len(mat), planes.shape[0]))
+                for d in range(planes.shape[1]):
+                    acc += mat[:, d : d + 1] * planes[:, d][None, :]
+                signs = acc > 0
+            else:
+                signs = (mat @ planes.T) > 0  # (rows, tables*planes)
             signs = signs.reshape(len(mat), n_tables, n_planes)
             buckets = (signs.astype(np.uint64) << shifts).sum(axis=2).astype(np.int64)
             base = pdf if keep_vec else pdf.drop(columns=[vec_col])
@@ -286,7 +330,14 @@ def _pairs_topk(
     cids, cmat = cids[order], cmat[order]
     qn = np.linalg.norm(qmat, axis=1)
     cn = np.linalg.norm(cmat, axis=1)
-    sims = np.round((qmat @ cmat.T) / np.outer(qn, cn), round_digits)
+    sims = (qmat @ cmat.T) / np.outer(qn, cn)
+    # zero-norm vectors make NaN sims; F.desc would rank NaN FIRST, so
+    # mask every non-finite like self-pairs — ranked last, same as the
+    # JVM path's NULL. Round half-AWAY-from-zero to match F.round /
+    # DuckDB round (np.round is half-to-even).
+    sims[~np.isfinite(sims)] = -np.inf
+    scale = 10.0**round_digits
+    sims = np.copysign(np.floor(np.abs(sims) * scale + 0.5), sims) / scale
     sims[qids[:, None] == cids[None, :]] = -np.inf
     kk = min(k, sims.shape[1])
     out_q, out_n, out_s = [], [], []
@@ -323,6 +374,44 @@ def _global_topk(per_group: DataFrame, k: int) -> DataFrame:
     )
 
 
+def capped_lsh_buckets(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 16,
+    dim: int = 64,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """(id, table_idx, bucket) membership rows for the deterministic
+    md5-plane LSH, with the hot-bucket guard applied: membership in any
+    (table, bucket) is capped at ``max_bucket`` rows, keeping the rows
+    with the smallest (md5(id), id) — deterministic AND engine-
+    independent, so an external oracle replays the identical cap. A
+    degenerate bucket (all-same vector region) otherwise generates
+    O(m²) candidate pairs — this is the same stop-key philosophy as
+    dedup's shingle df-cap, and like there, an over-full bucket carries
+    ~no discriminating power, so dropping its tail costs recall only
+    where LSH had stopped helping anyway. Only ids shuffle; vectors
+    never enter the signature or cap exchanges."""
+    sigs = lsh_signatures(
+        emb.select(id_col, vec_col),
+        vec_col=vec_col,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        planes=md5_planes(n_tables, n_planes, dim),
+    )
+    w = Window.partitionBy("table_idx", "bucket").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        sigs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     *,
@@ -331,6 +420,8 @@ def ann_lsh_topk(
     k: int = 5,
     n_planes: int = 6,
     n_tables: int = 16,
+    dim: int = 64,
+    max_bucket: int = 1024,
     round_digits: int = 6,
 ) -> DataFrame:
     """Approximate top-k: score only pairs sharing ≥1 LSH bucket.
@@ -339,29 +430,44 @@ def ann_lsh_topk(
     measured in tests); on real embedding corpora with tight clusters
     the same config probes far less.
 
-    Scoring is per-bucket block BLAS: vectors shuffle once into their
-    (table, bucket) groups — the physical layout of an LSH index — and
-    each group emits only its per-query top-k, deduped across tables
-    (the same pair scores identically everywhere), then re-ranked
-    globally over ≤ L·k rows per query."""
-    sigs = lsh_signatures(
-        emb.select(id_col, vec_col),
+    Fully oracle-checkable and deterministic end to end: md5-derived
+    hyperplanes + sequential sign dots make every bucket reproducible
+    outside Spark (see ``md5_planes``), the md5-ordered bucket cap
+    bounds any hot bucket's candidate blow-up, and scoring goes
+    through the exact sequential ``_score_pairs`` join-back — each
+    DISTINCT colliding pair is scored ONCE (not once per shared
+    table, and not in both directions), then mirrored and re-ranked.
+    Compared to per-bucket block scoring this shuffles candidate id
+    PAIRS instead of L vector copies: pair volume is capped by
+    max_bucket² per bucket, the vector table is read once and joined
+    where it lives, and no applyInPandas group ever materializes an
+    unbounded bucket."""
+    capped = capped_lsh_buckets(
+        emb,
+        id_col=id_col,
         vec_col=vec_col,
         n_planes=n_planes,
         n_tables=n_tables,
-        keep_vec=True,
+        dim=dim,
+        max_bucket=max_bucket,
     )
-    id_type = {f.name: f.dataType.simpleString() for f in emb.schema.fields}[id_col]
-
-    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy()
-        mat = _vec_matrix(pdf, vec_col)
-        return _pairs_topk(ids, mat, ids, mat, k, round_digits)
-
-    per_bucket = sigs.groupBy("table_idx", "bucket").applyInPandas(
-        bucket_topk, f"query_id {id_type}, neighbor_id {id_type}, sim double"
+    a = capped.select(F.col(id_col).alias("query_id"), "table_idx", "bucket")
+    b = capped.select(F.col(id_col).alias("neighbor_id"), "table_idx", "bucket")
+    cands = (
+        a.join(b, ["table_idx", "bucket"])
+        .where(F.col("query_id") < F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    return _global_topk(per_bucket.distinct(), k)
+    scored = _score_pairs(emb, cands, id_col, vec_col, round_digits)
+    sym = scored.unionByName(
+        scored.select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("query_id").alias("neighbor_id"),
+            "sim",
+        )
+    )
+    return _global_topk(sym, k)
 
 
 def train_ivf_centroids(
@@ -454,6 +560,46 @@ def ivf_assign(
     return emb.mapInPandas(batches, f"{out_schema}, list_id int, probe_rank int")
 
 
+def _shard_blocks(
+    assigned: DataFrame, id_col: str, block_size: int
+) -> DataFrame:
+    """Bound the per-group block of the IVF scorer: decompose each
+    list into a 2-D grid of (corpus block ``cb``, query block ``qb``),
+    every block ≤ ~``block_size`` rows per side, so no applyInPandas
+    group can exceed ~2·block_size rows no matter how hot a list gets
+    (the round-2 100×-scale OOM seam). Each row hashes to one home
+    block (pmod(xxhash64(id), n_blocks)) and is emitted once per grid
+    coordinate it participates in: as corpus (probe_rank 0, its home
+    list filing) into (cb=own, every qb), and as query probe into
+    (every cb, qb=own). A (query, neighbor) pair therefore meets in
+    EXACTLY one group — (own(neighbor), own(query)) of the neighbor's
+    home list — so per-block top-k + the global re-rank stays exact
+    within the probed set. Replication cost is rows²/block_size per
+    list — the same order as the scoring work itself, paid as shuffle
+    rows instead of one executor's memory."""
+    counts = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("_n"))
+    sharded = (
+        assigned.join(F.broadcast(counts), "list_id")
+        .withColumn("_nb", F.ceil(F.col("_n") / F.lit(block_size)).cast("int"))
+        .withColumn(
+            "_own", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nb")).cast("int")
+        )
+    )
+    grid = F.explode(F.sequence(F.lit(0), F.col("_nb") - 1))
+    corpus_side = (
+        sharded.where(F.col("probe_rank") == 0)
+        .withColumn("cb", F.col("_own"))
+        .withColumn("qb", grid)
+        .withColumn("is_corpus", F.lit(True))
+    )
+    query_side = (
+        sharded.withColumn("cb", grid)
+        .withColumn("qb", F.col("_own"))
+        .withColumn("is_corpus", F.lit(False))
+    )
+    return corpus_side.unionByName(query_side).drop("_n", "_nb", "_own")
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     *,
@@ -462,6 +608,7 @@ def ann_ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    block_size: int = 4096,
     round_digits: int = 6,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning: spherical
@@ -471,13 +618,15 @@ def ann_ivf_topk(
     4/16 lists scans ~1/4 of the corpus; recall is pinned against
     brute force in tests.
 
-    One assignment pass serves both sides: within each list group,
-    probe_rank 0 rows are the corpus filing (a vector lives in exactly
-    one home list) and ALL rows are query probes, so no union or
-    join-back is needed. Each list scores as one BLAS block and emits
-    per-query top-k; the global re-rank sees ≤ n_probe·k rows per
-    query. Vectors shuffle once, partitioned by list — a sharded IVF
-    index's layout — so the plan holds however large the corpus."""
+    One assignment pass serves both sides: probe_rank 0 rows are the
+    corpus filing (a vector lives in exactly one home list) and ALL
+    rows are query probes. Lists are then sharded into blocks of
+    ≤ ~``block_size`` rows per side (``_shard_blocks``), each block
+    scores as one BLAS matmul and emits per-query top-k, and the
+    global re-rank merges ≤ blocks·k rows per query — exact within
+    the probed set. Vectors shuffle once, partitioned by (list,
+    block) — a sharded IVF index's layout — and every pandas group is
+    memory-bounded however large or skewed the corpus."""
     vecs = emb.select(id_col, vec_col)
     cents = train_ivf_centroids(
         vecs, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
@@ -485,25 +634,33 @@ def ann_ivf_topk(
     assigned = ivf_assign(
         vecs, cents, vec_col=vec_col, n_probe=n_probe, keep_vec=True
     )
+    blocks = _shard_blocks(assigned, id_col, block_size)
     id_type = {f.name: f.dataType.simpleString() for f in emb.schema.fields}[id_col]
 
-    def list_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        home = pdf["probe_rank"].to_numpy() == 0
-        ids = pdf[id_col].to_numpy()
-        if not home.any():  # list holds only probes, nothing filed
+    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        corpus = pdf[pdf["is_corpus"]]
+        queries = pdf[~pdf["is_corpus"]]
+        if corpus.empty or queries.empty:  # block holds probes only
+            dtype = pdf[id_col].to_numpy().dtype
             return pd.DataFrame(
                 {
-                    "query_id": np.asarray([], dtype=ids.dtype),
-                    "neighbor_id": np.asarray([], dtype=ids.dtype),
+                    "query_id": np.asarray([], dtype=dtype),
+                    "neighbor_id": np.asarray([], dtype=dtype),
                     "sim": np.asarray([], dtype=np.float64),
                 }
             )
-        mat = _vec_matrix(pdf, vec_col)
-        return _pairs_topk(ids, mat, ids[home], mat[home], k, round_digits)
+        return _pairs_topk(
+            queries[id_col].to_numpy(),
+            _vec_matrix(queries, vec_col),
+            corpus[id_col].to_numpy(),
+            _vec_matrix(corpus, vec_col),
+            k,
+            round_digits,
+        )
 
-    per_list = assigned.groupBy("list_id").applyInPandas(
-        list_topk, f"query_id {id_type}, neighbor_id {id_type}, sim double"
+    per_block = blocks.groupBy("list_id", "cb", "qb").applyInPandas(
+        block_topk, f"query_id {id_type}, neighbor_id {id_type}, sim double"
     )
-    # a neighbor's home list is unique → each (query, neighbor) pair
-    # surfaces from exactly one group; no dedup needed
-    return _global_topk(per_list, k)
+    # a neighbor's home (list, block) is unique → each (query, neighbor)
+    # pair surfaces from exactly one group; no dedup needed
+    return _global_topk(per_block, k)

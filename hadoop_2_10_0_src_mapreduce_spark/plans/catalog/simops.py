@@ -77,11 +77,88 @@ def sim_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_pairs(corpus, threshold=0.99).orderBy("id_a", "id_b")
 
 
-# --- LSH-bucketed ANN (scale path; recall pinned by unit test) ---------
+# --- LSH-bucketed ANN (scale path; oracle recomputes the index) --------
+# Oracle-checkable because the hyperplanes are md5-derived (component
+# (t,p,d) = 2·(uint32 of md5("t:p:d")[:8])/2³² − 1 — every step exact
+# in binary64) and the sign dots accumulate sequentially, so DuckDB
+# recomputes the identical buckets with list_inner_product, replays the
+# same md5-ordered hot-bucket cap, and rescores candidates with the
+# same sequential cosine — bit-for-bit the ANN result, approximation
+# and all. Same technique as dedup_simhash's md5 signature bits.
 
 
-@register("sim_ann_lsh", None, tags=("similarity",),
-          doc="Approximate top-5 via multi-table random-hyperplane LSH (16 tables x 6 bits); rows-only check + recall unit test vs brute force.")
+def _ann_lsh_oracle(
+    n_tables: int = 16,
+    n_planes: int = 6,
+    dim: int = 64,
+    max_bucket: int = 1024,
+    k: int = 5,
+) -> str:
+    # first 8 md5 hex digits → uint32, via positional digit arithmetic
+    # (DuckDB parses float literals as DECIMAL, so everything numeric
+    # here stays integer until the single exact ÷2³²).
+    hex2int = " + ".join(
+        f"(instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+WITH raw AS (
+    SELECT t.ti, p.pi, d.di,
+           md5(CAST(t.ti AS VARCHAR) || ':' || CAST(p.pi AS VARCHAR) || ':' ||
+               CAST(d.di AS VARCHAR)) AS h
+    FROM range({n_tables}) t(ti), range({n_planes}) p(pi), range({dim}) d(di)
+),
+comp AS (
+    SELECT ti, pi, di, 2.0 * (({hex2int}) / 4294967296.0) - 1.0 AS c FROM raw
+),
+planes AS (SELECT ti, pi, list(c ORDER BY di) AS plane FROM comp GROUP BY ti, pi),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (
+    SELECT e.vec_id, pl.ti,
+           SUM(CASE WHEN list_inner_product(e.v, pl.plane) > 0
+               THEN (1 << pl.pi) ELSE 0 END) AS bucket
+    FROM e, planes pl
+    GROUP BY e.vec_id, pl.ti
+),
+capped AS (
+    SELECT vec_id, ti, bucket FROM sigs
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY ti, bucket
+                               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+            <= {max_bucket}
+),
+cands AS (
+    SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+    FROM capped a JOIN capped b ON a.ti = b.ti AND a.bucket = b.bucket
+    WHERE a.vec_id < b.vec_id
+),
+scored AS (
+    SELECT c.qid, c.nid,
+           round(list_inner_product(q.v, n.v) /
+                 (sqrt(list_inner_product(q.v, q.v)) *
+                  sqrt(list_inner_product(n.v, n.v))), 6) AS sim
+    FROM cands c
+    JOIN e q ON q.vec_id = c.qid
+    JOIN e n ON n.vec_id = c.nid
+),
+sym AS (
+    SELECT qid AS query_id, nid AS neighbor_id, sim FROM scored
+    UNION ALL
+    SELECT nid AS query_id, qid AS neighbor_id, sim FROM scored
+),
+ranked AS (
+    SELECT query_id, neighbor_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM sym
+)
+SELECT query_id, rnk, neighbor_id, sim
+FROM ranked WHERE rnk <= {k}
+ORDER BY query_id, rnk
+"""
+
+
+@register("sim_ann_lsh", _ann_lsh_oracle(), tags=("similarity",),
+          doc="Approximate top-5 via multi-table LSH (16 tables x 6 bits, md5-derived hyperplanes, md5-ordered hot-bucket cap); oracle recomputes buckets+rescore exactly; recall unit test vs brute force.")
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_topk(emb, k=5).orderBy("query_id", "rnk")

@@ -47,19 +47,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet scan → columnar, vectorized,
     pushdown-capable (the strict upgrade over SequenceFile, SURVEY §1.3).
 
-    ``events.ts`` is TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects; read it as long nanos and normalize to a microsecond
-    TIMESTAMP_NTZ column (floor division — the same truncation DuckDB
-    applies), so downstream code sees an ordinary timestamp.
+    ``events.ts`` has shipped as both TIMESTAMP(NANOS) (older fixture
+    generations — Spark's vectorized reader rejects it) and plain
+    TIMESTAMP(MICROS). Normalize either to a microsecond TIMESTAMP_NTZ
+    column: nanos are read as longs (``nanosAsLong``) and floor-divided
+    (the same truncation DuckDB applies); micros pass through with just
+    the NTZ cast, so downstream code always sees one stable type.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer `div`, NOT `/`: float division loses precision on
-        # ~1.7e18 nanosecond values and shifts timestamps by ±1µs
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        if dict(df.dtypes)["ts"] == "bigint":  # nanos-generation fixture
+            # integer `div`, NOT `/`: float division loses precision on
+            # ~1.7e18 nanosecond values and shifts timestamps by ±1µs
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -73,22 +77,40 @@ def read_text_lines(
     *,
     with_offset: bool = False,
     num_partitions: int | None = None,
+    lines_per_split: int | None = None,
 ) -> DataFrame:
     """TextInputFormat parity: one row per line, column ``value``.
 
     ``with_offset`` adds a ``key`` column standing in for the byte
     offset LongWritable key (monotonic per-partition id — offsets were
     only ever used as a unique-ish key, not arithmetic).
-    ``num_partitions`` gives NLineInputFormat-style control over task
-    granularity (Spark normally decides from file size). Documented
-    delta vs NLineInputFormat (CORE/mapreduce/lib/input/
-    NLineInputFormat.java [H]): the reference guaranteed EXACTLY N lines
-    per split (its point was sizing each map task's work); repartition
-    gives k near-equal partitions without a per-line count guarantee.
-    Spark sizes tasks by bytes, so the guarantee buys nothing here — if
-    a strict N-per-group is ever needed, derive a group id with
-    ``floor(row_number/N)`` and repartition on it.
+    ``num_partitions`` gives coarse task-granularity control (Spark
+    normally decides from file size).
+
+    ``lines_per_split=N`` is exact NLineInputFormat parity
+    (CORE/mapreduce/lib/input/NLineInputFormat.java [H]): EVERY
+    partition holds exactly N consecutive lines (the last one ≤ N), in
+    file order. Implementation is the distributed analog of the
+    reference's client-side split scan: ``zipWithIndex`` assigns global
+    contiguous line numbers with one lightweight per-partition count
+    job (no single-partition funnel), then an identity int partitioner
+    routes ``floor(idx / N)`` → its own partition — hash partitioning
+    can't guarantee one split per partition (collisions merge splits),
+    identity can. RDD API on purpose: this is per-partition *placement*
+    control, which DataFrames deliberately don't expose.
     """
+    if lines_per_split:
+        n = lines_per_split
+        lines = spark.read.text(path).rdd.map(lambda r: r.value)
+        total = lines.count()
+        n_splits = max(1, -(-total // n))
+        parted = (
+            lines.zipWithIndex()
+            .map(lambda t: (t[1] // n, t[0]))
+            .partitionBy(n_splits, lambda k: k)
+            .values()
+        )
+        return spark.createDataFrame(parted.map(lambda v: (v,)), "value string")
     df = spark.read.text(path)
     if num_partitions:
         df = df.repartition(num_partitions)

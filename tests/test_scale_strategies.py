@@ -98,6 +98,105 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
 
+def _degenerate_corpus(spark, n_hot: int, n_cold: int, dim: int = 8):
+    """n_hot copies of ONE vector (a planted hot LSH bucket / hot IVF
+    list) plus n_cold spread-out vectors. Deterministic, no RNG."""
+    rows = []
+    for i in range(n_hot):
+        rows.append((i, [1.0] * dim))
+    for j in range(n_cold):
+        v = [float((j * (d + 3)) % 7 - 3) or 0.5 for d in range(dim)]
+        rows.append((n_hot + j, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_lsh_hot_bucket_membership_capped(spark):
+    """The 100×-scale guard: a degenerate bucket (all-same vector) must
+    never exceed max_bucket members in ANY (table, bucket) group, so
+    the candidate self-join is bounded at max_bucket² per key however
+    hot the region gets."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+        capped_lsh_buckets,
+    )
+
+    emb = _degenerate_corpus(spark, n_hot=300, n_cold=40)
+    capped = capped_lsh_buckets(emb, dim=8, max_bucket=50)
+    per_bucket = capped.groupBy("table_idx", "bucket").count()
+    assert per_bucket.agg(F.max("count")).first()[0] <= 50
+    # the guard actually fired: the hot region held 300 members pre-cap
+    assert per_bucket.where(F.col("count") == 50).count() > 0
+
+
+def test_ivf_hot_list_blocks_bounded(spark):
+    """One degenerate IVF list (every vector identical → one home list)
+    must shard into blocks none of which exceeds ~2·block_size rows —
+    the applyInPandas group is memory-bounded regardless of skew."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+        _shard_blocks,
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    emb = _degenerate_corpus(spark, n_hot=400, n_cold=0)
+    cents = train_ivf_centroids(emb, n_centroids=4)
+    assigned = ivf_assign(emb, cents, n_probe=2, keep_vec=True)
+    # precondition: the hot list really is unbounded without sharding
+    hot = assigned.groupBy("list_id").count().agg(F.max("count")).first()[0]
+    assert hot >= 400
+    blocks = _shard_blocks(assigned, "vec_id", block_size=64)
+    sizes = blocks.groupBy("list_id", "cb", "qb").count()
+    max_group = sizes.agg(F.max("count")).first()[0]
+    # each side of a block is ≤ ~block_size up to hash variance; 3× is
+    # far below the unbounded 800-row group this replaces
+    assert max_group <= 3 * 64, f"block group too large: {max_group}"
+
+
+def test_ivf_sharded_blocks_match_single_block(spark):
+    """Sharding is a physical decomposition only: forcing many tiny
+    blocks must give bit-identical results to one giant block (every
+    (query, neighbor) pair meets in exactly one group)."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import ann_ivf_topk
+
+    emb = _degenerate_corpus(spark, n_hot=5, n_cold=120)
+    kw = dict(k=3, n_centroids=4, n_probe=2)
+    single = {
+        (r.query_id, r.rnk, r.neighbor_id, r.sim)
+        for r in ann_ivf_topk(emb, block_size=1_000_000, **kw).collect()
+    }
+    sharded = {
+        (r.query_id, r.rnk, r.neighbor_id, r.sim)
+        for r in ann_ivf_topk(emb, block_size=16, **kw).collect()
+    }
+    assert sharded == single
+
+
+def test_dedup_stop_shingle_df_cap_bounds_join_keys(spark):
+    """A shingle planted in EVERY document (the quadratic join key at
+    corpus scale) must be dropped by the df-cap so no surviving index
+    key exceeds the cap."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.dedup import (
+        _df_capped,
+        _hashed_index,
+        _shingled,
+    )
+
+    docs = spark.range(500).select(
+        F.col("id"),
+        F.concat(
+            F.lit("the common header text "),  # planted stop-shingles
+            F.col("id").cast("string"),
+            F.lit(" unique tail words here"),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    inv = _hashed_index(_shingled(docs, "text", "id", 3))
+    pre = inv.groupBy("h").count().agg(F.max("count")).first()[0]
+    assert pre >= 500  # the planted key really is corpus-wide
+    capped = _df_capped(inv, 100)
+    post = capped.groupBy("h").count().agg(F.max("count")).first()[0]
+    assert post <= 100
+
+
 def test_filter_and_projection_reach_parquet_scan(spark):
     """Predicate pushdown + column pruning must reach the scan: the
     FileScan should list PushedFilters and read ONLY the projected

@@ -71,6 +71,25 @@ def test_read_text_lines_nline_partitioning(spark, tmp_path):
     assert df.count() == 50
 
 
+def test_read_text_lines_exact_n_per_split(spark, tmp_path):
+    """NLineInputFormat contract: every split holds EXACTLY N lines,
+    the last one ≤ N, in file order."""
+    p = str(tmp_path / "nline_exact")
+    spark.range(25).select(F.col("id").cast("string").alias("value")).coalesce(
+        1
+    ).write.text(p)
+    df = read_text_lines(spark, p, lines_per_split=4)
+    sizes = df.rdd.glom().map(len).collect()
+    assert sizes == [4, 4, 4, 4, 4, 4, 1]
+    # no line lost or duplicated, and splits are consecutive file ranges
+    per_part = df.rdd.glom().collect()
+    seen = [int(r[0]) for part in per_part for r in part]
+    assert sorted(seen) == list(range(25))
+    for part in per_part:
+        vals = [int(r[0]) for r in part]
+        assert vals == sorted(vals) and vals == list(range(vals[0], vals[0] + len(vals)))
+
+
 def test_read_csv_skip_bad_records(spark, tmp_path):
     from hadoop_2_10_0_src_mapreduce_spark.sources.readers import (
         read_csv_skip_bad_records,
