@@ -131,18 +131,16 @@ def lookup_sorted_bucketed(
     Planning detail: Spark's DisableUnnecessaryBucketedScan rule strips
     bucket info from filter-only plans (it only values bucketing for
     exchange avoidance, not pruning), which would silently scan all N
-    buckets. We pin the bucket-pruned physical plan by planning eagerly
-    with that rule off; the DataFrame caches its QueryExecution, so the
-    pruning survives later actions with the session conf restored."""
-    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    prev = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, "false")
-    try:
-        df = spark.table(table_name).where(F.col(key) == F.lit(key_value))
-        df._jdf.queryExecution().executedPlan()  # materialize the plan now
-        return df
-    finally:
-        spark.conf.set(conf_key, prev)
+    buckets. The lookup therefore plans inside an ISOLATED
+    ``newSession()`` (shared SparkContext + catalog, private SQL conf)
+    with that rule off: the caller's session conf is never touched (no
+    race with concurrently planning queries), and every DataFrame
+    DERIVED from the returned one re-plans in the isolated session, so
+    the bucket pruning holds for downstream filters/projections too —
+    not just the first action."""
+    iso = spark.newSession()
+    iso.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    return iso.table(table_name).where(F.col(key) == F.lit(key_value))
 
 
 def jdbc_write_options(

@@ -209,6 +209,45 @@ def test_pairs_topk_tie_break_and_self_exclusion():
     assert len(out_all) == 3
 
 
+def test_pairs_topk_zero_norm_ranked_last_not_first():
+    """A zero-norm vector makes 0/0 = NaN sims; numpy's default would
+    let NaN outrank every real value under a desc sort. The scorer must
+    mask non-finite sims so they drop out entirely (the JVM path's NULL
+    semantics: ranked last / absent)."""
+    import numpy as np
+
+    qids = np.array([1], dtype=np.int64)
+    qmat = np.array([[1.0, 0.0]])
+    cids = np.array([2, 3], dtype=np.int64)
+    cmat = np.array([[0.0, 0.0], [0.6, 0.8]])  # id 2 has zero norm
+    out = similarity._pairs_topk(qids, qmat, cids, cmat, k=2, round_digits=6)
+    assert list(out.neighbor_id) == [3]  # NaN row gone, not rank 1
+    assert list(out.sim) == [0.6]
+
+
+def test_pairs_topk_rounds_half_away_from_zero():
+    """np.round is half-to-even; the engine contract (F.round / SQL
+    ROUND) is half away from zero. 0.1234565 must round UP to 0.123457,
+    not down to 0.123456."""
+    import numpy as np
+
+    qids = np.array([1], dtype=np.int64)
+    qmat = np.array([[1.0]])
+    # cosine of 1-d positive vectors is exactly 1; scale the sim via a
+    # direct call to the rounding formula instead: use a crafted pair
+    # whose cosine is 0.5 at round_digits=0 → half-away rounds to 1.
+    cids = np.array([2], dtype=np.int64)
+    cmat = np.array([[1.0]])
+    out = similarity._pairs_topk(qids, qmat, cids, cmat, k=1, round_digits=6)
+    assert list(out.sim) == [1.0]
+    # the formula itself, as used by both numpy scorers:
+    scale = 10.0**6
+    vals = np.array([0.1234565, -0.1234565])
+    rounded = np.copysign(np.floor(np.abs(vals) * scale + 0.5), vals) / scale
+    assert list(rounded) == [0.123457, -0.123457]
+    assert list(np.round(vals, 6)) == [0.123456, -0.123456]  # the bug this avoids
+
+
 def test_cosine_self_is_one(spark):
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(5)
     sims = emb.select(

@@ -133,6 +133,13 @@ def test_mapfile_point_lookup_prunes_to_one_bucket(spark, tmp_path):
         plan = hit._jdf.queryExecution().executedPlan().toString()
         assert "SelectedBucketsCount: 1 out of 8" in plan
         assert [(r.k, r.v) for r in hit.collect()] == [(42, 84)]
+        # pruning must survive DERIVED DataFrames too (they re-plan in
+        # the lookup's isolated session, where the disabling rule is
+        # off for good — not just on the first pre-planned action)
+        derived = hit.select("v")
+        dplan = derived._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in dplan
+        assert [r.v for r in derived.collect()] == [84]
     finally:
         spark.sql("DROP TABLE IF EXISTS t_mapfile")
 
