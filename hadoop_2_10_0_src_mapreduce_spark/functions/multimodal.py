@@ -115,6 +115,64 @@ def extract_features(
     )
 
 
+def resize_images(
+    df: DataFrame,
+    new_w: int,
+    new_h: int,
+    media_col: str = "media",
+    id_col: str = "id",
+) -> DataFrame:
+    """Image resize pass (1→1 binary→binary, Arrow-batched): FAKE image
+    containers whose payload is a width×height byte raster are
+    nearest-neighbor resampled — resized pixel (x', y') reads source
+    (x'·w // new_w, y'·h // new_h), the standard NN kernel, pure
+    integer indexing so an external oracle can recompute every output
+    byte. Non-image kinds pass through untouched (a pipeline resizes
+    its images and leaves audio/video alone); an image payload that is
+    NOT a raw raster needs a real codec → ``decode_image``'s documented
+    NotImplementedError boundary."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for m in pdf[media_col]:
+                blob = bytes(m)
+                kind, w, h, payload = _parse(blob)
+                if KINDS.get(kind) != "image":
+                    out.append(blob)
+                    continue
+                if len(payload) != w * h:  # pragma: no cover - codec path
+                    decode_image(blob)  # raises NotImplementedError on-box
+                raster = np.frombuffer(payload, dtype=np.uint8).reshape(h, w)
+                ys = (np.arange(new_h) * h) // new_h
+                xs = (np.arange(new_w) * w) // new_w
+                resized = raster[ys][:, xs]
+                out.append(pack_fake_media(1, new_w, new_h, resized.tobytes()))
+            yield pd.DataFrame({"id": pdf[id_col].values, "media": out})
+
+    return df.select(id_col, media_col).mapInPandas(batches, "id long, media binary")
+
+
+def payload_byte_sums(
+    df: DataFrame, media_col: str = "media", id_col: str = "id"
+) -> DataFrame:
+    """(id, byte_sum): sum of payload byte values per blob — the media
+    analog of TeraChecksum's order-insensitive content checksum, and
+    the cheap way to value-verify a binary transform end to end."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sums = []
+            for m in pdf[media_col]:
+                _, _, _, payload = _parse(bytes(m))
+                sums.append(
+                    int(np.frombuffer(payload, dtype=np.uint8).sum()) if payload else 0
+                )
+            yield pd.DataFrame({"id": pdf[id_col].values, "byte_sum": sums})
+
+    return df.select(id_col, media_col).mapInPandas(batches, "id long, byte_sum long")
+
+
 def sample_frames(
     df: DataFrame,
     every_n: int,

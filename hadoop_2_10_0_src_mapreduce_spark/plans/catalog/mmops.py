@@ -69,17 +69,41 @@ def synth_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(batches, "id long, media binary")
 
 
-# --- header decode + frame sampling (merged into one checked query) ----
-# Two §2-extension components in one result (merged to fit the driver's
-# 50-checked-query window): the 'decode' section is the cheap metadata
-# pass (decode_meta via Arrow-batched mapInPandas, per-kind aggregate);
-# the 'frames' section is the 1→N explode-shaped decode (every-2nd
-# frame sampling over binary video payloads). Column mapping for the
-# frames row: n = number of videos, sum_a = frames sampled, sum_b = sum
-# of sampled frame indices (with m = ceil(n_frames/2) sampled at stride
-# 2, the per-video index sum 0+2+...+2(m-1) = m*(m-1)), sum_payload = 0.
+# --- header decode + frame sampling + resize (one checked query) -------
+# Three §2-extension components in one result (merged to fit the
+# driver's 50-checked-query window): the 'decode' section is the cheap
+# metadata pass (decode_meta via Arrow-batched mapInPandas, per-kind
+# aggregate); the 'frames' section is the 1→N explode-shaped decode
+# (every-2nd frame sampling over binary video payloads); the 'resize'
+# section runs the nearest-neighbor resize kernel over synthetic
+# rasters and checksums the OUTPUT BYTES — resized pixel (x', y') reads
+# source index (y'·h//H)·w + x'·w//W, and raster byte i = i % 251, so
+# the oracle recomputes every resized byte arithmetically (a wrong
+# index anywhere changes sum_payload). Frames-row column mapping: n =
+# videos, sum_a = frames sampled, sum_b = sum of sampled frame indices
+# (m = ceil(n_frames/2) at stride 2 → per-video sum m*(m-1)),
+# sum_payload = 0. Resize-row: n = images, sum_a/sum_b = output dims
+# summed, sum_payload = resized byte checksum.
 
-_DECODE_FRAMES_ORACLE = """
+_RESIZE_W, _RESIZE_H = 8, 6
+
+
+def _resize_oracle_section() -> str:
+    w, h = "(4 + d.doc_id % 13)", "(3 + d.doc_id % 11)"
+    return f"""
+    SELECT 'resize' AS section, 'image' AS kind,
+           COUNT(*) AS n,
+           CAST(COUNT(*) * {_RESIZE_W} AS BIGINT) AS sum_a,
+           CAST(COUNT(*) * {_RESIZE_H} AS BIGINT) AS sum_b,
+           CAST(SUM((SELECT SUM(((y.y * {h}) // {_RESIZE_H} * {w}
+                                 + (x.x * {w}) // {_RESIZE_W}) % 251)
+                     FROM range({_RESIZE_H}) y(y), range({_RESIZE_W}) x(x)))
+               AS BIGINT) AS sum_payload
+    FROM documents d WHERE d.doc_id % 3 = 0
+"""
+
+
+_DECODE_FRAMES_ORACLE = f"""
 SELECT section, kind, n, sum_a, sum_b, sum_payload FROM (
     SELECT 'decode' AS section,
            CASE doc_id % 3 + 1 WHEN 1 THEN 'image' WHEN 2 THEN 'audio'
@@ -99,13 +123,37 @@ SELECT section, kind, n, sum_a, sum_b, sum_payload FROM (
            CAST(0 AS BIGINT) AS sum_payload
     FROM documents
     WHERE doc_id % 3 = 2
+    UNION ALL
+{_resize_oracle_section()}
 )
 ORDER BY section, kind
 """
 
 
+def synth_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with doc_id%3==0 → image containers whose payload IS a
+    w×h raster: w = 4 + doc_id%13, h = 3 + doc_id%11, byte i = i % 251
+    (prime modulus so no resize grid aligns with the pattern)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") % 3 == 0
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            media = []
+            for d in pdf["doc_id"]:
+                w, h = 4 + int(d) % 13, 3 + int(d) % 11
+                raster = (np.arange(w * h, dtype=np.int64) % 251).astype(np.uint8)
+                media.append(mm.pack_fake_media(1, w, h, raster.tobytes()))
+            yield pd.DataFrame({"id": pdf["doc_id"].values, "media": media})
+
+    return docs.mapInPandas(batches, "id long, media binary")
+
+
 @register("mm_decode_frames", _DECODE_FRAMES_ORACLE, tags=("multimodal",),
-          doc="Multimodal header decode (Arrow-batched mapInPandas, per-kind aggregate) + video frame sampling (1→N mapInPandas explode, every 2nd frame), unioned under a section column; oracle recomputes both from the source columns.")
+          doc="Multimodal header decode (Arrow-batched mapInPandas, per-kind aggregate) + video frame sampling (1→N mapInPandas explode, every 2nd frame) + nearest-neighbor image resize (binary→binary, output bytes checksummed), unioned under a section column; oracle recomputes all three from the source columns.")
 def mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = mm.decode_meta(synth_media(spark, sf_dir))
     decode = (
@@ -129,7 +177,27 @@ def mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "sum_a", "sum_b",
         F.lit(0).cast("long").alias("sum_payload"),
     )
-    return decode.unionByName(frame_agg).orderBy("section", "kind")
+    resized = mm.resize_images(
+        synth_images(spark, sf_dir), _RESIZE_W, _RESIZE_H
+    )
+    resize_agg = (
+        mm.decode_meta(resized)
+        .join(mm.payload_byte_sums(resized), "id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a").alias("sum_a"),
+            F.sum("b").alias("sum_b"),
+            F.sum("byte_sum").alias("sum_payload"),
+        )
+        .select(
+            F.lit("resize").alias("section"),
+            F.lit("image").alias("kind"),
+            "n", "sum_a", "sum_b", "sum_payload",
+        )
+    )
+    return decode.unionByName(frame_agg).unionByName(resize_agg).orderBy(
+        "section", "kind"
+    )
 
 
 # --- feature extraction composed into dedup ----------------------------

@@ -12,7 +12,7 @@ pushed to the scan, no Python in the row path.
 Parity map (reference class → function here):
 - TextInputFormat/LineRecordReader      → read_text_lines
 - KeyValueTextInputFormat               → read_kv_text
-- NLineInputFormat                      → read_text_lines(num_partitions=)
+- NLineInputFormat                      → read_text_lines(lines_per_split=)
 - FixedLengthInputFormat                → read_fixed_length
 - CombineFileInputFormat                → conf (see session.SCALE_DEFAULTS)
 - MultipleInputs/DelegatingInputFormat  → read_multiple_inputs

@@ -50,6 +50,26 @@ def test_sample_frames(media_df):
     assert by_idx[2] == bytes(range(32, 48))
 
 
+def test_resize_images_nearest_neighbor(spark):
+    """4×2 raster → 2×2: NN picks source (x'·4//2, y'·2//2) = columns
+    0,2 of row 0 and row 1 — hand-computed expected bytes. Non-image
+    blobs must pass through byte-identical."""
+    raster = bytes([10, 11, 12, 13, 20, 21, 22, 23])  # w=4, h=2
+    audio = mm.pack_fake_media(2, 8000, 100, b"aud")
+    df = spark.createDataFrame(
+        [(1, mm.pack_fake_media(1, 4, 2, raster)), (2, audio)],
+        "id long, media binary",
+    )
+    out = {r.id: bytes(r.media) for r in mm.resize_images(df, 2, 2).collect()}
+    kind, w, h, payload = mm._parse(out[1])
+    assert (kind, w, h) == (1, 2, 2)
+    assert payload == bytes([10, 12, 20, 22])
+    assert out[2] == audio  # untouched passthrough
+    sums = {r.id: r.byte_sum for r in mm.payload_byte_sums(df).collect()}
+    assert sums[1] == sum(raster)
+    assert sums[2] == sum(b"aud")
+
+
 EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
 
 
