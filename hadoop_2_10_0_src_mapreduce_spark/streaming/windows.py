@@ -133,6 +133,35 @@ def stream_dedup_within_watermark(
     )
 
 
+def stream_partitioned_sink(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    out_dir: str,
+    *,
+    partition_col: str = "event_type",
+) -> StreamingQuery:
+    """foreachBatch sink: the streaming face of MultipleOutputs
+    (SURVEY §2.2) — every micro-batch lands as parquet partitioned by a
+    record-content column, via the SAME batch writer the catalog uses
+    (``writers.write_partitioned``), so batch and streaming sinks can't
+    drift. foreachBatch is the escape hatch for sinks Structured
+    Streaming lacks natively (JDBC, MERGE upserts, multi-sink fan-out);
+    partitionBy-on-parquet is the demo because the driver can re-read
+    and count it deterministically."""
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import write_partitioned
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_partitioned(batch_df, out_dir, partition_col, mode="append")
+
+    src = spark.readStream.schema(schema).json(source_dir)
+    return (
+        src.writeStream.foreachBatch(sink_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_running_user_totals(
     spark: SparkSession,
     source_dir: str,

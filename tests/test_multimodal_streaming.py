@@ -116,6 +116,24 @@ def test_streaming_dedup_within_watermark(spark, stream_source, tmp_path_factory
     assert got.c == got.d == 100
 
 
+def test_streaming_foreachbatch_partitioned_sink(spark, stream_source, tmp_path_factory):
+    """foreachBatch → write_partitioned: the streamed parquet must hold
+    every event exactly once, under content-derived partition dirs —
+    MultipleOutputs semantics from a stream."""
+    import os
+
+    src, ev = stream_source
+    out = str(tmp_path_factory.mktemp("fb_sink") / "parts")
+    q = sw.stream_partitioned_sink(spark, src, EVENT_SCHEMA, out)
+    q.awaitTermination(120)
+    dirs = {d for d in os.listdir(out) if d.startswith("event_type=")}
+    types = {r.event_type for r in ev.select("event_type").distinct().collect()}
+    assert dirs == {f"event_type={t}" for t in types}
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    assert back.select("event_id").distinct().count() == ev.count()
+
+
 def test_streaming_stateful_running_totals(spark, stream_source):
     """applyInPandasWithState running totals: the last emission per user
     must equal the batch groupBy aggregate over the whole source."""
