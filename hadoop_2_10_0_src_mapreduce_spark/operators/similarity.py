@@ -171,6 +171,8 @@ def _score_pairs_arrow(
     id_col: str,
     vec_col: str,
     round_digits: int,
+    *,
+    mirror: bool = False,
 ) -> DataFrame:
     """High-volume twin of ``_score_pairs``: same join-back topology
     (ids shuffle, vectors join where they live), but the cosine runs in
@@ -185,7 +187,14 @@ def _score_pairs_arrow(
     path (0/0 → NaN in both engines). Use for candidate streams big
     enough that interpreted higher-order functions dominate (ANN);
     ``_score_pairs`` stays for modest volumes where an extra pandas
-    exchange isn't worth it."""
+    exchange isn't worth it.
+
+    ``mirror=True`` emits BOTH directions of every pair from the same
+    batch — sim(a,b) = sim(b,a), so mirroring inside the scorer is free
+    row duplication, where a DataFrame-level
+    ``scored.union(scored.select(swapped))`` would re-evaluate the
+    whole join+scoring subtree once per branch (mapInArrow is not an
+    exchange, so ReuseExchange cannot dedupe it)."""
     qv = emb.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv"))
     nv = emb.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_nv")
@@ -215,9 +224,16 @@ def _score_pairs_arrow(
                 nn += c[:, d] * c[:, d]
             sims = dot / (np.sqrt(qn) * np.sqrt(nn))
             sims = np.copysign(np.floor(np.abs(sims) * scale + 0.5), sims) / scale
+            qa, na = cols["query_id"], cols["neighbor_id"]
+            sa = pa.array(sims)
+            if mirror:
+                qa, na, sa = (
+                    pa.concat_arrays([qa, na]),
+                    pa.concat_arrays([na, qa]),
+                    pa.concat_arrays([sa, sa]),
+                )
             yield pa.RecordBatch.from_arrays(
-                [cols["query_id"], cols["neighbor_id"], pa.array(sims)],
-                ["query_id", "neighbor_id", "sim"],
+                [qa, na, sa], ["query_id", "neighbor_id", "sim"]
             )
 
     return paired.mapInArrow(
@@ -524,13 +540,8 @@ def ann_lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = _score_pairs_arrow(emb, cands, id_col, vec_col, round_digits)
-    sym = scored.unionByName(
-        scored.select(
-            F.col("neighbor_id").alias("query_id"),
-            F.col("query_id").alias("neighbor_id"),
-            "sim",
-        )
+    sym = _score_pairs_arrow(
+        emb, cands, id_col, vec_col, round_digits, mirror=True
     )
     return _global_topk(sym, k)
 
