@@ -707,9 +707,13 @@ def ann_ivf_topk(
     cents = train_ivf_centroids(
         vecs, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
     )
+    # persist: the vector-carrying assignment feeds THREE consumers
+    # (the list-size counts and both grid sides of _shard_blocks);
+    # without it the assign mapInPandas subtree — including its parquet
+    # scan — evaluates once per consumer (plan showed 4 scans)
     assigned = ivf_assign(
         vecs, cents, vec_col=vec_col, n_probe=n_probe, keep_vec=True
-    )
+    ).persist()
     blocks = _shard_blocks(assigned, id_col, block_size)
     id_type = {f.name: f.dataType.simpleString() for f in emb.schema.fields}[id_col]
 
