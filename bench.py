@@ -42,6 +42,7 @@ def main() -> None:
     # standard noise-robust point estimate and every reported number is
     # still a real end-to-end execution.
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for _pass in range(2):
         for name, fn in qs.items():
             t0 = time.time()
@@ -49,6 +50,17 @@ def main() -> None:
             el = round(time.time() - t0, 3)
             if name not in timings or el < timings[name]:
                 timings[name] = el
+            spreads[name] = max(spreads.get(name, el), el)
+
+    # Adaptive third pass: a >30% disagreement between the two passes
+    # means contention hit at least one of them — those queries (only)
+    # get one more real execution. Bounded extra cost, and a spike that
+    # lands on both passes of a query no longer defines its number.
+    for name, fn in qs.items():
+        if spreads[name] > 1.3 * timings[name] and timings[name] > 0.5:
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = min(timings[name], round(time.time() - t0, 3))
 
     total = round(sum(timings.values()), 3)
     print(
