@@ -156,21 +156,30 @@ def resize_images(
 def payload_byte_sums(
     df: DataFrame, media_col: str = "media", id_col: str = "id"
 ) -> DataFrame:
-    """(id, byte_sum): sum of payload byte values per blob — the media
-    analog of TeraChecksum's order-insensitive content checksum, and
-    the cheap way to value-verify a binary transform end to end."""
+    """(id, a, b, byte_sum): header dims + sum of payload byte values
+    per blob — the media analog of TeraChecksum's order-insensitive
+    content checksum, and the cheap way to value-verify a binary
+    transform end to end. Emits the dims alongside so a verify
+    aggregate needs ONE decode pass, not a decode_meta join (each extra
+    consumer of an unpersisted transform re-evaluates its subtree)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            sums = []
+            a_s, b_s, sums = [], [], []
             for m in pdf[media_col]:
-                _, _, _, payload = _parse(bytes(m))
+                _, a, b, payload = _parse(bytes(m))
+                a_s.append(a)
+                b_s.append(b)
                 sums.append(
                     int(np.frombuffer(payload, dtype=np.uint8).sum()) if payload else 0
                 )
-            yield pd.DataFrame({"id": pdf[id_col].values, "byte_sum": sums})
+            yield pd.DataFrame(
+                {"id": pdf[id_col].values, "a": a_s, "b": b_s, "byte_sum": sums}
+            )
 
-    return df.select(id_col, media_col).mapInPandas(batches, "id long, byte_sum long")
+    return df.select(id_col, media_col).mapInPandas(
+        batches, "id long, a int, b int, byte_sum long"
+    )
 
 
 def sample_frames(

@@ -181,8 +181,7 @@ def mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_images(spark, sf_dir), _RESIZE_W, _RESIZE_H
     )
     resize_agg = (
-        mm.decode_meta(resized)
-        .join(mm.payload_byte_sums(resized), "id")
+        mm.payload_byte_sums(resized)  # one decode pass: dims + checksum
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("a").alias("sum_a"),

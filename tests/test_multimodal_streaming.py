@@ -65,9 +65,9 @@ def test_resize_images_nearest_neighbor(spark):
     assert (kind, w, h) == (1, 2, 2)
     assert payload == bytes([10, 12, 20, 22])
     assert out[2] == audio  # untouched passthrough
-    sums = {r.id: r.byte_sum for r in mm.payload_byte_sums(df).collect()}
-    assert sums[1] == sum(raster)
-    assert sums[2] == sum(b"aud")
+    sums = {r.id: (r.a, r.b, r.byte_sum) for r in mm.payload_byte_sums(df).collect()}
+    assert sums[1] == (4, 2, sum(raster))
+    assert sums[2] == (8000, 100, sum(b"aud"))
 
 
 EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
