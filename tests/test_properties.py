@@ -44,6 +44,27 @@ def _naive_sessions(rows: list[tuple[int, int]], gap_minutes: int):
     return out
 
 
+@settings(max_examples=8, deadline=None)
+@given(st.integers(1, 60), st.integers(1, 9))
+def test_nline_exact_split_property(spark, tmp_path_factory, n_lines, per_split):
+    """NLineInputFormat contract at any (file length, N): every
+    partition holds exactly N lines except a final remainder, nothing
+    lost/duplicated, splits are consecutive file ranges."""
+    from hadoop_2_10_0_src_mapreduce_spark.sources.readers import read_text_lines
+
+    p = str(tmp_path_factory.mktemp("nline_prop") / "f")
+    spark.range(n_lines).select(
+        F.format_string("%05d", "id").alias("value")
+    ).coalesce(1).write.text(p)
+    df = read_text_lines(spark, p, lines_per_split=per_split)
+    parts = df.rdd.glom().collect()
+    sizes = [len(pt) for pt in parts]
+    full, rem = divmod(n_lines, per_split)
+    assert sizes == [per_split] * full + ([rem] if rem else [])
+    seen = [int(r[0]) for pt in parts for r in pt]
+    assert seen == list(range(n_lines))
+
+
 @settings(max_examples=10, deadline=None)
 @given(_events)
 def test_sessionize_matches_naive(spark, rows):
