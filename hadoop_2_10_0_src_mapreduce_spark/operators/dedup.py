@@ -88,12 +88,15 @@ def _jaccard_from_counts(counted: DataFrame, sizes: DataFrame,
                          threshold: float) -> DataFrame:
     """(id_a, id_b, c=shared-shingle count) + (id, n=set size) → exact
     Jaccard via inclusion–exclusion: J = c / (|A| + |B| - c). The size
-    table is one row per document — broadcast, no shuffle of the pair
-    stream."""
+    table is one row per DOCUMENT — small locally but corpus-sized in
+    general, so no forced broadcast hint: under the auto threshold
+    Spark broadcasts it anyway (locally it does), and at billions of
+    docs AQE picks a shuffle join instead of OOMing the driver the way
+    an explicit F.broadcast would."""
     return (
         counted
-        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"})), "id_a")
-        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"})), "id_b")
+        .join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
         .withColumn(
             "jaccard",
             F.round(F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")), 6),
