@@ -104,13 +104,19 @@ def read_text_lines(
         lines = spark.read.text(path).rdd.map(lambda r: r.value)
         total = lines.count()
         n_splits = max(1, -(-total // n))
-        parted = (
-            lines.zipWithIndex()
-            .map(lambda t: (t[1] // n, t[0]))
-            .partitionBy(n_splits, lambda k: k)
-            .values()
+        parted = lines.zipWithIndex().map(lambda t: (t[1] // n, t)).partitionBy(
+            n_splits, lambda k: k
         )
-        return spark.createDataFrame(parted.map(lambda v: (v,)), "value string")
+        if with_offset:
+            # the zipWithIndex line number IS the key here — closer to
+            # LineRecordReader's offset key than the monotonic id below
+            # (global, contiguous, file-ordered)
+            return spark.createDataFrame(
+                parted.map(lambda kv: (kv[1][1], kv[1][0])), "key long, value string"
+            )
+        return spark.createDataFrame(
+            parted.map(lambda kv: (kv[1][0],)), "value string"
+        )
     df = spark.read.text(path)
     if num_partitions:
         df = df.repartition(num_partitions)

@@ -88,6 +88,10 @@ def test_read_text_lines_exact_n_per_split(spark, tmp_path):
     for part in per_part:
         vals = [int(r[0]) for r in part]
         assert vals == sorted(vals) and vals == list(range(vals[0], vals[0] + len(vals)))
+    # with_offset: the key is the global, contiguous, file-ordered line number
+    keyed = read_text_lines(spark, p, lines_per_split=4, with_offset=True)
+    rows = sorted((r.key, int(r.value)) for r in keyed.collect())
+    assert rows == [(i, i) for i in range(25)]
 
 
 def test_read_csv_skip_bad_records(spark, tmp_path):
