@@ -25,6 +25,7 @@ from hadoop_2_10_0_src_mapreduce_spark.plans.registry import register
 from hadoop_2_10_0_src_mapreduce_spark.plans.jobcontrol import JobControl
 from hadoop_2_10_0_src_mapreduce_spark.sources.readers import (
     load_table,
+    read_csv_skip_bad_records,
     read_fixed_length,
     read_kv_text,
     read_multiple_inputs,
@@ -141,11 +142,16 @@ def scan_text_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gzip_agg.unionByName(kv_agg).unionByName(seq_agg).orderBy("src", "grp")
 
 
-# --- FixedLengthInputFormat + MultipleInputs, one checked slot --------
-# Three readers feeding one harmonized (src, key, name, aux) schema:
+# --- FixedLengthInputFormat + MultipleInputs + SkipBadRecords ---------
+# Four readers feeding one harmonized (src, key, name, aux) schema:
 # the 'fixed' branch roundtrips nation through 24-byte fixed-width
 # binary records; the 'region'/'nation' branches are MultipleInputs
-# parity (per-path format + per-path mapper: CSV and JSON).
+# parity (per-path format + per-path mapper: CSV and JSON); the
+# 'skipbad' branch writes nation as CSV with every n_nationkey%5==0
+# row deliberately corrupted (non-numeric key), reads it back through
+# the PERMISSIVE quarantine reader, and emits good/bad summary rows —
+# the oracle predicts both sides arithmetically, so the skip semantics
+# (bad rows quarantined, good rows untouched) are driver-checked.
 
 _FIXED_MULTI_ORACLE = """
 SELECT src, key, name, aux FROM (
@@ -156,6 +162,13 @@ SELECT src, key, name, aux FROM (
     SELECT 'region', CAST(r_regionkey AS BIGINT), r_name, 0 FROM region
     UNION ALL
     SELECT 'nation', CAST(n_nationkey AS BIGINT), n_name, 0 FROM nation
+    UNION ALL
+    SELECT 'skipbad', CAST(COUNT(*) AS BIGINT), 'good',
+           CAST(SUM(n_nationkey) AS INTEGER)
+    FROM nation WHERE n_nationkey % 5 <> 0
+    UNION ALL
+    SELECT 'skipbad', CAST(COUNT(*) AS BIGINT), 'bad', 0
+    FROM nation WHERE n_nationkey % 5 = 0
 )
 ORDER BY src, key
 """
@@ -164,7 +177,7 @@ _REC_LEN = 24  # 4 (key) + 16 (name) + 4 (regionkey), space-padded
 
 
 @register("scan_fixed_multi", _FIXED_MULTI_ORACLE, tags=("source",),
-          doc="FixedLengthInputFormat parity (nation as 24-byte fixed-width binary records → substring slicing) + MultipleInputs parity (region via CSV, nation via JSON, per-source mapper), unioned under a src column.")
+          doc="FixedLengthInputFormat parity (nation as 24-byte fixed-width binary records → substring slicing) + MultipleInputs parity (region via CSV, nation via JSON, per-source mapper) + SkipBadRecords parity (planted-corrupt CSV through the PERMISSIVE quarantine reader, good/bad summary rows), unioned under a src column.")
 def scan_fixed_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch("scan_fixed_multi")
     nation = load_table(spark, sf_dir, "nation")
@@ -212,7 +225,39 @@ def scan_fixed_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )),
         ]
     )
-    return fixed.unionByName(multi).orderBy("src", "key")
+    # SkipBadRecords branch: corrupt every 5th key so parsing fails on
+    # exactly those rows; the PERMISSIVE reader must quarantine them
+    # and leave the rest bit-identical
+    bad_path = os.path.join(base, "nation_corrupt_csv")
+    nation.select(
+        F.concat_ws(
+            ",",
+            F.when(
+                F.col("n_nationkey") % 5 == 0,
+                F.concat(F.lit("x"), F.col("n_nationkey").cast("string")),
+            ).otherwise(F.col("n_nationkey").cast("string")),
+            "n_name",
+            F.col("n_regionkey").cast("string"),
+        ).alias("value")
+    ).write.mode("overwrite").text(bad_path)
+    good, bad = read_csv_skip_bad_records(
+        spark, bad_path, "k long, name string, rk int"
+    )
+    skip_good = good.agg(
+        F.count(F.lit(1)).alias("key"), F.sum("k").cast("int").alias("aux")
+    ).select(
+        F.lit("skipbad").alias("src"), "key", F.lit("good").alias("name"), "aux"
+    )
+    skip_bad = bad.agg(F.count(F.lit(1)).alias("key")).select(
+        F.lit("skipbad").alias("src"), "key", F.lit("bad").alias("name"),
+        F.lit(0).alias("aux"),
+    )
+    return (
+        fixed.unionByName(multi)
+        .unionByName(skip_good)
+        .unionByName(skip_bad)
+        .orderBy("src", "key")
+    )
 
 
 # --- MultipleOutputs sink (partitionBy) + read-back --------------------
