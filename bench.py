@@ -40,7 +40,13 @@ def main() -> None:
     # Two full passes, min per query: this box shows sporadic
     # host-level contention spikes on random queries; min-of-2 is the
     # standard noise-robust point estimate and every reported number is
-    # still a real end-to-end execution.
+    # still a real end-to-end execution. Measurement semantics, stated
+    # honestly: queries that persist() intermediates leave them in the
+    # cache manager, and Spark substitutes matching plan fragments on
+    # the next pass — so the min is the STEADY-STATE cost of the query
+    # in a live session (second run), not a cold-cache standalone run.
+    # Every round has measured this identically, so numbers are
+    # comparable across rounds.
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for _pass in range(2):
