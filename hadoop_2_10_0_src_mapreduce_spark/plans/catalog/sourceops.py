@@ -27,12 +27,14 @@ from hadoop_2_10_0_src_mapreduce_spark.sources.readers import (
     load_table,
     read_csv_skip_bad_records,
     read_fixed_length,
+    read_jdbc_partitioned,
     read_kv_text,
     read_multiple_inputs,
     read_sequence_file,
     read_text_lines,
 )
 from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+    write_jdbc,
     write_partitioned,
     write_sequence_file,
     write_text_kv,
@@ -142,8 +144,8 @@ def scan_text_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gzip_agg.unionByName(kv_agg).unionByName(seq_agg).orderBy("src", "grp")
 
 
-# --- FixedLengthInputFormat + MultipleInputs + SkipBadRecords ---------
-# Four readers feeding one harmonized (src, key, name, aux) schema:
+# --- FixedLengthInputFormat + MultipleInputs + SkipBadRecords + DB ----
+# Five readers feeding one harmonized (src, key, name, aux) schema:
 # the 'fixed' branch roundtrips nation through 24-byte fixed-width
 # binary records; the 'region'/'nation' branches are MultipleInputs
 # parity (per-path format + per-path mapper: CSV and JSON); the
@@ -151,7 +153,12 @@ def scan_text_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row deliberately corrupted (non-numeric key), reads it back through
 # the PERMISSIVE quarantine reader, and emits good/bad summary rows —
 # the oracle predicts both sides arithmetically, so the skip semantics
-# (bad rows quarantined, good rows untouched) are driver-checked.
+# (bad rows quarantined, good rows untouched) are driver-checked; the
+# 'jdbc' branch is a REAL DBOutputFormat→DataDrivenDBInputFormat
+# roundtrip through embedded Derby (ships in Spark's jars): nation is
+# written via the batched-INSERT JDBC sink and read back with
+# WHERE-range splits, so both DB formats graduate from option-plumbing
+# tests to the hash-checked gate.
 
 _FIXED_MULTI_ORACLE = """
 SELECT src, key, name, aux FROM (
@@ -169,9 +176,14 @@ SELECT src, key, name, aux FROM (
     UNION ALL
     SELECT 'skipbad', CAST(COUNT(*) AS BIGINT), 'bad', 0
     FROM nation WHERE n_nationkey % 5 = 0
+    UNION ALL
+    SELECT 'jdbc', CAST(n_nationkey AS BIGINT), n_name, n_regionkey
+    FROM nation
 )
 ORDER BY src, key
 """
+
+_DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
 
 _REC_LEN = 24  # 4 (key) + 16 (name) + 4 (regionkey), space-padded
 
@@ -252,10 +264,28 @@ def scan_fixed_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("skipbad").alias("src"), "key", F.lit("bad").alias("name"),
         F.lit(0).alias("aux"),
     )
+
+    # JDBC branch: real write→partitioned-read through embedded Derby
+    url = f"jdbc:derby:{os.path.join(base, 'derby_db')};create=true"
+    write_jdbc(
+        nation.select("n_nationkey", "n_name", "n_regionkey"),
+        url, "nation_jdbc", mode="overwrite", properties=_DERBY_PROPS,
+    )
+    jdbc_back = read_jdbc_partitioned(
+        spark, url, "nation_jdbc",
+        split_column="n_nationkey", lower=0, upper=24, num_partitions=4,
+        properties=_DERBY_PROPS,
+    ).select(
+        F.lit("jdbc").alias("src"),
+        F.col("n_nationkey").cast("long").alias("key"),
+        F.trim("n_name").alias("name"),
+        F.col("n_regionkey").cast("int").alias("aux"),
+    )
     return (
         fixed.unionByName(multi)
         .unionByName(skip_good)
         .unionByName(skip_bad)
+        .unionByName(jdbc_back)
         .orderBy("src", "key")
     )
 

@@ -197,8 +197,10 @@ def read_jdbc_partitioned(
 ) -> DataFrame:
     """DataDrivenDBInputFormat parity: JDBC scan split into WHERE-range
     chunks over a numeric column — Spark's JDBC partitioning IS the
-    descendant of this (SURVEY §2.1). Untested on-box (no JDBC server
-    in the container); kept thin on purpose."""
+    descendant of this (SURVEY §2.1). Tested end to end against
+    embedded Derby (ships in Spark's jars): unit roundtrip asserts the
+    split count, and the 'jdbc' branch of scan_fixed_multi hash-checks
+    a write→partitioned-read roundtrip in the driver gate."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if split_column is not None:
         reader = (
