@@ -160,6 +160,9 @@ ORDER BY query_id, rnk
 @register("sim_ann_lsh", _ann_lsh_oracle(), tags=("similarity",),
           doc="Approximate top-5 via multi-table LSH (16 tables x 6 bits, md5-derived hyperplanes, md5-ordered hot-bucket cap); oracle recomputes buckets+rescore exactly; recall unit test vs brute force.")
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Measured variance note (round 3): 2.0 s warm on a quiet box,
+    # 2.5–3.0 s in-bench under host contention — the spread is load,
+    # not plan (signature subtree is cache-reused across bench passes).
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_topk(emb, k=5).orderBy("query_id", "rnk")
 
