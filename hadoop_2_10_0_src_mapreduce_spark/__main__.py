@@ -44,6 +44,8 @@ def main(argv: list[str] | None = None) -> int:
                      metavar="key=value", help="Spark conf override")
     run.add_argument("--output", help="write result parquet here instead of printing")
     run.add_argument("--limit", type=int, default=20, help="rows to print")
+    run.add_argument("--explain", action="store_true",
+                     help="print the formatted physical plan instead of executing")
 
     args = ap.parse_args(argv)
 
@@ -64,7 +66,12 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(f"cli:{args.query}", extra_conf=_conf_pairs(args.conf))
     spark.sparkContext.setLogLevel("ERROR")
     df = qs[args.query](spark, args.sf_dir)
-    if args.output:
+    if args.explain:
+        # the plan-inspection loop the engine is tuned with: check for
+        # PushedFilters / ReadSchema pruning / broadcast vs shuffle
+        # joins / WholeStageCodegen spans before running at scale
+        df.explain("formatted")
+    elif args.output:
         df.write.mode("error").parquet(args.output)
     else:
         df.show(args.limit, truncate=False)

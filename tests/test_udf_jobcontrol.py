@@ -100,3 +100,7 @@ def test_cli_list_and_run(spark, tmp_path, capsys):
     assert spark.read.parquet(out).count() > 0
 
     assert main(["run", "no_such_query"]) == 2
+
+    assert main(["run", "flagship_pricing_join", "--explain"]) == 0
+    plan = capsys.readouterr().out
+    assert "Physical Plan" in plan and "Scan parquet" in plan
