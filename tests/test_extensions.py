@@ -248,6 +248,41 @@ def test_pairs_topk_rounds_half_away_from_zero():
     assert list(np.round(vals, 6)) == [0.123456, -0.123456]  # the bug this avoids
 
 
+def test_tfidf_top_terms_matches_duckdb(spark, duck):
+    """Oracle-grade check without a registry slot: DuckDB recomputes
+    the identical rational-idf expression tree over the same documents;
+    every (id, rnk, term, tfidf) must match exactly."""
+    from hadoop_2_10_0_src_mapreduce_spark.functions.text import TOKEN_PATTERN, tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    got = {
+        (r.id, r.rnk, r.term, r.tfidf)
+        for r in tfidf_top_terms(docs, "text", "doc_id", k=3).collect()
+    }
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+    expected = {
+        tuple(row)
+        for row in duck.execute(f"""
+            WITH t AS (SELECT doc_id AS id, unnest({toks}) AS term FROM documents),
+            tf AS (SELECT id, term, COUNT(*) AS cnt FROM t GROUP BY id, term),
+            lens AS (SELECT id, SUM(cnt) AS n_d FROM tf GROUP BY id),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT COUNT(DISTINCT id) AS n_docs FROM tf),
+            scored AS (
+                SELECT tf.id, tf.term,
+                       round((tf.cnt / lens.n_d) * ((n.n_docs + 1) / (dfreq.df + 1)), 6) AS tfidf
+                FROM tf JOIN lens USING (id) JOIN dfreq USING (term), n
+            )
+            SELECT id, rnk, term, tfidf FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                           ORDER BY tfidf DESC, term) AS rnk
+                FROM scored
+            ) WHERE rnk <= 3
+        """).fetchall()
+    }
+    assert got == expected
+
+
 def test_cosine_self_is_one(spark):
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(5)
     sims = emb.select(
