@@ -546,6 +546,58 @@ def ann_lsh_topk(
     return _global_topk(sym, k)
 
 
+def quantize_embeddings(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization: per-vector scale = max|v| / 127,
+    qvec[i] = round(v[i] / scale) ∈ [-127, 127]. The vector payload
+    shrinks 4–8× (float32/64 → int8), which at corpus scale is the
+    difference in every ANN shuffle, index store, and Arrow transfer;
+    the standard recipe is: generate candidates on qvec, rescore the
+    few survivors against the float vectors (``_score_pairs``-style
+    join-back). Entirely JVM (aggregate/transform — no Python, no
+    UDF). Zero vectors quantize to zeros (scale floor avoids 0/0).
+
+    Returns (id, qvec array<tinyint>, scale double);
+    ``dequantize_embeddings`` inverts to within scale/2 per component.
+    """
+    v = _as_double(vec_col)
+    amax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = F.greatest(amax / F.lit(127.0), F.lit(1e-30))
+    return emb.select(
+        F.col(id_col),
+        F.transform(
+            v, lambda x: F.round(x / scale).cast("tinyint")
+        ).alias("qvec"),
+        scale.alias("scale"),
+    )
+
+
+def dequantize_embeddings(
+    qemb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+    scale_col: str = "scale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of ``quantize_embeddings``: v̂[i] = qvec[i]·scale, max
+    per-component error scale/2 (half a quantization step)."""
+    return qemb.select(
+        F.col(id_col),
+        F.transform(
+            F.col(qvec_col), lambda q: q.cast("double") * F.col(scale_col)
+        ).alias(out_col),
+    )
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     *,

@@ -248,6 +248,43 @@ def test_pairs_topk_rounds_half_away_from_zero():
     assert list(np.round(vals, 6)) == [0.123456, -0.123456]  # the bug this avoids
 
 
+def test_quantize_embeddings_roundtrip_and_recall(spark):
+    """int8 quantization: reconstruction error ≤ scale/2 per component,
+    and top-5 brute force on dequantized vectors keeps high recall vs
+    float — the quantized-candidates + float-rescore contract."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = similarity.quantize_embeddings(emb)
+    deq = similarity.dequantize_embeddings(q)
+    err = (
+        emb.join(deq.withColumnRenamed("embedding", "e2"), "vec_id")
+        .join(q.select("vec_id", "scale"), "vec_id")
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    similarity._as_double("embedding"),
+                    F.col("e2"),
+                    lambda a, b: F.abs(a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ).alias("max_err"),
+            (F.col("scale") / 2 * 1.0001).alias("bound"),  # fp slack
+        )
+    )
+    assert err.where(F.col("max_err") > F.col("bound")).count() == 0
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, emb, k=5).collect()
+    }
+    qtop = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(deq, deq, k=5).collect()
+    }
+    recall = len(qtop & brute) / len(brute)
+    assert recall >= 0.8, f"int8 recall collapsed: {recall:.3f}"
+
+
 def test_tfidf_top_terms_matches_duckdb(spark, duck):
     """Oracle-grade check without a registry slot: DuckDB recomputes
     the identical rational-idf expression tree over the same documents;
