@@ -78,8 +78,16 @@ def read_text_lines(
     with_offset: bool = False,
     num_partitions: int | None = None,
     lines_per_split: int | None = None,
+    glob_filter: str | None = None,
+    recursive: bool = False,
 ) -> DataFrame:
     """TextInputFormat parity: one row per line, column ``value``.
+
+    ``glob_filter``/``recursive`` are FileInputFormat's PathFilter +
+    recursive-listing knobs (``setInputPathFilter`` /
+    ``mapreduce.input.fileinputformat.input.dir.recursive`` [H]):
+    ``glob_filter="*.txt"`` keeps only matching files from the listing,
+    ``recursive=True`` descends into subdirectories.
 
     ``with_offset`` adds a ``key`` column standing in for the byte
     offset LongWritable key (monotonic per-partition id — offsets were
@@ -99,9 +107,14 @@ def read_text_lines(
     identity can. RDD API on purpose: this is per-partition *placement*
     control, which DataFrames deliberately don't expose.
     """
+    reader = spark.read
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
     if lines_per_split:
         n = lines_per_split
-        lines = spark.read.text(path).rdd.map(lambda r: r.value)
+        lines = reader.text(path).rdd.map(lambda r: r.value)
         total = lines.count()
         n_splits = max(1, -(-total // n))
         parted = lines.zipWithIndex().map(lambda t: (t[1] // n, t)).partitionBy(
@@ -117,7 +130,7 @@ def read_text_lines(
         return spark.createDataFrame(
             parted.map(lambda kv: (kv[1][0],)), "value string"
         )
-    df = spark.read.text(path)
+    df = reader.text(path)
     if num_partitions:
         df = df.repartition(num_partitions)
     if with_offset:

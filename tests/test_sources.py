@@ -148,6 +148,23 @@ def test_mapfile_point_lookup_prunes_to_one_bucket(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_mapfile")
 
 
+def test_read_text_path_filter_and_recursive(spark, tmp_path):
+    """FileInputFormat PathFilter + recursive-listing parity: a glob
+    keeps only matching files; recursive descends subdirectories."""
+    import os
+
+    d = tmp_path / "mixed"
+    sub = d / "nested"
+    os.makedirs(sub)
+    (d / "a.txt").write_text("keep-1\n")
+    (d / "b.dat").write_text("drop-1\n")
+    (sub / "c.txt").write_text("keep-2\n")
+    flat = read_text_lines(spark, str(d), glob_filter="*.txt")
+    assert sorted(r.value for r in flat.collect()) == ["keep-1"]
+    deep = read_text_lines(spark, str(d), glob_filter="*.txt", recursive=True)
+    assert sorted(r.value for r in deep.collect()) == ["keep-1", "keep-2"]
+
+
 def test_compression_codec_matrix(spark, tmp_path):
     """Codec parity (SURVEY §2.1: DefaultCodec/Gzip/Deflate/BZip2 +
     modern lz4/snappy): transparent by-extension (de)compression must
