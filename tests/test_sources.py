@@ -148,6 +148,23 @@ def test_mapfile_point_lookup_prunes_to_one_bucket(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_mapfile")
 
 
+def test_lazy_output_skips_empty_partitions(spark, tmp_path):
+    """LazyOutputFormat parity: empty partitions produce no part files
+    (Spark may emit one empty file for the first task; the other empty
+    partitions must be skipped, unlike the reference's default
+    one-file-per-reducer)."""
+    import os
+
+    p = str(tmp_path / "lazy")
+    df = spark.range(100).select(
+        (F.col("id") % 2).alias("k"), F.col("id").cast("string").alias("value")
+    )
+    df.repartition(8, "k").select("value").write.text(p)
+    parts = [f for f in os.listdir(p) if f.startswith("part")]
+    assert len(parts) <= 3  # ≥5 of the 8 (mostly empty) partitions skipped
+    assert spark.read.text(p).count() == 100
+
+
 def test_read_text_path_filter_and_recursive(spark, tmp_path):
     """FileInputFormat PathFilter + recursive-listing parity: a glob
     keeps only matching files; recursive descends subdirectories."""
