@@ -236,13 +236,15 @@ def minhash_lsh_pairs(
     sh = _shingled(df, text_col, id_col, k)
     inv = _df_capped(_hashed_index(sh), max_doc_freq).persist()
     sigs = _minhash_from_index(inv, num_hashes).persist()
+    # xxhash64 hashes the sliced array directly (recursive over
+    # elements) — no per-band string materialization
     banded = sigs.select(
         "id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda i: F.xxhash64(
-                    F.slice("sig", i * rows_per_band + 1, rows_per_band).cast("string")
+                    F.slice("sig", i * rows_per_band + 1, rows_per_band)
                 ),
             )
         ).alias("band_idx", "band_hash"),
