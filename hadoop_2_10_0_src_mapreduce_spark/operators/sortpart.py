@@ -133,6 +133,25 @@ def sort_validate(df: DataFrame, *cols: str) -> DataFrame:
     )
 
 
+def sample_split_points(
+    df: DataFrame, col: str, num_partitions: int, *, relative_error: float = 0.01
+) -> list:
+    """InputSampler parity (CORE/mapreduce/lib/partition/InputSampler
+    [H]): sample the data and return ``num_partitions - 1`` cut points
+    that split ``col`` into ~equal ranges — what TotalOrderPartitioner
+    consumed. Spark's ``orderBy`` does this internally (reservoir
+    sampling in RangePartitioner); this explicit form is for users who
+    persist the partition map (the reference wrote it to a partition
+    FILE and reused it across jobs — the analog here is feeding these
+    points to repartitionByRange-equivalent routing or bucketed
+    writes). Distributed Greenwald-Khanna sketch; only the
+    ``num_partitions - 1`` doubles reach the driver."""
+    if num_partitions < 2:
+        return []
+    qs = [i / num_partitions for i in range(1, num_partitions)]
+    return df.stat.approxQuantile(col, qs, relative_error)
+
+
 def repartition_by_binary_range(
     df: DataFrame, n: int, col: str | Column, *, offset: int = 0, length: int = 4
 ) -> DataFrame:

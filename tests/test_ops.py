@@ -89,6 +89,21 @@ def test_repartition_by_binary_range(spark):
     assert all(len(pids) == 1 for pids in by_prefix.values())
 
 
+def test_sample_split_points_balance(spark):
+    """InputSampler parity: the returned cut points must split the
+    column into roughly equal ranges (each of the 4 ranges holds
+    15-35% of uniform data at 1% sketch error)."""
+    df = spark.range(10_000).select(F.col("id").cast("double").alias("v"))
+    pts = sortpart.sample_split_points(df, "v", 4)
+    assert len(pts) == 3 and pts == sorted(pts)
+    bounds = [float("-inf"), *pts, float("inf")]
+    n = df.count()
+    for lo, hi in zip(bounds, bounds[1:]):
+        frac = df.where((F.col("v") > lo) & (F.col("v") <= hi)).count() / n
+        assert 0.15 <= frac <= 0.35, f"unbalanced range ({lo}, {hi}]: {frac}"
+    assert sortpart.sample_split_points(df, "v", 1) == []
+
+
 def test_value_aggregator_spec_dispatch(spark):
     from hadoop_2_10_0_src_mapreduce_spark.operators.aggregations import (
         value_aggregator,
