@@ -44,6 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hadoop_2_10_0_src_mapreduce_spark.functions.text import fingerprint, tokens
 
@@ -182,6 +183,50 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return _jaccard_from_counts(counted, _index_sizes(inv), threshold)
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 3,
+    threshold: float = 0.6, max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Prefix-filtered variant of ``ngram_jaccard_pairs`` — the
+    standard sub-quadratic similarity-join technique (prefix filtering,
+    per the public AllPairs/PPJoin literature): sort every document's
+    shingles by a GLOBAL rarity order (df asc, hash asc) and index only
+    the first ``|d| − ceil(t·|d|) + 1`` of them. Any pair with
+    J ≥ t must collide on at least one indexed (prefix) shingle, so
+    candidate generation is LOSSLESS while the self-join touches a
+    t-fraction-smaller index whose keys are also the RAREST shingles —
+    the frequent keys that dominate the plain index join's output are
+    exactly the ones the prefix drops. Survivors are exact-verified via
+    the count join, so results are identical to the plain path (pinned
+    by test). Prefer this form at corpus scale; the plain path remains
+    the oracle-mirrored catalog query.
+
+    Extra cost vs plain: one df-table join + a per-document window
+    (bounded by doc shingle count) to rank shingles, and the verify
+    re-joins the full index for surviving candidates only.
+    """
+    sh = _shingled(df, text_col, id_col, k)
+    inv = _df_capped(_hashed_index(sh), max_doc_freq).persist()
+    dfreq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = _index_sizes(inv)
+    w = Window.partitionBy("id").orderBy("_df", "h")
+    ranked = (
+        inv.join(dfreq, "h")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(sizes, "id")
+        .where(F.col("_pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        .select("id", "h")
+    )
+    cands = (
+        ranked.alias("x")
+        .join(ranked.alias("y"), "h")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    return _exact_jaccard_on_candidates(cands, inv, threshold)
 
 
 def minhash_signatures(

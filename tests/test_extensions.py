@@ -79,6 +79,57 @@ def test_minhash_lsh_recall_equals_exact(spark, dup_corpus):
     assert lsh == exact
 
 
+def test_prefix_filter_jaccard_equals_plain(spark, dup_corpus):
+    """Prefix filtering must be LOSSLESS: the filtered join's exact
+    output equals the plain inverted-index path at both thresholds
+    (lemma: a J≥t pair always collides on an indexed prefix shingle)."""
+    for t in (0.6, 0.8):
+        plain = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(
+                dup_corpus, "text", "doc_id", threshold=t, max_doc_freq=100
+            ).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs_prefix(
+                dup_corpus, "text", "doc_id", threshold=t, max_doc_freq=100
+            ).collect()
+        }
+        assert plain, "corpus must plant near-dup pairs"
+        assert pref == plain
+
+
+def test_prefix_filter_prunes_candidates(spark, dup_corpus):
+    """The point of the prefix: the candidate self-join must touch far
+    fewer pairs than the plain index join (here the prefix index drops
+    the common shingles, which generate most collisions)."""
+    from pyspark.sql import functions as F
+
+    sh = dedup._shingled(dup_corpus, "text", "doc_id", 3)
+    inv = dedup._df_capped(dedup._hashed_index(sh), 100).persist()
+    plain_pairs = (
+        inv.alias("x").join(inv.alias("y"), "h")
+        .where(F.col("x.id") < F.col("y.id")).count()
+    )
+    dfreq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = dedup._index_sizes(inv)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy("_df", "h")
+    ranked = (
+        inv.join(dfreq, "h").withColumn("_pos", F.row_number().over(w))
+        .join(sizes, "id")
+        .where(F.col("_pos") <= F.col("n") - F.ceil(F.lit(0.6) * F.col("n")) + 1)
+        .select("id", "h")
+    )
+    pref_pairs = (
+        ranked.alias("x").join(ranked.alias("y"), "h")
+        .where(F.col("x.id") < F.col("y.id")).count()
+    )
+    assert pref_pairs < plain_pairs / 2, (pref_pairs, plain_pairs)
+
+
 def test_df_cap_drops_stop_shingles(spark):
     """Hot-key guard: a shingle shared by every doc (the join key that
     goes quadratic at scale) is dropped when its document frequency
