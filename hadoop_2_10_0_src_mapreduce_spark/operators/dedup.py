@@ -185,6 +185,49 @@ def ngram_jaccard_pairs(
     return _jaccard_from_counts(counted, _index_sizes(inv), threshold)
 
 
+def winnowing_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Content-defined document fingerprints via winnowing (the rolling
+    min-hash selection of the public MOSS literature): over the
+    sequence of k-token shingle hashes, take the minimum of every
+    window of ``w`` consecutive hashes; the distinct minima are the
+    document's fingerprints. Guarantees: any shared run of w+k-1 tokens
+    between two documents yields at least one shared fingerprint, and
+    LOCAL edits perturb only the fingerprints whose windows overlap the
+    edit — unlike a whole-document hash, which any edit flips. Density
+    is ~2/(w+1) of positions, so the fingerprint set is a bounded
+    fraction of document size.
+
+    Pure Column expressions over the positional shingle chain
+    (zip_with window minima — no Python, no shuffle; one projection).
+    Returns (id, fp) exploded rows — feed to exact-dedup grouping or an
+    inverted index exactly like shingle hashes."""
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
+    )
+    n_windows = F.greatest(F.size("_toks") - (k - 1), F.lit(0))
+    slices = [F.slice("_toks", j + 1, n_windows) for j in range(k)]
+    sh = F.transform(slices[0], lambda t: F.xxhash64(t))
+    for s in slices[1:]:
+        sh = F.zip_with(sh, s, lambda acc, t: F.xxhash64(acc, t))
+    shingled = base.select("id", sh.alias("_sh")).where(F.size("_sh") > 0)
+    # rolling min over windows of w: fold w shifted copies with least()
+    n_wins = F.greatest(F.size("_sh") - (w - 1), F.lit(0))
+    mins = F.slice("_sh", 1, n_wins)
+    for j in range(1, w):
+        mins = F.zip_with(
+            mins, F.slice("_sh", j + 1, n_wins), lambda a, b: F.least(a, b)
+        )
+    # short docs (< w shingles): the whole sequence is one window
+    fps = F.when(
+        F.size("_sh") >= w, mins
+    ).otherwise(F.array(F.array_min("_sh")))
+    return shingled.select(
+        "id", F.explode(F.array_distinct(fps)).alias("fp")
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame, text_col: str, id_col: str, *, k: int = 3,
     threshold: float = 0.6, max_doc_freq: int | None = None,

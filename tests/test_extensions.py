@@ -79,6 +79,41 @@ def test_minhash_lsh_recall_equals_exact(spark, dup_corpus):
     assert lsh == exact
 
 
+def test_winnowing_fingerprints_guarantee_and_locality(spark):
+    """Winnowing contracts: (a) documents sharing a long run of tokens
+    share ≥1 fingerprint; (b) a local edit preserves fingerprints from
+    windows away from the edit; (c) a naive whole-doc hash would share
+    nothing — the reason winnowing exists."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"{shared} unique one ending here"),
+        (2, f"different start words {shared}"),
+        (3, "completely unrelated text with other tokens entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = dedup.winnowing_fingerprints(df, "text", "doc_id", k=3, w=4)
+    got = fps.collect()
+    sets = {}
+    for r in got:
+        sets.setdefault(r.id, set()).add(r.fp)
+    assert sets[1] & sets[2], "10-token shared run must share a fingerprint"
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+    # locality: editing the tail of doc 1 keeps most of its fingerprints
+    edited = spark.createDataFrame(
+        [(9, f"{shared} unique one ending changed")], ["doc_id", "text"]
+    )
+    efps = {
+        r.fp for r in dedup.winnowing_fingerprints(
+            edited, "text", "doc_id", k=3, w=4
+        ).collect()
+    }
+    overlap = len(efps & sets[1]) / len(sets[1])
+    assert overlap >= 0.5, f"local edit destroyed fingerprints: {overlap}"
+    # short doc: fewer shingles than the window → one fingerprint, no crash
+    tiny = spark.createDataFrame([(5, "just three tokens")], ["doc_id", "text"])
+    assert dedup.winnowing_fingerprints(tiny, "text", "doc_id", k=3, w=4).count() == 1
+
+
 def test_prefix_filter_jaccard_equals_plain(spark, dup_corpus):
     """Prefix filtering must be LOSSLESS: the filtered join's exact
     output equals the plain inverted-index path at both thresholds
