@@ -408,11 +408,14 @@ def _pairs_topk(
     cids, cmat = cids[order], cmat[order]
     qn = np.linalg.norm(qmat, axis=1)
     cn = np.linalg.norm(cmat, axis=1)
-    sims = (qmat @ cmat.T) / np.outer(qn, cn)
-    # zero-norm vectors make NaN sims; F.desc would rank NaN FIRST, so
-    # mask every non-finite like self-pairs — ranked last, same as the
-    # JVM path's NULL. Round half-AWAY-from-zero to match F.round /
-    # DuckDB round (np.round is half-to-even).
+    # zero-norm vectors make 0/0 = NaN sims BY DESIGN (masked just
+    # below); errstate keeps the expected invalid-divide quiet
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sims = (qmat @ cmat.T) / np.outer(qn, cn)
+    # F.desc would rank NaN FIRST, so mask every non-finite like
+    # self-pairs — ranked last, same as the JVM path's NULL. Round
+    # half-AWAY-from-zero to match F.round / DuckDB round (np.round is
+    # half-to-even).
     sims[~np.isfinite(sims)] = -np.inf
     scale = 10.0**round_digits
     sims = np.copysign(np.floor(np.abs(sims) * scale + 0.5), sims) / scale
