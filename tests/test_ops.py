@@ -9,6 +9,30 @@ from hadoop_2_10_0_src_mapreduce_spark.operators import (
 )
 
 
+def test_sum_minmax_by_key_helpers(spark):
+    """The thin LongSumReducer / Value{Max,Min} parity wrappers."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 4), ("b", 2)], ["k", "v"]
+    )
+    sums = {r.k: r.sum for r in aggregations.sum_by_key(df, ["k"], "v").collect()}
+    assert sums == {"a": 5, "b": 2}
+    mm = {
+        r.k: (r.min_value, r.max_value)
+        for r in aggregations.minmax_by_key(df, ["k"], "v").collect()
+    }
+    assert mm == {"a": (1, 4), "b": (2, 2)}
+
+
+def test_total_order_sort_partitions_globally_ordered(spark):
+    """Sort/TeraSort parity contract: every row in partition i sorts
+    before every row in partition i+1 (range partitioning), not just
+    within-partition order."""
+    df = spark.createDataFrame([(i,) for i in (5, 3, 9, 1, 7, 2, 8)], ["v"])
+    parts = sortpart.total_order_sort(df.repartition(4), "v").rdd.glom().collect()
+    flat = [r.v for p in parts for r in p]
+    assert flat == sorted(flat)  # concatenating partitions IS the sort
+
+
 def test_override_join_rightmost_wins(spark):
     a = spark.createDataFrame([(1, "a1"), (2, "a2")], ["key", "value"])
     b = spark.createDataFrame([(2, "b2"), (3, "b3")], ["key", "value"])
