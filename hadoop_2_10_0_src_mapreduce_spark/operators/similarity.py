@@ -195,9 +195,13 @@ def _score_pairs_arrow(
     ``scored.union(scored.select(swapped))`` would re-evaluate the
     whole join+scoring subtree once per branch (mapInArrow is not an
     exchange, so ReuseExchange cannot dedupe it)."""
-    qv = emb.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv"))
+    # ship vectors in their SOURCE width (float32 for the fixtures) and
+    # upcast inside numpy: float32→float64 is exact, so the sequential
+    # accumulation sees the same doubles as a JVM-side cast would
+    # produce, and the Arrow transfer + join payload halve
+    qv = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     nv = emb.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_nv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
     )
     paired = cands.join(qv, "query_id").join(nv, "neighbor_id")
     id_type = {f.name: f.dataType.simpleString() for f in emb.schema.fields}[id_col]
@@ -213,8 +217,8 @@ def _score_pairs_arrow(
             cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
             # ListArray.flatten() hands back the contiguous values
             # buffer (offset-aware) — an O(1) view, no per-row objects
-            q = np.asarray(cols["_qv"].flatten()).reshape(n, -1)
-            c = np.asarray(cols["_nv"].flatten()).reshape(n, -1)
+            q = np.asarray(cols["_qv"].flatten()).astype(np.float64).reshape(n, -1)
+            c = np.asarray(cols["_nv"].flatten()).astype(np.float64).reshape(n, -1)
             dot = np.zeros(n)
             qn = np.zeros(n)
             nn = np.zeros(n)
