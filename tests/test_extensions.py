@@ -371,6 +371,25 @@ def test_quantize_embeddings_roundtrip_and_recall(spark):
     assert recall >= 0.8, f"int8 recall collapsed: {recall:.3f}"
 
 
+def test_ann_lsh_on_quantized_vectors_keeps_recall(spark):
+    """The quantized-index contract end to end: build the LSH index and
+    score over int8-dequantized vectors (4-8x cheaper to move), compare
+    against float brute force — recall must hold near the float ANN's
+    own level."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    deq = similarity.dequantize_embeddings(similarity.quantize_embeddings(emb))
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, emb, k=5).collect()
+    }
+    ann_q = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_lsh_topk(deq, k=5).collect()
+    }
+    recall = len(ann_q & brute) / len(brute)
+    assert recall >= 0.3, f"quantized ANN recall collapsed: {recall:.3f}"
+
+
 def test_tfidf_top_terms_matches_duckdb(spark, duck):
     """Oracle-grade check without a registry slot: DuckDB recomputes
     the identical rational-idf expression tree over the same documents;
