@@ -24,18 +24,26 @@ caller needs:
   values to per-pair evaluation, a fraction of the work — interpreted
   higher-order functions are the cost center, measured ~25 µs per
   extra array pass per pair).
-- grouped-BLAS (``_pairs_topk`` under applyInPandas): for the IVF
-  top-k path the (list, block) shard IS a co-partition, so each
-  group's similarity block is one numpy matmul over Arrow batches —
-  no per-pair expression evaluation at all, and each group emits only
-  its per-query top-k, so the global re-rank sees ≤ groups·k rows per
-  query instead of every candidate pair. ``_shard_blocks`` caps every
-  group at ~2·block_size rows, so a hot list costs extra shuffle rows,
-  never executor memory. The LSH top-k path instead generates DISTINCT
-  candidate id pairs (hot buckets capped deterministically) and
-  rescored through the exact-sequential join-back — slightly more
-  shuffle than block scoring, in exchange for bit-exact oracle
-  verifiability of the whole query.
+- grouped block scoring (``_pairs_topk`` under applyInPandas): for
+  the IVF top-k path the (list, block) shard IS a co-partition, so
+  each group's similarity block is one vectorized numpy pass over
+  Arrow batches — no per-pair expression evaluation at all, and each
+  group emits only its per-query top-k, so the global re-rank sees
+  ≤ groups·k rows per query instead of every candidate pair. The
+  block dot accumulates with one vectorized multiply-add PER
+  DIMENSION, left to right (``_seq_matdot``) — same ops, same order,
+  same binary64 rounding as the JVM/DuckDB sequential paths, so the
+  whole IVF query (training included, see ``_kmeans_spherical``) is
+  bit-replayable by an external oracle. vs a single BLAS matmul this
+  is d strided passes over the block instead of one — same
+  asymptotics, and the block caps (``_shard_blocks``) bound the
+  constant. ``_shard_blocks`` caps every group at ~2·block_size
+  rows, so a hot list costs extra shuffle rows, never executor
+  memory. The LSH top-k path instead generates DISTINCT candidate id
+  pairs (hot buckets capped deterministically) and rescored through
+  the exact-sequential join-back — slightly more shuffle than block
+  scoring, in exchange for bit-exact oracle verifiability of the
+  whole query.
 """
 
 from __future__ import annotations
@@ -47,6 +55,36 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _seq_sq_norms(mat: np.ndarray) -> np.ndarray:
+    """Per-row Σxᵈ² with one vectorized multiply-add per dimension,
+    left to right — bit-identical to JVM ``aggregate(zip_with(v,v))``
+    and DuckDB ``list_inner_product(v, v)`` (same sequential binary64
+    rounding), unlike ``np.linalg.norm``'s pairwise reduction."""
+    acc = np.zeros(len(mat))
+    for d in range(mat.shape[1]):
+        acc += mat[:, d] * mat[:, d]
+    return acc
+
+
+def _seq_matdot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """All-pairs dot block (len(a) × len(b)) accumulated sequentially
+    per dimension — the matmul-shaped twin of ``_seq_sq_norms``; every
+    (i, j) cell is bit-identical to ``list_inner_product(a_i, b_j)``.
+    d strided passes instead of one BLAS call: same asymptotics, and
+    callers bound the block size (k-means sample / _shard_blocks)."""
+    acc = np.zeros((len(a), len(b)))
+    for d in range(a.shape[1]):
+        acc += a[:, d : d + 1] * b[:, d][None, :]
+    return acc
+
+
+def _md5_key(x) -> tuple[str, object]:
+    """Deterministic engine-independent ordering key: (md5 hex of the
+    decimal id string, id) — the same (md5(CAST(id AS VARCHAR)), id)
+    any SQL engine computes, used for seeding and caps."""
+    return (hashlib.md5(str(x).encode()).hexdigest(), x)
 
 
 def _as_double(col: Column | str) -> Column:
@@ -226,7 +264,10 @@ def _score_pairs_arrow(
                 dot += q[:, d] * c[:, d]
                 qn += q[:, d] * q[:, d]
                 nn += c[:, d] * c[:, d]
-            sims = dot / (np.sqrt(qn) * np.sqrt(nn))
+            # 0/0 → NaN pass-through is intentional (same as the SQL
+            # path); errstate just silences the expected warning spam
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = dot / (np.sqrt(qn) * np.sqrt(nn))
             sims = np.copysign(np.floor(np.abs(sims) * scale + 0.5), sims) / scale
             qa, na = cols["query_id"], cols["neighbor_id"]
             sa = pa.array(sims)
@@ -370,6 +411,14 @@ def lsh_signatures(
     def batches(it):
         for pdf in it:
             mat = np.stack(pdf[vec_col].map(np.asarray))
+            if mat.shape[1] != planes.shape[1]:
+                # fail fast: silently truncating/ignoring dimensions
+                # would quietly diverge buckets from the oracle
+                raise ValueError(
+                    f"lsh_signatures: vectors have dim {mat.shape[1]} but "
+                    f"planes were built for dim {planes.shape[1]}; pass "
+                    f"dim= (or planes=) matching the embedding width"
+                )
             if exact:
                 mat = mat.astype(np.float64)
                 acc = np.zeros((len(mat), planes.shape[0]))
@@ -403,19 +452,21 @@ def _pairs_topk(
     k: int,
     round_digits: int,
 ) -> pd.DataFrame:
-    """One group's similarity block as a single BLAS matmul, then the
-    per-query top-k with the engine's deterministic tie order (rounded
-    sim desc, neighbor_id asc). Self-pairs (same id on both sides) are
-    excluded. Runs inside applyInPandas — cost is bounded by the group
-    (list/bucket) size, never the corpus."""
+    """One group's similarity block as one vectorized pass per
+    dimension (``_seq_matdot`` — bit-identical to the JVM/DuckDB
+    sequential cosine, so the IVF query hashes against its oracle),
+    then the per-query top-k with the engine's deterministic tie order
+    (rounded sim desc, neighbor_id asc). Self-pairs (same id on both
+    sides) are excluded. Runs inside applyInPandas — cost is bounded
+    by the group (list/bucket) size, never the corpus."""
     order = np.argsort(cids, kind="stable")  # id-asc columns → stable ties
     cids, cmat = cids[order], cmat[order]
-    qn = np.linalg.norm(qmat, axis=1)
-    cn = np.linalg.norm(cmat, axis=1)
+    qn = np.sqrt(_seq_sq_norms(qmat))
+    cn = np.sqrt(_seq_sq_norms(cmat))
     # zero-norm vectors make 0/0 = NaN sims BY DESIGN (masked just
     # below); errstate keeps the expected invalid-divide quiet
     with np.errstate(invalid="ignore", divide="ignore"):
-        sims = (qmat @ cmat.T) / np.outer(qn, cn)
+        sims = _seq_matdot(qmat, cmat) / np.outer(qn, cn)
     # F.desc would rank NaN FIRST, so mask every non-finite like
     # self-pairs — ranked last, same as the JVM path's NULL. Round
     # half-AWAY-from-zero to match F.round / DuckDB round (np.round is
@@ -612,45 +663,78 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_iters: int = 5,
-    seed: int = 42,
     max_train: int = 4096,
 ) -> np.ndarray:
     """Spherical k-means centroids, trained driver-side on a BOUNDED
     sample — never the full corpus. When the corpus exceeds
-    ``max_train`` rows, a deterministic hash stride
-    (pmod(xxhash64(id), ceil(n/max_train)) == 0) keeps ~max_train
-    vectors regardless of partitioning, so training is reproducible and
-    the driver holds at most max_train·dim doubles (a few MB) however
-    large the corpus grows. Centroids converge from a few hundred
-    vectors per list, so the cap does not hurt quality; only the
-    [n_centroids, dim] matrix — kilobytes — is broadcast for
-    assignment. Fixed-seed init + id-ordered sample keep lists
-    reproducible run-to-run."""
+    ``max_train`` rows, a deterministic hash stride keeps ~max_train
+    vectors regardless of partitioning: id survives iff
+    uint32(md5(id)[:8]) % ceil(n/max_train) == 0 — md5 rather than
+    xxhash64 so ANY engine (the DuckDB oracle included) reproduces the
+    exact sample. The driver holds at most max_train·dim doubles (a
+    few MB) however large the corpus grows; centroids converge from a
+    few hundred vectors per list, so the cap does not hurt quality,
+    and only the [n_centroids, dim] matrix — kilobytes — is broadcast
+    for assignment.
+
+    Scale note: the ``count()`` here is a second pass over the input —
+    inherent to the stride contract (the reference's samplers scanned
+    client-side the same way; cf. ``JC-TEST/mapred/SortValidator.java``
+    [H] conventions per SURVEY §0). Callers training over an expensive
+    upstream plan should ``.cache()`` it first; ``ann_ivf_topk`` reads
+    a parquet scan where the second pass is a cheap metadata count.
+
+    Training is deterministic end to end (md5-seeded init, sequential
+    float accumulation — see ``_kmeans_spherical``), so the returned
+    centroids are a pure function of the data that an external SQL
+    oracle replays bit-for-bit."""
     sample = emb.select(id_col, vec_col)
     n = sample.count()
     if n > max_train:
         stride = -(-n // max_train)  # ceil
-        sample = sample.where(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
-        )
-    pdf = sample.orderBy(id_col).select(vec_col).toPandas()
+        h32 = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        sample = sample.where(h32 % F.lit(stride) == 0)
+    pdf = sample.orderBy(id_col).toPandas()
+    ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-    return _kmeans_spherical(mat, n_centroids, n_iters, seed)
+    return _kmeans_spherical(ids, mat, n_centroids, n_iters)
 
 
 def _kmeans_spherical(
-    mat: np.ndarray, n_centroids: int, n_iters: int, seed: int
+    ids: np.ndarray, mat: np.ndarray, n_centroids: int, n_iters: int
 ) -> np.ndarray:
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    rng = np.random.default_rng(seed)
-    cents = mat[rng.choice(len(mat), n_centroids, replace=False)]
+    """Deterministic, engine-replayable spherical k-means.
+
+    Every float reduction is SEQUENTIAL (``_seq_sq_norms`` /
+    ``_seq_matdot`` / member-ordered mean accumulation), every source
+    of randomness is md5-derived (init = the first ``n_centroids``
+    sample vectors ordered by (md5(id), id) — the ``md5_planes``
+    trick applied to seeding), and ties in the argmax assignment break
+    toward the lowest centroid index — so a SQL engine can unroll the
+    same ``n_iters`` iterations as CTE stages and reproduce the
+    centroids bit-for-bit (see ``_ann_ivf_oracle`` in
+    plans/catalog/simops.py). ``mat`` rows must arrive in id order
+    (train_ivf_centroids orders the sample); the mean accumulates over
+    members in that order, matching the oracle's
+    ``list(x ORDER BY id)`` sequential sum."""
+    mat = mat / np.sqrt(_seq_sq_norms(mat))[:, None]
+    init = sorted(range(len(ids)), key=lambda i: _md5_key(ids[i]))
+    cents = mat[init[:n_centroids]].copy()
     for _ in range(n_iters):
-        assign = (mat @ cents.T).argmax(axis=1)
+        # first-max argmax == ROW_NUMBER() ... ORDER BY dot DESC, c ASC
+        assign = _seq_matdot(mat, cents).argmax(axis=1)
         for c in range(n_centroids):
             members = mat[assign == c]
             if len(members):
-                cents[c] = members.mean(axis=0)
-        cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+                acc = np.zeros(mat.shape[1])
+                for v in members:  # id-ordered sequential accumulation
+                    acc = acc + v
+                cents[c] = acc / len(members)
+        # renormalize ALL centroids (kept-old ones included) — the
+        # oracle replays the same blanket renormalization
+        cents = cents / np.sqrt(_seq_sq_norms(cents))[:, None]
     return cents
 
 
@@ -671,15 +755,22 @@ def ivf_assign(
     corpus-side filing (probe_rank = 0) and the query-side fan-out.
     ``keep_vec`` carries the vector along (n_probe copies) so a
     downstream groupBy(list_id) co-locates each list's vectors — the
-    physical layout of a sharded IVF index."""
+    physical layout of a sharded IVF index.
+
+    Assignment math is sequential-exact (``_seq_sq_norms`` /
+    ``_seq_matdot``) with a STABLE probe sort (ties by centroid index
+    asc), so the probed lists are bit-reproducible by the SQL oracle's
+    ``ORDER BY dot DESC, c`` ranking."""
     bc = emb.sparkSession.sparkContext.broadcast(centroids)
 
     def batches(it):
         cents = bc.value
         for pdf in it:
             mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            order = np.argsort(-(mat @ cents.T), axis=1)[:, :n_probe]
+            mat = mat / np.sqrt(_seq_sq_norms(mat))[:, None]
+            order = np.argsort(-_seq_matdot(mat, cents), axis=1, kind="stable")[
+                :, :n_probe
+            ]
             base = pdf if keep_vec else pdf.drop(columns=[vec_col])
             for p in range(n_probe):
                 out = base.copy()
@@ -757,11 +848,20 @@ def ann_ivf_topk(
     corpus filing (a vector lives in exactly one home list) and ALL
     rows are query probes. Lists are then sharded into blocks of
     ≤ ~``block_size`` rows per side (``_shard_blocks``), each block
-    scores as one BLAS matmul and emits per-query top-k, and the
-    global re-rank merges ≤ blocks·k rows per query — exact within
-    the probed set. Vectors shuffle once, partitioned by (list,
-    block) — a sharded IVF index's layout — and every pandas group is
-    memory-bounded however large or skewed the corpus."""
+    scores as one vectorized numpy pass and emits per-query top-k,
+    and the global re-rank merges ≤ blocks·k rows per query — exact
+    within the probed set. Vectors shuffle once, partitioned by
+    (list, block) — a sharded IVF index's layout — and every pandas
+    group is memory-bounded however large or skewed the corpus.
+
+    Deterministic and ORACLE-EXACT end to end: md5-seeded sequential
+    k-means training, stable sequential probe assignment, and
+    sequential block cosine mean an external SQL engine can replay the
+    entire query — approximation and all — by unrolling the k-means
+    iterations as CTE stages (``_ann_ivf_oracle`` in
+    plans/catalog/simops.py does exactly that; the driver hash-checks
+    it). Block-shard membership need not be replayed: the final top-k
+    is block-invariant (test_ivf_sharded_blocks_match_single_block)."""
     vecs = emb.select(id_col, vec_col)
     cents = train_ivf_centroids(
         vecs, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids

@@ -168,10 +168,115 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- IVF ANN (data-learned lists; the other half of the ANN dial) ------
+# Oracle-checkable since round 4: training is deterministic (init =
+# first n_centroids sample vectors by (md5(id), id); every float
+# reduction sequential), so DuckDB re-runs the whole spherical k-means
+# as n_iters unrolled CTE stages — argmax-assign via ROW_NUMBER over
+# list_inner_product, member-ordered mean via
+# list_inner_product(list(x ORDER BY id), ones) (sequential sum), same
+# blanket renormalization — then replays probe assignment and the
+# sequential cosine rescore. Block-shard membership is NOT replayed:
+# the final top-k is block-invariant (proven by
+# test_ivf_sharded_blocks_match_single_block), so the oracle computes
+# the global rank directly. Same md5-seeding philosophy as
+# _ann_lsh_oracle / dedup_simhash.
+
+_IVF_HEX2INT = " + ".join(
+    f"(instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+    for j in range(8)
+)
 
 
-@register("sim_ann_ivf", None, tags=("similarity",),
-          doc="Approximate top-5 via IVF: spherical k-means lists, queries probe 4/16 nearest lists; rows-only check + recall unit test vs brute force.")
+def _ann_ivf_oracle(
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    n_probe: int = 4,
+    max_train: int = 4096,
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    # uint32 of md5(id)[:8] — the training-sample stride hash
+    u32 = (
+        f"(SELECT {_IVF_HEX2INT} FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h))"
+    )
+    parts = [f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+vn AS (
+    SELECT vec_id, list_transform(v, x -> x / nrm) AS nv
+    FROM (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
+),
+samp AS (
+    SELECT vec_id, nv FROM vn
+    WHERE ({u32}) %
+          (SELECT CAST(CEIL(COUNT(*) / {max_train}.0) AS BIGINT) FROM e) = 0
+),
+cent_0 AS (
+    SELECT rn - 1 AS c, nv AS vec FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+               nv
+        FROM samp) WHERE rn <= {n_centroids}
+)"""]
+    for i in range(1, n_iters + 1):
+        parts.append(f""",
+assign_{i} AS (
+    SELECT vec_id, c FROM (
+        SELECT s.vec_id, ct.c,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                   ORDER BY list_inner_product(s.nv, ct.vec) DESC, ct.c) AS rn
+        FROM samp s CROSS JOIN cent_{i - 1} ct) WHERE rn = 1
+),
+sums_{i} AS (
+    SELECT a.c, d.di,
+           list_inner_product(
+               list(s.nv[d.di + 1] ORDER BY s.vec_id),
+               list_transform(list(s.nv[d.di + 1] ORDER BY s.vec_id),
+                              y -> CAST(1 AS DOUBLE))) AS sm,
+           COUNT(*) AS cnt
+    FROM assign_{i} a JOIN samp s USING (vec_id) CROSS JOIN range({dim}) d(di)
+    GROUP BY a.c, d.di
+),
+merged_{i} AS (
+    SELECT o.c, COALESCE(nw.vec, o.vec) AS vec
+    FROM cent_{i - 1} o LEFT JOIN
+         (SELECT c, list(sm / cnt ORDER BY di) AS vec FROM sums_{i} GROUP BY c) nw
+         USING (c)
+),
+cent_{i} AS (
+    SELECT c, list_transform(vec, x -> x / nrm) AS vec
+    FROM (SELECT c, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM merged_{i})
+)""")
+    parts.append(f""",
+probes AS (
+    SELECT vec_id, c AS list_id, rn - 1 AS probe_rank FROM (
+        SELECT vn.vec_id, ct.c,
+               ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+                   ORDER BY list_inner_product(vn.nv, ct.vec) DESC, ct.c) AS rn
+        FROM vn CROSS JOIN cent_{n_iters} ct) WHERE rn <= {n_probe}
+),
+home AS (SELECT vec_id, list_id FROM probes WHERE probe_rank = 0),
+scored AS (
+    SELECT p.vec_id AS query_id, h.vec_id AS neighbor_id,
+           round(list_inner_product(q.v, nb.v) /
+                 (sqrt(list_inner_product(q.v, q.v)) *
+                  sqrt(list_inner_product(nb.v, nb.v))), 6) AS sim
+    FROM probes p JOIN home h ON p.list_id = h.list_id AND p.vec_id <> h.vec_id
+    JOIN e q ON q.vec_id = p.vec_id
+    JOIN e nb ON nb.vec_id = h.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, rnk, neighbor_id, sim
+FROM ranked WHERE rnk <= {k}
+ORDER BY query_id, rnk""")
+    return "".join(parts)
+
+
+@register("sim_ann_ivf", _ann_ivf_oracle(), tags=("similarity",),
+          doc="Approximate top-5 via IVF: md5-seeded deterministic spherical k-means lists, queries probe 4/16 nearest lists; oracle unrolls the k-means iterations as CTE stages and replays probes+rescore exactly; recall unit test vs brute force.")
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_ivf_topk(emb, k=5).orderBy("query_id", "rnk")
