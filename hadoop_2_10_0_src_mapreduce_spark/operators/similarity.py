@@ -519,6 +519,7 @@ def capped_lsh_buckets(
     n_tables: int = 16,
     dim: int = 64,
     max_bucket: int = 1024,
+    cap_salts: int = 16,
 ) -> DataFrame:
     """(id, table_idx, bucket) membership rows for the deterministic
     md5-plane LSH, with the hot-bucket guard applied: membership in any
@@ -530,21 +531,41 @@ def capped_lsh_buckets(
     dedup's shingle df-cap, and like there, an over-full bucket carries
     ~no discriminating power, so dropping its tail costs recall only
     where LSH had stopped helping anyway. Only ids shuffle; vectors
-    never enter the signature or cap exchanges."""
+    never enter the signature or cap exchanges.
+
+    The cap itself is TWO-LEVEL so it is not a skew funnel: a naive
+    ``row_number() OVER (PARTITION BY table, bucket)`` would pull a
+    degenerate bucket's entire membership through one window task just
+    to keep 1024 rows. Instead each row salts into one of
+    ``cap_salts`` sub-groups (pmod(xxhash64(id), s) — salt choice
+    never affects the result, so engine-independence is not needed
+    here), each sub-group is capped at ``max_bucket``, and the
+    ≤ s·max_bucket survivors take the final cap. Output is IDENTICAL
+    to the one-level cap: any row among the bucket's global smallest
+    ``max_bucket`` by (md5(id), id) is necessarily among its own
+    salt's smallest ``max_bucket``, so level 1 never drops a final
+    survivor. No window partition ever exceeds max(bucket/s,
+    s·max_bucket) rows."""
     sigs = lsh_signatures(
         emb.select(id_col, vec_col),
         vec_col=vec_col,
         n_planes=n_planes,
         n_tables=n_tables,
         planes=md5_planes(n_tables, n_planes, dim),
+    ).withColumn("_capkey", F.md5(F.col(id_col).cast("string")))
+    w1 = Window.partitionBy("table_idx", "bucket", "_salt").orderBy(
+        "_capkey", id_col
     )
-    w = Window.partitionBy("table_idx", "bucket").orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
+    w2 = Window.partitionBy("table_idx", "bucket").orderBy("_capkey", id_col)
     return (
-        sigs.withColumn("_rn", F.row_number().over(w))
+        sigs.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(cap_salts)).cast("int")
+        )
+        .withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= max_bucket)
+        .withColumn("_rn", F.row_number().over(w2))
         .where(F.col("_rn") <= max_bucket)
-        .drop("_rn")
+        .drop("_rn1", "_rn", "_salt", "_capkey")
     )
 
 

@@ -127,6 +127,63 @@ def test_lsh_hot_bucket_membership_capped(spark):
     assert per_bucket.where(F.col("count") == 50).count() > 0
 
 
+def test_lsh_two_level_cap_matches_one_level_and_spreads_skew(spark):
+    """The cap must not itself be a skew funnel: the salted two-level
+    cap has to (a) produce EXACTLY the one-level cap's output — the
+    global smallest max_bucket by (md5(id), id) are a subset of every
+    salt's smallest max_bucket, so level 1 never drops a survivor —
+    and (b) actually split the degenerate bucket across salts so no
+    level-1 window partition sees the whole membership."""
+    from pyspark.sql.window import Window
+
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+        capped_lsh_buckets,
+        lsh_signatures,
+        md5_planes,
+    )
+
+    n_hot, max_bucket, cap_salts = 3000, 50, 8
+    emb = _degenerate_corpus(spark, n_hot=n_hot, n_cold=40)
+    two_level = capped_lsh_buckets(
+        emb, dim=8, max_bucket=max_bucket, cap_salts=cap_salts
+    )
+
+    # reference: the plain one-level cap over the same signatures
+    sigs = lsh_signatures(
+        emb.select("vec_id", "embedding"),
+        vec_col="embedding",
+        planes=md5_planes(16, 6, 8),
+    )
+    w = Window.partitionBy("table_idx", "bucket").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    one_level = (
+        sigs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r.vec_id, r.table_idx, r.bucket) for r in df.collect()
+    )
+    assert key(two_level) == key(one_level)
+
+    # level-1 partitions are (table, bucket, salt): the hot bucket's
+    # n_hot members spread across cap_salts sub-groups, so no single
+    # level-1 window partition holds the full membership, and level 2
+    # sees at most cap_salts·max_bucket survivors per bucket
+    salted = sigs.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(cap_salts)).cast("int")
+    )
+    max_sub = (
+        salted.groupBy("table_idx", "bucket", "_salt")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_sub < n_hot  # genuinely split
+    assert max_sub < 3 * n_hot // cap_salts  # and roughly evenly
+
+
 def test_ivf_hot_list_blocks_bounded(spark):
     """One degenerate IVF list (every vector identical → one home list)
     must shard into blocks none of which exceeds ~2·block_size rows —
