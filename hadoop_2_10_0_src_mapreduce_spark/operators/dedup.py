@@ -38,6 +38,16 @@ than a single chunk's 2^8.
 Determinism: all hashing is Spark's xxhash64 with fixed seeds — stable
 across processes, machines, and runs. No Python anywhere in the dedup
 row path.
+
+Caching contract: the pair generators ``persist()`` their multiply-read
+intermediates (inverted index, signatures) and deliberately do NOT
+unpersist them — the returned DataFrame is lazy and still reads those
+frames, and repeated calls in one session reuse the warm blocks (the
+bench's steady-state numbers rely on this). The blocks are evictable
+(MEMORY_AND_DISK under the storage-memory cap), so they degrade, not
+leak; a long-lived service that is DONE with dedup results and wants
+the memory back should call ``spark.catalog.clearCache()`` at its
+batch boundary.
 """
 
 from __future__ import annotations

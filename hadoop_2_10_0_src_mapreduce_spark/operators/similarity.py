@@ -44,6 +44,14 @@ caller needs:
   the exact-sequential join-back — slightly more shuffle than block
   scoring, in exchange for bit-exact oracle verifiability of the
   whole query.
+
+Caching contract: the ANN paths ``persist()`` their multiply-read
+intermediates (capped bucket memberships, probe assignments) and do
+NOT unpersist them — the returned DataFrame is lazy and still reads
+those frames, and repeated calls in one session reuse the warm blocks.
+They are evictable MEMORY_AND_DISK blocks, so they degrade rather
+than leak; call ``spark.catalog.clearCache()`` at a batch boundary to
+release them deliberately.
 """
 
 from __future__ import annotations

@@ -97,19 +97,37 @@ WHERE a.doc_id < b.doc_id
 """
 
 _NGRAM_ORACLE = f"""
-SELECT * FROM ({_JACCARD_SQL_PAIRS})
-WHERE jaccard >= 0.6
-ORDER BY id_a, id_b
+WITH pairs AS ({_JACCARD_SQL_PAIRS})
+SELECT 'plain' AS branch, id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6
+UNION ALL
+SELECT 'prefix' AS branch, id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+ORDER BY branch, id_a, id_b
 """
 
 
 @register("dedup_ngram_jaccard", _NGRAM_ORACLE, tags=("dedup",),
-          doc="n-gram Jaccard near-dup pairs (3-token shingles, J≥0.6, stop-shingle df-cap) via inverted-index candidates; oracle brute-forces O(n²) with the same cap.")
+          doc="n-gram Jaccard near-dup pairs via TWO hash-checked branches: the plain inverted-index join at J≥0.6 and the prefix-filtered (AllPairs/PPJoin-style) join at J≥0.8 — its winning regime; oracle brute-forces O(n²) with the same df-cap at both thresholds.")
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Branch pattern (cf. scan_fixed_multi): both similarity-join
+    # strategies share one driver slot, each hash-checked. 'prefix'
+    # runs at its measured crossover regime — high thresholds index
+    # only ~|d|·(1−t) rare shingles per doc, so candidate volume
+    # collapses; prefix filtering is lossless, so its output equals
+    # the brute-force pairs at the same threshold.
     corpus = corpus_with_dups(spark, sf_dir)
-    return dedup.ngram_jaccard_pairs(
+    plain = dedup.ngram_jaccard_pairs(
         corpus, "text", "doc_id", k=3, threshold=0.6, max_doc_freq=_DF_CAP
-    ).orderBy("id_a", "id_b")
+    )
+    prefix = dedup.ngram_jaccard_pairs_prefix(
+        corpus, "text", "doc_id", k=3, threshold=0.8, max_doc_freq=_DF_CAP
+    )
+    return (
+        plain.select(F.lit("plain").alias("branch"), "id_a", "id_b", "jaccard")
+        .unionByName(
+            prefix.select(F.lit("prefix").alias("branch"), "id_a", "id_b", "jaccard")
+        )
+        .orderBy("branch", "id_a", "id_b")
+    )
 
 
 # --- MinHash + LSH -----------------------------------------------------

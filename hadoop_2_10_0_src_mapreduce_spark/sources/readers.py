@@ -98,14 +98,24 @@ def read_text_lines(
     ``lines_per_split=N`` is exact NLineInputFormat parity
     (CORE/mapreduce/lib/input/NLineInputFormat.java [H]): EVERY
     partition holds exactly N consecutive lines (the last one ≤ N), in
-    file order. Implementation is the distributed analog of the
-    reference's client-side split scan: ``zipWithIndex`` assigns global
-    contiguous line numbers with one lightweight per-partition count
-    job (no single-partition funnel), then an identity int partitioner
-    routes ``floor(idx / N)`` → its own partition — hash partitioning
-    can't guarantee one split per partition (collisions merge splits),
-    identity can. RDD API on purpose: this is per-partition *placement*
-    control, which DataFrames deliberately don't expose.
+    file order — and the within-partition ORDER is structural, not an
+    artifact: the shuffle is a ``repartitionAndSortWithinPartitions``
+    sorted by the carried global line number, so multi-file /
+    multi-partition sources keep file order inside every split.
+    Implementation is the distributed analog of the reference's
+    client-side split scan: one per-partition count job fixes global
+    contiguous line numbers (its sum is the total — no separate
+    ``count()`` pass), then an identity int partitioner routes
+    ``floor(idx / N)`` → its own partition — hash partitioning can't
+    guarantee one split per partition (collisions merge splits),
+    identity can. RDD API on purpose: this is per-partition
+    *placement* control, which DataFrames deliberately don't expose.
+
+    Scale note: the source is scanned exactly TWICE — the count job
+    and the real read (inherent to the contract; the reference's
+    NLineInputFormat also pre-scanned client-side). When the input is
+    an expensive upstream transform rather than a raw file, cache it
+    first so the second pass hits memory.
     """
     reader = spark.read
     if glob_filter:
@@ -115,20 +125,39 @@ def read_text_lines(
     if lines_per_split:
         n = lines_per_split
         lines = reader.text(path).rdd.map(lambda r: r.value)
-        total = lines.count()
+        # pass 1 (the only extra scan): per-partition line counts →
+        # global offsets, total = their sum (what zipWithIndex does
+        # internally, but reusing the counts saves its third scan)
+        counts = lines.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+        offsets = [0]
+        for c in counts[:-1]:
+            offsets.append(offsets[-1] + c)
+        total = sum(counts)
         n_splits = max(1, -(-total // n))
-        parted = lines.zipWithIndex().map(lambda t: (t[1] // n, t)).partitionBy(
-            n_splits, lambda k: k
+        bco = spark.sparkContext.broadcast(offsets)
+
+        def index_part(pi, it):
+            base = bco.value[pi]
+            for i, v in enumerate(it):
+                idx = base + i
+                yield ((idx // n, idx), v)
+
+        parted = lines.mapPartitionsWithIndex(
+            index_part
+        ).repartitionAndSortWithinPartitions(
+            numPartitions=n_splits,
+            partitionFunc=lambda k: k[0],  # identity on the split id
+            keyfunc=lambda k: k[1],  # file order within the split
         )
         if with_offset:
-            # the zipWithIndex line number IS the key here — closer to
+            # the global line number IS the key here — closer to
             # LineRecordReader's offset key than the monotonic id below
             # (global, contiguous, file-ordered)
             return spark.createDataFrame(
-                parted.map(lambda kv: (kv[1][1], kv[1][0])), "key long, value string"
+                parted.map(lambda kv: (kv[0][1], kv[1])), "key long, value string"
             )
         return spark.createDataFrame(
-            parted.map(lambda kv: (kv[1][0],)), "value string"
+            parted.map(lambda kv: (kv[1],)), "value string"
         )
     df = reader.text(path)
     if num_partitions:

@@ -24,6 +24,8 @@ wrappers choosing format/layout:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -131,16 +133,36 @@ def lookup_sorted_bucketed(
     Planning detail: Spark's DisableUnnecessaryBucketedScan rule strips
     bucket info from filter-only plans (it only values bucketing for
     exchange avoidance, not pruning), which would silently scan all N
-    buckets. The lookup therefore plans inside an ISOLATED
-    ``newSession()`` (shared SparkContext + catalog, private SQL conf)
-    with that rule off: the caller's session conf is never touched (no
-    race with concurrently planning queries), and every DataFrame
-    DERIVED from the returned one re-plans in the isolated session, so
-    the bucket pruning holds for downstream filters/projections too —
-    not just the first action."""
-    iso = spark.newSession()
-    iso.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    buckets. The lookup therefore plans inside an ISOLATED session
+    (shared SparkContext + catalog, private SQL conf) with that rule
+    off: the caller's session conf is never touched (no race with
+    concurrently planning queries), and every DataFrame DERIVED from
+    the returned one re-plans in the isolated session, so the bucket
+    pruning holds for downstream filters/projections too — not just
+    the first action. ONE isolated session is memoized per
+    SparkContext (not one per call): a long-lived process doing many
+    point lookups reuses it instead of accumulating sessions, at the
+    documented cost that all lookups share that session's conf."""
+    iso = _lookup_session(spark)
     return iso.table(table_name).where(F.col(key) == F.lit(key_value))
+
+
+def _lookup_session(spark: SparkSession) -> SparkSession:
+    """The memoized bucket-pruning session for ``lookup_sorted_bucketed``
+    — created once per SparkContext, keyed weakly off the context so a
+    stop/restart cycle gets a fresh session instead of a stale one."""
+    ctx = spark.sparkContext
+    iso = _LOOKUP_SESSIONS.get(ctx)
+    if iso is None:
+        iso = spark.newSession()
+        iso.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        _LOOKUP_SESSIONS[ctx] = iso
+    return iso
+
+
+_LOOKUP_SESSIONS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def jdbc_write_options(

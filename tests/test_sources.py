@@ -94,6 +94,33 @@ def test_read_text_lines_exact_n_per_split(spark, tmp_path):
     assert rows == [(i, i) for i in range(25)]
 
 
+def test_read_text_lines_multifile_order_and_two_scans(spark, tmp_path):
+    """The round-4 hardening: with a MULTI-file source (5 part files,
+    interleaved values) the within-partition order must still be file
+    order — structurally, via the sorted shuffle — and the whole read
+    must scan the source exactly twice (the count job + the real
+    read), observable as exactly two Spark jobs."""
+    p = str(tmp_path / "nline_multi")
+    spark.range(40).select(F.col("id").cast("string").alias("value")).repartition(
+        5
+    ).write.text(p)
+    expected = [r.value for r in spark.read.text(p).collect()]  # source order
+    assert expected != sorted(expected)  # interleaved → order is a real claim
+
+    sc = spark.sparkContext
+    sc.setJobGroup("nline-two-pass", "scan-count gate")
+    try:
+        parts = read_text_lines(spark, p, lines_per_split=6).rdd.glom().collect()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("nline-two-pass")
+    assert len(jobs) == 2, f"expected count job + read job, got {len(jobs)}"
+
+    assert [len(part) for part in parts] == [6] * 6 + [4]
+    flat = [r.value for part in parts for r in part]
+    assert flat == expected  # file order across AND within splits
+
+
 def test_read_csv_skip_bad_records(spark, tmp_path):
     from hadoop_2_10_0_src_mapreduce_spark.sources.readers import (
         read_csv_skip_bad_records,
@@ -144,6 +171,16 @@ def test_mapfile_point_lookup_prunes_to_one_bucket(spark, tmp_path):
         dplan = derived._jdf.queryExecution().executedPlan().toString()
         assert "SelectedBucketsCount: 1 out of 8" in dplan
         assert [r.v for r in derived.collect()] == [84]
+        # the isolated session is memoized per SparkContext — repeated
+        # lookups must NOT accumulate sessions (round-4 ADVICE fix)
+        from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+            _lookup_session,
+        )
+
+        hit2 = lookup_sorted_bucketed(spark, "t_mapfile", "k", 7)
+        assert hit.sparkSession is hit2.sparkSession
+        assert _lookup_session(spark) is hit.sparkSession
+        assert hit.sparkSession is not spark
     finally:
         spark.sql("DROP TABLE IF EXISTS t_mapfile")
 
