@@ -116,21 +116,59 @@ def stream_dedup_within_watermark(
     key_cols: tuple[str, ...] = ("event_id",),
     ts_col: str = "ts",
     watermark: str = "1 day",
+    checkpoint_dir: str | None = None,
+    out_dir: str | None = None,
 ) -> StreamingQuery:
     """Streaming exact-dedup: dropDuplicatesWithinWatermark keeps state
     only for the watermark horizon — the streaming face of
-    dedup.exact_dedup (bounded state instead of a full-corpus shuffle)."""
+    dedup.exact_dedup (bounded state instead of a full-corpus shuffle).
+
+    ``checkpoint_dir`` + ``out_dir`` make the query RESTARTABLE: the
+    memory sink refuses checkpoint recovery by design (it is not
+    fault-tolerant), so durable runs emit through ``_durable_sink``
+    (foreachBatch → parquet append) instead. A later run with the same
+    checkpoint then resumes from the committed source offsets with the
+    dedup state intact, so a key first seen before the restart is
+    still dropped after it (pinned by the replay test)."""
     src = spark.readStream.schema(schema).json(source_dir)
     deduped = src.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
-    return (
-        deduped.writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_sink(deduped, "append", sink_table, checkpoint_dir, out_dir)
+
+
+def _start_sink(
+    df: DataFrame,
+    mode: str,
+    sink_table: str,
+    checkpoint_dir: str | None,
+    out_dir: str | None,
+) -> StreamingQuery:
+    """Memory sink for interactive/test reads, or — when ``out_dir`` is
+    given — the durable twin: foreachBatch appending each micro-batch's
+    emissions to parquet. foreachBatch checkpoints offsets/commits, so
+    it RECOVERS across restarts (memory cannot); the parquet append is
+    at-least-once on failure replay, the standard foreachBatch
+    contract — make the downstream read idempotent (or MERGE) if a
+    retried batch matters."""
+    if out_dir:
+
+        def sink(batch_df: DataFrame, _batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out_dir)
+
+        writer = df.writeStream.foreachBatch(sink).outputMode(mode).trigger(
+            availableNow=True
+        )
+    else:
+        writer = (
+            df.writeStream.format("memory")
+            .queryName(sink_table)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+        )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 def stream_partitioned_sink(
@@ -170,6 +208,8 @@ def stream_running_user_totals(
     *,
     user_col: str = "user_id",
     value_col: str = "value",
+    checkpoint_dir: str | None = None,
+    out_dir: str | None = None,
 ) -> StreamingQuery:
     """Custom stateful streaming operator (applyInPandasWithState): a
     running (count, sum) per user, emitted on every update — the shape
@@ -181,7 +221,11 @@ def stream_running_user_totals(
     universe, not the stream length. In update mode each micro-batch
     emits the new running totals for users it touched, so the LAST
     emission per user equals the batch-mode groupBy aggregate — which
-    is exactly what the test asserts.
+    is exactly what the test asserts. ``checkpoint_dir`` + ``out_dir``
+    make the query restartable (durable foreachBatch sink — see
+    ``_start_sink``): a later run with the same checkpoint resumes the
+    per-user state, so totals keep accumulating across restarts
+    (pinned by the replay test).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -204,10 +248,4 @@ def stream_running_user_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return (
-        running.writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_sink(running, "update", sink_table, checkpoint_dir, out_dir)

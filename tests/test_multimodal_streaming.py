@@ -116,6 +116,94 @@ def test_streaming_dedup_within_watermark(spark, stream_source, tmp_path_factory
     assert got.c == got.d == 100
 
 
+def _write_wave(src_dir: str, name: str, rows: list[dict]) -> None:
+    import json
+    import os
+
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _ev(eid: int, uid: int, val: float, minute: int) -> dict:
+    return {
+        "event_id": eid,
+        "ts": f"2024-01-01 00:{minute:02d}:00",
+        "user_id": uid,
+        "event_type": "a",
+        "value": val,
+    }
+
+
+def test_streaming_dedup_state_survives_restart(spark, tmp_path_factory):
+    """Replay semantics across TWO availableNow passes on one
+    checkpoint: a key committed before the restart must STILL be
+    deduplicated after it (state restored from the checkpoint), and
+    the second pass must emit only genuinely-new keys."""
+    base = tmp_path_factory.mktemp("dedup_replay")
+    src, ckpt = str(base / "data"), str(base / "ckpt")
+
+    out1, out2 = str(base / "out1"), str(base / "out2")
+    _write_wave(src, "wave1.json",
+                [_ev(i, 1, float(i), i) for i in (1, 2, 3)] + [_ev(3, 1, 3.0, 4)])
+    q = sw.stream_dedup_within_watermark(
+        spark, src, EVENT_SCHEMA, checkpoint_dir=ckpt, out_dir=out1
+    )
+    q.awaitTermination(120)
+    r1 = {r.event_id for r in spark.read.parquet(out1).collect()}
+    assert r1 == {1, 2, 3}  # in-wave dup of 3 dropped
+
+    # wave 2 replays key 3 (seen BEFORE the restart) and adds 6, 7
+    _write_wave(src, "wave2.json",
+                [_ev(3, 1, 3.0, 10), _ev(6, 2, 6.0, 11), _ev(7, 2, 7.0, 12)])
+    q2 = sw.stream_dedup_within_watermark(
+        spark, src, EVENT_SCHEMA, checkpoint_dir=ckpt, out_dir=out2
+    )
+    q2.awaitTermination(120)
+    r2 = {r.event_id for r in spark.read.parquet(out2).collect()}
+    assert r2 == {6, 7}  # 3's replay dropped by RESTORED state
+
+
+def test_streaming_stateful_totals_accumulate_across_restart(spark, tmp_path_factory):
+    """applyInPandasWithState replay: per-user running totals must
+    resume from checkpointed state, so the last emission per user
+    across both passes equals the batch aggregate over ALL waves."""
+    base = tmp_path_factory.mktemp("totals_replay")
+    src, ckpt = str(base / "data"), str(base / "ckpt")
+
+    out1, out2 = str(base / "out1"), str(base / "out2")
+    _write_wave(src, "wave1.json",
+                [_ev(1, 1, 1.0, 1), _ev(2, 1, 2.0, 2), _ev(3, 2, 5.0, 3)])
+    q = sw.stream_running_user_totals(
+        spark, src, EVENT_SCHEMA, checkpoint_dir=ckpt, out_dir=out1
+    )
+    q.awaitTermination(120)
+
+    def last_emissions(out_dir):
+        best = {}
+        for r in spark.read.parquet(out_dir).collect():
+            # running counts are monotone → max n_events is the last
+            if r.user_id not in best or r.n_events > best[r.user_id][0]:
+                best[r.user_id] = (r.n_events, r.sum_value)
+        return best
+
+    run1 = last_emissions(out1)
+    assert run1 == {1: (2, 3.0), 2: (1, 5.0)}
+
+    _write_wave(src, "wave2.json", [_ev(4, 1, 4.0, 10), _ev(5, 3, 7.0, 11)])
+    q2 = sw.stream_running_user_totals(
+        spark, src, EVENT_SCHEMA, checkpoint_dir=ckpt, out_dir=out2
+    )
+    q2.awaitTermination(120)
+    run2 = last_emissions(out2)
+    # user 1 resumed at (2, 3.0) and accumulated wave 2 on top;
+    # user 2 untouched in wave 2 → no emission; user 3 is new
+    assert run2 == {1: (3, 7.0), 3: (1, 7.0)}
+    combined = {**run1, **run2}  # last emission per user across passes
+    assert combined == {1: (3, 7.0), 2: (1, 5.0), 3: (1, 7.0)}
+
+
 def test_streaming_foreachbatch_partitioned_sink(spark, stream_source, tmp_path_factory):
     """foreachBatch → write_partitioned: the streamed parquet must hold
     every event exactly once, under content-derived partition dirs —

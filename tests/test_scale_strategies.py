@@ -46,6 +46,42 @@ def test_salted_join_left_keeps_unmatched(spark):
     assert out == {(1, "a", "x"), (2, "b", None)}
 
 
+def test_aqe_skew_join_fires_on_planted_skew_without_salting(spark):
+    """Documents WHEN manual salting is actually needed: with AQE's
+    skew-join enabled and thresholds within range, Spark splits a
+    skewed shuffle partition at runtime (SortMergeJoin(skew=true)) —
+    no salting required. salted_join remains for the regimes AQE
+    can't reach: aggregation skew (AQE only splits join partitions),
+    broadcast-ineligible dimension joins below AQE's size thresholds,
+    and engines/configs with AQE off. Runs in an isolated session so
+    the lowered thresholds never leak into other tests."""
+    iso = spark.newSession()
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.shuffle.partitions": "8",
+    }.items():
+        iso.conf.set(k, v)
+    # 99% of left rows share key 0 → one shuffle partition dwarfs the rest
+    left = iso.range(200_000).select(
+        F.when(F.col("id") % 100 < 99, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = iso.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    joined = left.join(right, "k")
+    assert len(joined.collect()) == 198_010
+    # the AQE-final plan of THIS frame (collect() above finalized it)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, "AQE skew-join should have split the hot key"
+
+
 def test_salted_join_rejects_right_outer(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
