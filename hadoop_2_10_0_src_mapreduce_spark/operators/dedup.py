@@ -185,6 +185,14 @@ def ngram_jaccard_pairs(
     readers (both join sides + the size table)."""
     sh = _shingled(df, text_col, id_col, k)
     inv = _df_capped(_hashed_index(sh), max_doc_freq).persist()
+    return ngram_pairs_from_index(inv, threshold)
+
+
+def ngram_pairs_from_index(inv: DataFrame, threshold: float) -> DataFrame:
+    """The plain inverted-index Jaccard join over an ALREADY-built
+    (id, h) index — split out so callers running several strategies
+    (or thresholds) over one corpus build and persist the index ONCE
+    (the shingling pass is the dominant scalar cost)."""
     counted = (
         inv.alias("x")
         .join(inv.alias("y"), "h")
@@ -266,14 +274,31 @@ def ngram_jaccard_pairs_prefix(
     """
     sh = _shingled(df, text_col, id_col, k)
     inv = _df_capped(_hashed_index(sh), max_doc_freq).persist()
-    dfreq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
-    sizes = _index_sizes(inv)
-    w = Window.partitionBy("id").orderBy("_df", "h")
+    return prefix_pairs_from_index(inv, threshold)
+
+
+def prefix_pairs_from_index(inv: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered Jaccard join over an ALREADY-built (id, h)
+    index — the shareable core of ``ngram_jaccard_pairs_prefix`` (see
+    its docstring for the technique and the measured crossover).
+
+    The rarity ranking is ALL window functions, no aggregate+join
+    pairs: document frequency is a count window over h (one shuffle,
+    vs groupBy+join's two), and the doc size rides the same id
+    exchange as the row_number — Spark reuses one exchange for both
+    id-partitioned windows. Two total shuffles of the index before
+    the candidate join, each with nothing wider than (id, h) plus two
+    longs."""
+    wdf = Window.partitionBy("h")
+    wid = Window.partitionBy("id")
+    word = Window.partitionBy("id").orderBy("_df", "h")
     ranked = (
-        inv.join(dfreq, "h")
-        .withColumn("_pos", F.row_number().over(w))
-        .join(sizes, "id")
-        .where(F.col("_pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        inv.withColumn("_df", F.count(F.lit(1)).over(wdf))
+        .withColumn("_n", F.count(F.lit(1)).over(wid))
+        .withColumn("_pos", F.row_number().over(word))
+        .where(
+            F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        )
         .select("id", "h")
     )
     cands = (

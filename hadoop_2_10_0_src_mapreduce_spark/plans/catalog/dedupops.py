@@ -115,12 +115,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapses; prefix filtering is lossless, so its output equals
     # the brute-force pairs at the same threshold.
     corpus = corpus_with_dups(spark, sf_dir)
-    plain = dedup.ngram_jaccard_pairs(
-        corpus, "text", "doc_id", k=3, threshold=0.6, max_doc_freq=_DF_CAP
-    )
-    prefix = dedup.ngram_jaccard_pairs_prefix(
-        corpus, "text", "doc_id", k=3, threshold=0.8, max_doc_freq=_DF_CAP
-    )
+    # ONE shingle index (the dominant scalar cost), built and persisted
+    # once, feeds both strategies
+    inv = dedup._df_capped(
+        dedup._hashed_index(dedup._shingled(corpus, "text", "doc_id", 3)),
+        _DF_CAP,
+    ).persist()
+    plain = dedup.ngram_pairs_from_index(inv, 0.6)
+    prefix = dedup.prefix_pairs_from_index(inv, 0.8)
     return (
         plain.select(F.lit("plain").alias("branch"), "id_a", "id_b", "jaccard")
         .unionByName(
