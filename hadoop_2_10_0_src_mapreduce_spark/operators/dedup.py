@@ -204,7 +204,8 @@ def ngram_pairs_from_index(inv: DataFrame, threshold: float) -> DataFrame:
 
 
 def winnowing_fingerprints(
-    df: DataFrame, text_col: str, id_col: str, *, k: int = 3, w: int = 4
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 3, w: int = 4,
+    shingle_hash: str = "xxhash64",
 ) -> DataFrame:
     """Content-defined document fingerprints via winnowing (the rolling
     min-hash selection of the public MOSS literature): over the
@@ -217,18 +218,82 @@ def winnowing_fingerprints(
     is ~2/(w+1) of positions, so the fingerprint set is a bounded
     fraction of document size.
 
-    Pure Column expressions over the positional shingle chain
-    (zip_with window minima — no Python, no shuffle; one projection).
-    Returns (id, fp) exploded rows — feed to exact-dedup grouping or an
-    inverted index exactly like shingle hashes."""
+    Pure Column expressions (shingle hashing + zip_with window minima —
+    no Python, no shuffle; one projection). Returns (id, fp) exploded
+    rows — feed to exact-dedup grouping or an inverted index exactly
+    like shingle hashes.
+
+    ``shingle_hash``:
+    - "xxhash64" (default, fastest): positional chain over token
+      slices, never materializing shingle strings. Engine-internal —
+      rows-checkable only.
+    - "md5": position hash = signed int64 from the first 16 hex digits
+      of md5(shingle string) — engine-independent, so a DuckDB oracle
+      recomputes every fingerprint exactly (the dedup_simhash /
+      md5_planes technique; used by the hash-checked catalog branch).
+      Pays string materialization + md5 per position; xxhash64 stays
+      the scale default."""
     base = df.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
     )
-    n_windows = F.greatest(F.size("_toks") - (k - 1), F.lit(0))
-    slices = [F.slice("_toks", j + 1, n_windows) for j in range(k)]
-    sh = F.transform(slices[0], lambda t: F.xxhash64(t))
-    for s in slices[1:]:
-        sh = F.zip_with(sh, s, lambda acc, t: F.xxhash64(acc, t))
+    if shingle_hash == "xxhash64":
+        n_windows = F.greatest(F.size("_toks") - (k - 1), F.lit(0))
+        slices = [F.slice("_toks", j + 1, n_windows) for j in range(k)]
+        sh = F.transform(slices[0], lambda t: F.xxhash64(t))
+        for s in slices[1:]:
+            sh = F.zip_with(sh, s, lambda acc, t: F.xxhash64(acc, t))
+    elif shingle_hash == "md5":
+        # ROW-based plan with NO higher-order functions anywhere:
+        # transform()/array_join lambdas run interpreted per element
+        # (no codegen, no CSE — measured ~14× slower here), so the md5
+        # variant explodes TOKENS to rows and builds each shingle
+        # string with lead() windows (concat_ws of the next k−1
+        # tokens), hashes it in a codegen projection, and takes the
+        # rolling min as a window min over a (current row .. w−1
+        # following) frame. ONE shuffle by id; the sort is shared by
+        # every window pass. min() skips the NULL tail rows (positions
+        # with < k tokens left), and frames clip at partition end, so
+        # a short doc's position 0 covers its whole sequence — exactly
+        # the < w fallback of the array path.
+        rows = df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(tokens(text_col)).alias("_pos", "_t"),
+        )
+        worder = Window.partitionBy("id").orderBy("_pos")
+        parts = [F.col("_t")] + [
+            F.lead("_t", j).over(worder) for j in range(1, k)
+        ]
+        sh_str = F.when(
+            F.lead("_t", k - 1).over(worder).isNotNull(),
+            F.concat_ws(" ", *parts),
+        )
+        hx = F.md5(sh_str)
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+        # two's-complement reassembly: bits 32..63 come from hi's low
+        # 32 bits — the SIGNED int64 any engine can rebuild as
+        # (hi − [hi ≥ 2³¹]·2³²)·2³² + lo
+        v = F.shiftleft(hi, 32).bitwiseOR(lo)
+        wmin = worder.rowsBetween(0, w - 1)
+        wall = Window.partitionBy("id")
+        return (
+            rows.select("id", "_pos", v.alias("_v"))
+            .select(
+                "id",
+                "_pos",
+                F.col("_v"),
+                F.min("_v").over(wmin).alias("fp"),
+                F.count("_v").over(wall).alias("_nsh"),
+            )
+            .where(
+                F.col("_v").isNotNull()
+                & (F.col("_pos") <= F.greatest(F.col("_nsh") - w, F.lit(0)))
+            )
+            .select("id", "fp")
+            .distinct()
+        )
+    else:  # pragma: no cover - guard against typos at call sites
+        raise ValueError(f"unknown shingle_hash: {shingle_hash!r}")
     shingled = base.select("id", sh.alias("_sh")).where(F.size("_sh") > 0)
     # rolling min over windows of w: fold w shifted copies with least()
     n_wins = F.greatest(F.size("_sh") - (w - 1), F.lit(0))

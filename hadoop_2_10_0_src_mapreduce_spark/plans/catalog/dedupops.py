@@ -49,24 +49,97 @@ _CORPUS_SQL = f"""
     FROM documents WHERE doc_id % 7 = 0 AND len({_TOKS}) > 10
 """
 
-# --- exact dedup ------------------------------------------------------
+# --- exact dedup + winnowing (two hash-checked branches) ---------------
+# 'exact' = whole-document fingerprint groups. 'winnow' = SHARED
+# winnowing fingerprints (MOSS rolling-min selection over md5 shingle
+# hashes): fps held by ≥2 docs — the content-defined-chunk dedup view,
+# which also catches the planted truncated near-dups the exact branch
+# can't see. Oracle-checkable because the md5 variant's position hash
+# is the signed int64 of the first 16 hex digits of md5(shingle) —
+# reassembled as (hi − [hi ≥ 2³¹]·2³²)·2³² + lo, verified bit-equal to
+# Spark's shiftleft(hi,32)|lo — and window minima are integer min over
+# the same positional lists.
+
+_W = 4  # winnowing window (guarantee: shared runs of w+k−1 tokens collide)
+
+_HEX2INT_HI = " + ".join(
+    f"(instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+    for j in range(8)
+)
+_HEX2INT_LO = " + ".join(
+    f"(instr('0123456789abcdef', substring(h, {j + 9}, 1)) - 1) * {16 ** (7 - j)}"
+    for j in range(8)
+)
 
 _EXACT_ORACLE = f"""
-WITH corpus AS ({_CORPUS_SQL})
-SELECT {fingerprint_sql('text')} AS fp,
-       MIN(doc_id) AS keeper,
-       COUNT(*) AS n_copies
-FROM corpus
-GROUP BY fp
-ORDER BY keeper
+WITH corpus AS ({_CORPUS_SQL}),
+exact AS (
+    SELECT 'exact' AS branch, {fingerprint_sql('text')} AS fp,
+           MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+    FROM corpus GROUP BY fp
+),
+tok AS (
+    SELECT doc_id, {shingles_sql('text')} AS sgs FROM corpus
+    WHERE len({shingles_sql('text')}) > 0
+),
+pos AS (
+    SELECT doc_id, unnest(sgs) AS s, generate_subscripts(sgs, 1) AS i FROM tok
+),
+parsed AS (
+    SELECT doc_id, i,
+           (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+           * 4294967296 + lo AS v
+    FROM (SELECT doc_id, i, {_HEX2INT_HI} AS hi, {_HEX2INT_LO} AS lo
+          FROM (SELECT doc_id, i, md5(s) AS h FROM pos))
+),
+sigs AS (
+    SELECT doc_id, list(v ORDER BY i) AS sg FROM parsed GROUP BY doc_id
+),
+wins AS (
+    SELECT doc_id,
+           CASE WHEN len(sg) >= {_W}
+                THEN list_transform(range(1, len(sg) - {_W} + 2),
+                                    i -> list_min(sg[i:i+{_W - 1}]))
+                ELSE [list_min(sg)] END AS mins
+    FROM sigs
+),
+doc_fps AS (
+    SELECT DISTINCT doc_id, unnest(mins) AS fp FROM wins
+),
+winnow AS (
+    SELECT 'winnow' AS branch, CAST(fp AS VARCHAR) AS fp,
+           MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+    FROM doc_fps GROUP BY fp HAVING COUNT(*) >= 2
+)
+SELECT * FROM exact
+UNION ALL
+SELECT * FROM winnow
+ORDER BY branch, keeper, fp
 """
 
 
 @register("dedup_exact", _EXACT_ORACLE, tags=("dedup",),
-          doc="Exact dedup: hash-groupBy on normalized-text md5; keeper = min doc_id.")
+          doc="Exact dedup (normalized-text md5 groups) + winnowing branch: shared MOSS rolling-min fingerprints over md5 shingle hashes, both hash-checked; winnowing catches the truncated near-dups exact dedup can't.")
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_dups(spark, sf_dir)
-    return dedup.exact_dedup(corpus, "text", "doc_id").orderBy("keeper")
+    exact = dedup.exact_dedup(corpus, "text", "doc_id").select(
+        F.lit("exact").alias("branch"), "fp", "keeper", "n_copies"
+    )
+    winnow = (
+        dedup.winnowing_fingerprints(
+            corpus, "text", "doc_id", k=3, w=_W, shingle_hash="md5"
+        )
+        .groupBy("fp")
+        .agg(F.min("id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") >= 2)
+        .select(
+            F.lit("winnow").alias("branch"),
+            F.col("fp").cast("string").alias("fp"),
+            "keeper",
+            "n_copies",
+        )
+    )
+    return exact.unionByName(winnow).orderBy("branch", "keeper", "fp")
 
 
 # --- n-gram Jaccard (inverted-index candidates vs O(n²) oracle) -------

@@ -114,6 +114,40 @@ def test_winnowing_fingerprints_guarantee_and_locality(spark):
     assert dedup.winnowing_fingerprints(tiny, "text", "doc_id", k=3, w=4).count() == 1
 
 
+def test_winnowing_md5_mode_same_contracts(spark):
+    """The oracle-replayable md5 variant (lead-window rows instead of
+    array lambdas) must honor the same winnowing contracts as the
+    xxhash64 array path — same selection positions, different hash
+    family — including the short-doc whole-sequence fallback."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"{shared} unique one ending here"),
+        (2, f"different start words {shared}"),
+        (3, "completely unrelated text with other tokens entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sets = {}
+    for r in dedup.winnowing_fingerprints(
+        df, "text", "doc_id", k=3, w=4, shingle_hash="md5"
+    ).collect():
+        sets.setdefault(r.id, set()).add(r.fp)
+    assert sets[1] & sets[2], "10-token shared run must share a fingerprint"
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+    # density contract: ~2/(w+1) of positions, never more than all
+    for i, s in sets.items():
+        assert 1 <= len(s) <= 12
+    # NOTE: per-doc counts may differ from the xxhash64 path — the
+    # argmin POSITIONS depend on the hash values, so the two families
+    # legitimately select different window minima.
+    tiny = spark.createDataFrame([(5, "just three tokens")], ["doc_id", "text"])
+    assert (
+        dedup.winnowing_fingerprints(
+            tiny, "text", "doc_id", k=3, w=4, shingle_hash="md5"
+        ).count()
+        == 1
+    )
+
+
 def test_prefix_filter_jaccard_equals_plain(spark, dup_corpus):
     """Prefix filtering must be LOSSLESS: the filtered join's exact
     output equals the plain inverted-index path at both thresholds
