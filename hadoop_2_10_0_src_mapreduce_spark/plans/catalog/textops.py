@@ -24,10 +24,12 @@ ORDER BY labeled_lang, pred_lang
           doc="Language-ID heuristic (stopword profiles + CJK chars): predicted vs labeled confusion counts.")
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # tokenize once, below the scoring projection (shared regex pass)
+    toked = docs.select("lang", "text", T.tokens("text").alias("_toks"))
     return (
-        docs.select(
+        toked.select(
             F.col("lang").alias("labeled_lang"),
-            T.lang_id("text").alias("pred_lang"),
+            T.lang_id("text", F.col("_toks")).alias("pred_lang"),
         )
         .groupBy("labeled_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -80,15 +82,18 @@ ORDER BY doc_id
           doc="Per-document token counts (whitespace-ish + BPE-ish) and quality features (length/punct/stopword/digit ratios) + composite score, in one scan.")
 def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    feats = T.quality_features("text")
-    return docs.select(
+    # tokenize once, below the scoring projection (shared regex pass)
+    toked = docs.select("doc_id", "text", T.tokens("text").alias("_toks"))
+    tc = F.col("_toks")
+    feats = T.quality_features("text", tc)
+    return toked.select(
         "doc_id",
         feats["n_chars"].alias("n_chars"),
         feats["n_tokens"].alias("n_tokens"),
         T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
         *[feats[name].alias(name) for name in
           ("mean_token_len", "punct_ratio", "stopword_ratio", "digit_ratio")],
-        T.quality_score("text").alias("quality"),
+        T.quality_score("text", tc).alias("quality"),
     ).orderBy("doc_id")
 
 
