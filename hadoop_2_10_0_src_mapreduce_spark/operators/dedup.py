@@ -119,18 +119,37 @@ def _jaccard_from_counts(counted: DataFrame, sizes: DataFrame,
 
 def _exact_jaccard_on_candidates(cands: DataFrame, inv: DataFrame,
                                  threshold: float) -> DataFrame:
-    """Exact-Jaccard verify of candidate pairs without shuffling shingle
-    arrays: count shared shingles by double inverted-index join. Joins
-    run on the 64-bit shingle hash, not the string — same counts
-    (distinct shingles stay distinct mod a ~2^-64 collision), far
-    cheaper to broadcast and compare."""
-    counted = (
-        cands.join(inv.withColumnRenamed("id", "id_a"), "id_a")
-        .join(inv.withColumnRenamed("id", "id_b"), ["id_b", "h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    """Exact-Jaccard verify of candidate pairs: rebuild each doc's
+    (capped) shingle-hash SET once, join the two sets to every pair,
+    and count the intersection per row with ``array_intersect`` — ONE
+    row per candidate pair end to end. The alternative (explode each
+    pair by its |A| shingles and count matches through a second
+    inverted-index join) shuffles pairs·|A| rows and re-aggregates
+    them; measured 1.5 s vs 0.3 s on 164k candidates at sf0.1. Sets
+    are distinct by construction (_shingled array_distincts), so the
+    intersection size is exactly the count-join's c; sizes come from
+    the same arrays, so Jaccard-over-retained-shingles is unchanged.
+    Hashes (8 bytes) keep the set payload ~50× smaller than shingle
+    strings; per-doc set size is bounded by document length, not
+    corpus size, so the per-row arrays stay small at any scale."""
+    sets = inv.groupBy("id").agg(F.collect_list("h").alias("_sh"))
+    a = sets.select(F.col("id").alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("_sh").alias("_shb"))
+    per_pair = cands.join(a, "id_a").join(b, "id_b").select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("_sha", "_shb")).alias("c"),
+        F.size("_sha").alias("n_a"),
+        F.size("_shb").alias("n_b"),
     )
-    return _jaccard_from_counts(counted, _index_sizes(inv), threshold)
+    return (
+        per_pair.withColumn(
+            "jaccard",
+            F.round(F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def _hashed_index(shingled: DataFrame) -> DataFrame:
