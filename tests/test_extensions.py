@@ -271,6 +271,60 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.3, f"IVF recall collapsed: {recall:.3f}"
 
 
+def test_ivf_training_deterministic_and_replayable(spark):
+    """Round-4 exactness contract of the k-means: training twice gives
+    the BIT-identical centroid matrix (md5-seeded init, sequential
+    reductions — no RNG, no BLAS reassociation), centroids are exactly
+    unit-norm under the engine's own sequential norm, and a driver-side
+    numpy replay of the same recipe reproduces the matrix — the same
+    property the DuckDB oracle relies on."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    c1 = similarity.train_ivf_centroids(emb, n_centroids=8)
+    c2 = similarity.train_ivf_centroids(emb, n_centroids=8)
+    assert c1.shape == (8, 64)
+    assert np.array_equal(c1, c2)  # bit-equal, not just close
+
+    # unit norm under the SEQUENTIAL norm the engine itself uses
+    n = np.sqrt(similarity._seq_sq_norms(c1))
+    assert np.all(np.abs(n - 1.0) < 1e-12)
+
+    # independent numpy replay from the raw parquet rows
+    pdf = emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    replay = similarity._kmeans_spherical(ids, mat, 8, 5)
+    assert np.array_equal(c1, replay)
+
+    # md5 init order is the documented (md5(str(id)), id) sort
+    order = sorted(range(len(ids)), key=lambda i: (
+        _hl.md5(str(ids[i]).encode()).hexdigest(), ids[i]))
+    nmat = mat / np.sqrt(similarity._seq_sq_norms(mat))[:, None]
+    assert np.array_equal(
+        similarity._seq_matdot(nmat[order[:1]], nmat[order[:1]]).round(12),
+        np.array([[1.0]]),
+    )
+
+
+def test_ivf_training_stride_sample_bounded_and_deterministic(spark):
+    """When the corpus exceeds max_train, the md5 stride keeps a
+    bounded deterministic sample — training must not depend on
+    partitioning and must stay reproducible."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    a = similarity.train_ivf_centroids(emb, n_centroids=4, max_train=128)
+    b = similarity.train_ivf_centroids(
+        emb.repartition(13), n_centroids=4, max_train=128
+    )
+    assert np.array_equal(a, b)  # partitioning-independent
+    full = similarity.train_ivf_centroids(emb, n_centroids=4)
+    assert not np.array_equal(a, full)  # the cap genuinely sampled
+
+
 def test_ann_ivf_exhaustive_probe_equals_bruteforce(spark):
     """Probing every list makes IVF's candidate set the whole corpus,
     so the grouped-BLAS scorer must reproduce brute force exactly —
