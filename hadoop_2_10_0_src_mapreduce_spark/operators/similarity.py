@@ -816,7 +816,8 @@ def ivf_assign(
 
 
 def _shard_blocks(
-    assigned: DataFrame, id_col: str, block_size: int
+    assigned: DataFrame, id_col: str, block_size: int, *,
+    self_query: bool = True,
 ) -> DataFrame:
     """Bound the per-group block of the IVF scorer: decompose each
     list into a 2-D grid of (corpus block ``cb``, query block ``qb``),
@@ -847,8 +848,11 @@ def _shard_blocks(
         .withColumn("qb", grid)
         .withColumn("is_corpus", F.lit(True))
     )
+    # self-ANN: every row (corpus included) probes; external queries:
+    # only the probe_rank ≥ 1 rows (the query table's fan-out) do
+    probes = sharded if self_query else sharded.where(F.col("probe_rank") > 0)
     query_side = (
-        sharded.withColumn("cb", grid)
+        probes.withColumn("cb", grid)
         .withColumn("qb", F.col("_own"))
         .withColumn("is_corpus", F.lit(False))
     )
@@ -858,6 +862,7 @@ def _shard_blocks(
 def ann_ivf_topk(
     emb: DataFrame,
     *,
+    queries: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
@@ -890,7 +895,16 @@ def ann_ivf_topk(
     iterations as CTE stages (``_ann_ivf_oracle`` in
     plans/catalog/simops.py does exactly that; the driver hash-checks
     it). Block-shard membership need not be replayed: the final top-k
-    is block-invariant (test_ivf_sharded_blocks_match_single_block)."""
+    is block-invariant (test_ivf_sharded_blocks_match_single_block).
+
+    ``queries`` switches to EXTERNAL-query mode — the serving shape of
+    an IVF index: centroids train on the CORPUS only, corpus vectors
+    file into their home lists (one row each), and only the query
+    table fans out ``n_probe`` probes. Query ids should be disjoint
+    from corpus ids (a query row whose id equals a corpus id is
+    treated as the same vector and excluded from its own neighbors,
+    exactly like self-ANN). Everything else — sharding, bounded
+    groups, per-block top-k, global re-rank — is identical."""
     vecs = emb.select(id_col, vec_col)
     cents = train_ivf_centroids(
         vecs, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
@@ -899,10 +913,26 @@ def ann_ivf_topk(
     # (the list-size counts and both grid sides of _shard_blocks);
     # without it the assign mapInPandas subtree — including its parquet
     # scan — evaluates once per consumer (plan showed 4 scans)
-    assigned = ivf_assign(
-        vecs, cents, vec_col=vec_col, n_probe=n_probe, keep_vec=True
-    ).persist()
-    blocks = _shard_blocks(assigned, id_col, block_size)
+    if queries is None:
+        assigned = ivf_assign(
+            vecs, cents, vec_col=vec_col, n_probe=n_probe, keep_vec=True
+        ).persist()
+    else:
+        home = ivf_assign(
+            vecs, cents, vec_col=vec_col, n_probe=1, keep_vec=True
+        )
+        fan = ivf_assign(
+            queries.select(id_col, vec_col),
+            cents,
+            vec_col=vec_col,
+            n_probe=n_probe,
+            keep_vec=True,
+        ).withColumn("probe_rank", F.col("probe_rank") + 1)
+        # probe_rank 0 rows = corpus filing; ranks ≥ 1 = query probes
+        assigned = home.unionByName(fan).persist()
+    blocks = _shard_blocks(
+        assigned, id_col, block_size, self_query=queries is None
+    )
     id_type = {f.name: f.dataType.simpleString() for f in emb.schema.fields}[id_col]
 
     def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -271,6 +271,36 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.3, f"IVF recall collapsed: {recall:.3f}"
 
 
+def test_ann_ivf_external_queries_probe_all_equals_bruteforce(spark):
+    """External-query mode (the serving shape: corpus files once,
+    only queries fan out): probing every list must reproduce
+    brute-force corpus-vs-queries exactly; with the default 4/16
+    probes, recall over the probed subset keeps a floor."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    brute = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    exhaustive = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in similarity.ann_ivf_topk(
+            emb, queries=queries, k=5, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    assert exhaustive == brute
+
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_ivf_topk(emb, queries=queries, k=5).collect()
+    }
+    brute_pairs = {(q, n) for (q, _), n in brute.items()}
+    recall = len(approx & brute_pairs) / len(brute_pairs)
+    assert recall >= 0.3, f"external-query IVF recall collapsed: {recall:.3f}"
+
+
 def test_ivf_training_deterministic_and_replayable(spark):
     """Round-4 exactness contract of the k-means: training twice gives
     the BIT-identical centroid matrix (md5-seeded init, sequential
