@@ -395,6 +395,78 @@ def prefix_pairs_from_index(inv: DataFrame, threshold: float) -> DataFrame:
     return _exact_jaccard_on_candidates(cands, inv, threshold)
 
 
+def duplicate_components(
+    pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate PAIRS — the step that
+    turns pairwise matches into duplicate CLUSTERS (keep one
+    representative per cluster, drop the rest): (id, rep) where rep is
+    the smallest id reachable through the pair graph. Only ids that
+    appear in some pair are returned; unpaired documents are their own
+    trivial cluster by definition.
+
+    Algorithm: iterative min-label propagation — label(v) ← min over
+    {label(v)} ∪ {label(u) : u~v} until a fixpoint. The fixpoint is
+    UNIQUE (min id of the component) whatever the iteration order, so
+    the result is engine-independent and a SQL engine can recompute it
+    with a recursive reachability CTE — which is exactly what the
+    catalog oracle does. Converges in O(diameter) rounds; near-dup
+    graphs are unions of small dense cliques (diameter ≲ 3), so the
+    default ``max_iters`` has ample head-room; raises if not converged
+    so a pathological chain can't silently truncate.
+
+    Scale shape: each round is one join + one groupBy on id — labels
+    and edges shuffle, never documents. Each round's labels are
+    ``localCheckpoint``ed: an iterative DataFrame loop otherwise grows
+    the logical plan geometrically (every round references the prior
+    labels twice — next-round join + convergence check), which OOMs
+    the PLANNER long before the data is big; checkpointing truncates
+    lineage to the materialized blocks, so state is two label tables
+    and an O(1)-size plan regardless of round count."""
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    # symmetric adjacency; the min fold below always includes the
+    # node's own label, so no explicit self-loop is needed
+    adj = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        adj.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("rep", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            adj.join(labels, adj["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("rep").alias("_nmin"))
+        )
+        # carry the per-node changed flag through the checkpoint so
+        # convergence detection is a scan of the (already materialized)
+        # labels — not another join job per round
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"])
+            .select(
+                "id",
+                F.least("rep", "_nmin").alias("rep"),
+                (F.col("_nmin") < F.col("rep")).alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.where(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            adj.unpersist()
+            return labels
+    raise RuntimeError(
+        f"duplicate_components did not converge in {max_iters} rounds "
+        "(component diameter exceeds max_iters) — raise max_iters"
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, *, k: int = 3,
     num_hashes: int = 128,

@@ -211,21 +211,63 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidates are verified with exact Jaccard, so false positives are
 # filtered — the outputs coincide. A recall unit test pins this.
 
+# Second branch: duplicate CLUSTERS via connected components over the
+# verified pairs — Spark runs iterative min-label propagation (unique
+# fixpoint = min id of the component), the oracle recomputes the same
+# components with a recursive reachability CTE. For 'clusters' rows
+# id_b is the component representative and score is NULL.
+
 _MINHASH_ORACLE = f"""
-SELECT * FROM ({_JACCARD_SQL_PAIRS})
-WHERE jaccard >= 0.8
-ORDER BY id_a, id_b
+WITH RECURSIVE pairs AS (
+    SELECT id_a, id_b FROM ({_JACCARD_SQL_PAIRS}) WHERE jaccard >= 0.8
+),
+adj AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(id, lab) AS (
+    SELECT src, src FROM adj
+    UNION
+    SELECT a.src, w.lab FROM adj a JOIN walk w ON w.id = a.dst
+),
+clusters AS (
+    SELECT id, MIN(lab) AS rep FROM walk GROUP BY id
+)
+SELECT 'pairs' AS branch, id_a, id_b, jaccard AS score
+FROM ({_JACCARD_SQL_PAIRS}) WHERE jaccard >= 0.8
+UNION ALL
+SELECT 'clusters' AS branch, id AS id_a, rep AS id_b,
+       CAST(NULL AS DOUBLE) AS score
+FROM clusters
+ORDER BY branch, id_a, id_b
 """
 
 
 @register("dedup_minhash_lsh", _MINHASH_ORACLE, tags=("dedup",),
-          doc="MinHash(128)+LSH(32×4) near-dup pairs, candidates exact-verified at J≥0.8 over df-capped shingles; shuffles signatures only, never documents.")
+          doc="MinHash(128)+LSH(32×4) near-dup pairs (exact-verified at J≥0.8) PLUS duplicate clusters: connected components over the pair graph via min-label propagation; oracle replays components with a recursive CTE.")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_dups(spark, sf_dir)
-    return dedup.minhash_lsh_pairs(
+    pairs = dedup.minhash_lsh_pairs(
         corpus, "text", "doc_id", k=3, num_hashes=128, bands=32, threshold=0.8,
         max_doc_freq=_DF_CAP,
-    ).orderBy("id_a", "id_b")
+    ).persist()  # feeds both branches AND the iterative propagation
+    clusters = dedup.duplicate_components(pairs)
+    return (
+        pairs.select(
+            F.lit("pairs").alias("branch"), "id_a", "id_b",
+            F.col("jaccard").alias("score"),
+        )
+        .unionByName(
+            clusters.select(
+                F.lit("clusters").alias("branch"),
+                F.col("id").alias("id_a"),
+                F.col("rep").alias("id_b"),
+                F.lit(None).cast("double").alias("score"),
+            )
+        )
+        .orderBy("branch", "id_a", "id_b")
+    )
 
 
 # --- SimHash -----------------------------------------------------------

@@ -219,6 +219,40 @@ def test_df_cap_drops_stop_shingles(spark):
         ).count() == 0
 
 
+def test_duplicate_components_paths_cycles_and_singletons(spark):
+    """Min-label propagation must find exact components: a 4-chain
+    (transitive closure beyond direct pairs), a 3-cycle, and an
+    isolated pair — every member labeled with the component's min id,
+    and ONLY ids that appear in pairs are returned."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11), (11, 12), (12, 10),  # cycle
+         (20, 21)],                   # isolated pair
+        ["id_a", "id_b"],
+    )
+    got = {
+        r.id: r.rep for r in dedup.duplicate_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_duplicate_components_long_chain_converges_or_raises(spark):
+    """A 12-node path needs ~11 propagation rounds end to end: default
+    iterations must converge; a tiny max_iters must raise loudly
+    rather than return a truncated labeling."""
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["id_a", "id_b"]
+    )
+    got = {r.id: r.rep for r in dedup.duplicate_components(chain).collect()}
+    assert got == {i: 0 for i in range(12)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_components(chain, max_iters=2)
+
+
 def test_simhash_rejects_uncoverable_hamming():
     with pytest.raises(ValueError):
         dedup.simhash_pairs(None, "text", "doc_id", max_hamming=8)
