@@ -1,0 +1,89 @@
+"""End-to-end training-data preparation recipe.
+
+The reference's users ran CHAINS of jobs (JobControl DAGs of
+map/reduce passes — SURVEY.md §2.8); the modern equivalent this engine
+serves is the LLM-corpus cleaning pipeline. ``prepare_training_corpus``
+composes the engine's own operators into that standard chain:
+
+    exact dedup → near-dup clustering → representative selection
+    → language / quality gating → per-doc stats
+
+Everything stays one lazy DataFrame program except the near-dup
+clustering step (iterative — see dedup.duplicate_components), so
+Catalyst sees the whole filter chain and pushes scans/projections down;
+at 100 TB each stage shuffles ids/fingerprints, never raw text, except
+the shingle index the near-dup step is built on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_2_10_0_src_mapreduce_spark.functions import text as T
+from hadoop_2_10_0_src_mapreduce_spark.operators import dedup
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    languages: tuple[str, ...] | None = None,
+    min_quality: float = 0.3,
+    min_tokens: int = 5,
+    near_dup_threshold: float = 0.8,
+    max_doc_freq: int | None = 100,
+) -> DataFrame:
+    """The standard corpus-cleaning chain, one call.
+
+    1. EXACT dedup — keep the min-id representative per normalized-text
+       fingerprint (byte-duplicates are the bulk of web-scale dups).
+    2. NEAR-dup clustering — MinHash+LSH candidate pairs, exact-Jaccard
+       verified at ``near_dup_threshold``, connected components over
+       the pair graph; only each cluster's min-id representative
+       survives.
+    3. GATES — language allow-list (omit ``languages`` to keep all),
+       composite quality floor, minimum token count.
+
+    Returns (id, text, pred_lang, quality, n_tokens) for the surviving
+    documents. Deterministic end to end: every keeper is a min-id
+    choice, hashing is fixed-seed, and the quality/language scores are
+    pure expressions — rerunning yields the identical corpus.
+    """
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+
+    # 1. exact dedup: anti-join away everything but the keeper
+    keepers = dedup.exact_dedup(base, "text", "id").select(
+        F.col("keeper").alias("id")
+    )
+    uniq = base.join(keepers, "id", "left_semi")
+
+    # 2. near-dup clusters over the exact-unique survivors: a doc is
+    # dropped iff it belongs to a cluster and is not its representative
+    pairs = dedup.minhash_lsh_pairs(
+        uniq, "text", "id",
+        threshold=near_dup_threshold, max_doc_freq=max_doc_freq,
+    )
+    losers = (
+        dedup.duplicate_components(pairs)
+        .where(F.col("id") != F.col("rep"))
+        .select("id")
+    )
+    survivors = uniq.join(losers, "id", "left_anti")
+
+    # 3. score + gate in one projection (tokens computed once)
+    toked = survivors.select("id", "text", T.tokens("text").alias("_toks"))
+    scored = toked.select(
+        "id",
+        "text",
+        T.lang_id("text", F.col("_toks")).alias("pred_lang"),
+        T.quality_score("text", F.col("_toks")).alias("quality"),
+        F.size("_toks").alias("n_tokens"),
+    )
+    out = scored.where(
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+    if languages is not None:
+        out = out.where(F.col("pred_lang").isin(*languages))
+    return out

@@ -583,3 +583,39 @@ def test_cosine_self_is_one(spark):
         F.round(similarity.cosine("embedding", "embedding"), 9).alias("s")
     ).collect()
     assert all(abs(r.s - 1.0) < 1e-9 for r in sims)
+
+
+def test_prepare_training_corpus_end_to_end(spark):
+    """The composed cleaning recipe: exact dups collapse to one doc,
+    near-dup clusters keep only the min-id representative, short/junk
+    docs are gated out, and survivors carry (lang, quality, tokens)."""
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import (
+        prepare_training_corpus,
+    )
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and it is a fine "
+        "day for running in the sun with a friend of the family"
+    )
+    near = prose.replace("fine day", "good day")
+    rows = [
+        (1, prose),
+        (2, prose),            # exact dup of 1 → dropped
+        (3, near),             # near dup of 1 → clustered, dropped
+        (4, "zzz qqq 123"),    # junk: too short, no stopwords
+        (5, "a completely different long document about the weather in "
+            "the mountains where it rains for days and the rivers rise"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.id: r for r in prepare_training_corpus(
+        docs, near_dup_threshold=0.5, min_quality=0.2, min_tokens=5
+    ).collect()}
+    assert set(out) == {1, 5}
+    assert out[1].pred_lang == "en" and out[5].pred_lang == "en"
+    assert out[1].n_tokens > 20
+    assert 0.0 <= out[1].quality <= 1.0
+    # determinism: rerun yields the identical corpus
+    again = {r.id for r in prepare_training_corpus(
+        docs, near_dup_threshold=0.5, min_quality=0.2, min_tokens=5
+    ).collect()}
+    assert again == {1, 5}

@@ -153,3 +153,48 @@ def test_sessionize_matches_naive_across_arrow_batches(spark, rows):
         assert got == _naive_sessions(rows, gap)
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=18,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_edges)
+def test_duplicate_components_match_union_find(spark, edges):
+    """Property: min-label propagation must agree with a driver-side
+    union-find on arbitrary small graphs (chains, cliques, forests,
+    parallel/duplicate edges, both orientations)."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+    # canonicalize: representative = min id of the component
+    comp: dict[int, list[int]] = {}
+    for x, r in expected.items():
+        comp.setdefault(find(r), []).append(x)
+    expected = {x: min(members) for r, members in comp.items() for x in members}
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.id: r.rep for r in duplicate_components(df).collect()}
+    assert got == expected
