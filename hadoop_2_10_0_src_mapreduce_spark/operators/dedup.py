@@ -273,10 +273,18 @@ def winnowing_fingerprints(
         # every window pass. min() skips the NULL tail rows (positions
         # with < k tokens left), and frames clip at partition end, so
         # a short doc's position 0 covers its whole sequence — exactly
-        # the < w fallback of the array path.
+        # the < w fallback of the array path. The shingle count per doc
+        # (_nsh = max(n_tokens − k + 1, 0)) is plain arithmetic on the
+        # token-array size carried through the explode — NOT a second
+        # count-over-partition window, which would force another whole
+        # window pass over every token row for a number the projection
+        # already knows.
         rows = df.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(tokens(text_col)).alias("_pos", "_t"),
+            F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
+        ).select(
+            "id",
+            F.greatest(F.size("_toks") - (k - 1), F.lit(0)).alias("_nsh"),
+            F.posexplode("_toks").alias("_pos", "_t"),
         )
         worder = Window.partitionBy("id").orderBy("_pos")
         parts = [F.col("_t")] + [
@@ -294,15 +302,14 @@ def winnowing_fingerprints(
         # (hi − [hi ≥ 2³¹]·2³²)·2³² + lo
         v = F.shiftleft(hi, 32).bitwiseOR(lo)
         wmin = worder.rowsBetween(0, w - 1)
-        wall = Window.partitionBy("id")
         return (
-            rows.select("id", "_pos", v.alias("_v"))
+            rows.select("id", "_pos", "_nsh", v.alias("_v"))
             .select(
                 "id",
                 "_pos",
                 F.col("_v"),
                 F.min("_v").over(wmin).alias("fp"),
-                F.count("_v").over(wall).alias("_nsh"),
+                "_nsh",
             )
             .where(
                 F.col("_v").isNotNull()
@@ -432,10 +439,16 @@ def duplicate_components(
     adj = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    # Round 0 for free: with identity labels, the first propagation's
+    # neighbor-min is just min(adjacent ids) — a plain groupBy, no
+    # label join. This one aggregate replaces BOTH the distinct() that
+    # built identity labels and the first join round (a join + groupBy
+    # + checkpoint + convergence job), and already converges
+    # single-hop components (near-dup cliques usually are).
     labels = (
-        adj.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("rep", F.col("id"))
+        adj.groupBy("src")
+        .agg(F.least(F.min("dst"), F.col("src")).alias("rep"))
+        .select(F.col("src").alias("id"), "rep")
         .localCheckpoint()
     )
     for _ in range(max_iters):
@@ -547,13 +560,20 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash over tokens weighted by frequency → (id, sim long).
 
-    Entirely JVM-side: explode tokens, hash once, then 64 conditional
-    sums per id — each token OCCURRENCE contributes ±1 to every bit
-    position, which equals the classic unique-token×frequency weighting
-    without a pre-count shuffle. The signed 64-bit signature is
-    reassembled as a sum of disjoint bit shifts (bit 63's shiftleft
-    wraps negative — exactly the two's-complement encoding we want).
-    One shuffle, map-side partial aggregation, whole-stage codegen.
+    Entirely JVM-side: explode tokens, hash once, then 64 RAW-bit sums
+    plus one occurrence count per id — each token OCCURRENCE contributes
+    its bit to every position, which equals the classic
+    unique-token×frequency weighting without a pre-count shuffle, and
+    the majority test 2·Σbit > n is integer-exactly the Σ±1 > 0 it
+    replaces while saving a multiply+subtract per bit per row in the
+    hot projection. (A two-level variant that pre-counts occurrences
+    per distinct (id, token hash) was measured SLOWER here: prose has
+    low within-document token repetition, so the extra shuffle buys
+    almost no reduction in bit-extract work.) One shuffle, map-side
+    partial aggregation, whole-stage codegen. The signed 64-bit
+    signature is reassembled as a sum of disjoint bit shifts (bit 63's
+    shiftleft wraps negative — exactly the two's-complement encoding we
+    want).
 
     ``token_hash``:
     - "xxhash64" (default, fastest): Spark's native 64-bit hash. Not
@@ -570,7 +590,7 @@ def simhash_signatures(
         F.col(id_col).alias("id"), F.explode(tok_expr(text_col)).alias("tok")
     )
     if token_hash == "xxhash64":
-        hashed = toks.withColumn("h", F.xxhash64("tok"))
+        hashed = toks.select("id", F.xxhash64("tok").alias("h"))
         bits = [
             F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) for i in range(64)
         ]
@@ -597,11 +617,17 @@ def simhash_signatures(
     else:  # pragma: no cover - guard against typos at call sites
         raise ValueError(f"unknown token_hash: {token_hash!r}")
     counted = hashed.groupBy("id").agg(
-        *[F.sum(bits[i] * 2 - 1).alias(f"_b{i}") for i in range(64)]
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(bits[i]).alias(f"_b{i}") for i in range(64)],
     )
     sim = F.lit(0).cast("long")
     for i in range(64):
-        bit = F.when(F.col(f"_b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        # majority bit: Σ±1 > 0  ⇔  2·Σbit > n
+        bit = (
+            F.when(F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
         sim = sim + F.shiftleft(bit, i)
     return counted.select("id", sim.alias("sim"))
 
