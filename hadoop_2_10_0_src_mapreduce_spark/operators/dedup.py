@@ -69,6 +69,57 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def incremental_exact_dedup(
+    new_df: DataFrame, text_col: str, id_col: str, index_df: DataFrame
+) -> DataFrame:
+    """Fold a NEW batch into an EXISTING exact-dedup index — the
+    continuous-ingestion shape: dedup today's crawl against the corpus
+    WITHOUT re-fingerprinting the corpus. ``index_df`` is a prior
+    ``exact_dedup`` / ``incremental_exact_dedup`` result
+    (fp, keeper, n_copies); returns the merged index in the same
+    schema, so batches chain: index_{t+1} = incremental(batch_t,
+    index_t).
+
+    Invariant (the correctness statement for any incremental
+    algorithm, and what the catalog branch hash-checks): chaining
+    equals one batch recompute —
+    incremental(B, exact_dedup(A)) == exact_dedup(A ∪ B), because
+    min/sum are associative-commutative merges over disjoint
+    fingerprint groups.
+
+    Scale shape: the batch aggregates to one row per distinct batch
+    fingerprint before touching the index, then a single shuffle join
+    on fp merges; the corpus-sized index never re-reads its documents.
+    At 100 TB keep the index stored bucketed by fp so the merge
+    co-locates without shuffling the big side (see
+    sources/writers.write_sorted_bucketed)."""
+    batch = exact_dedup(new_df, text_col, id_col)
+    return (
+        index_df.unionByName(batch)
+        .groupBy("fp")
+        .agg(
+            F.min("keeper").alias("keeper"),
+            F.sum("n_copies").cast("long").alias("n_copies"),
+        )
+    )
+
+
+def novel_docs(
+    new_df: DataFrame, text_col: str, id_col: str, index_df: DataFrame
+) -> DataFrame:
+    """The filter step of incremental ingestion: batch rows whose
+    normalized-text fingerprint is NOT in the existing index, one
+    representative (min id) per batch fingerprint — exactly the
+    documents worth adding to the corpus. Anti-join shuffles only
+    (fp, id); at scale a bucketed-by-fp index makes it co-located."""
+    batch = (
+        new_df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return batch.join(index_df.select("fp"), "fp", "left_anti")
+
+
 def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """(id, sh: array<long>) — DISTINCT k-token shingle hashes per doc.
 
@@ -532,9 +583,21 @@ def minhash_lsh_pairs(
     sh = _shingled(df, text_col, id_col, k)
     inv = _df_capped(_hashed_index(sh), max_doc_freq).persist()
     sigs = _minhash_from_index(inv, num_hashes).persist()
-    # xxhash64 hashes the sliced array directly (recursive over
-    # elements) — no per-band string materialization
-    banded = sigs.select(
+    banded = _banded(sigs, bands, rows_per_band)
+    cands = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_idx", "band_hash"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    return _exact_jaccard_on_candidates(cands, inv, threshold)
+
+
+def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, sig) → (id, band_idx, band_hash): xxhash64 of each signature
+    slice, hashed as an array directly (no per-band strings)."""
+    return sigs.select(
         "id",
         F.posexplode(
             F.transform(
@@ -545,14 +608,55 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame, text_col: str, id_col: str, *,
+    index_inv: DataFrame, index_sigs: DataFrame, k: int = 3,
+    num_hashes: int = 128, bands: int = 32, threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs for a NEW batch against an EXISTING
+    corpus — the continuous-ingestion shape: only pairs touching the
+    batch are generated, the corpus×corpus self-join (the quadratic
+    bulk of the work, already done in prior runs) never re-runs.
+
+    ``index_inv`` (id, h) and ``index_sigs`` (id, sig) are the corpus
+    pipeline state from a prior ``minhash_lsh_pairs`` run (its persisted
+    intermediates, stored as tables between runs at scale). The batch's
+    signatures use the same deterministic xxhash64 family, so bands
+    collide across runs — the property that makes the index reusable at
+    all.
+
+    Invariant (pinned by test): with the same (un)capped shingle
+    universe, pairs(A ∪ B) == pairs(A) ∪ incremental(B against A's
+    state) — candidate generation is banding-equality both ways and
+    verification is the same exact Jaccard, so splitting the corpus
+    changes which join produces a pair, never the pair set.
+
+    Scale shape: banded batch (small) joins banded corpus (big) on
+    (band_idx, band_hash) — the batch side broadcasts or shuffles
+    narrow keys; verify joins rebuild sets from the combined index with
+    ids-only shuffles, as in the batch path."""
+    rows_per_band = num_hashes // bands
+    new_inv = _hashed_index(_shingled(new_df, text_col, id_col, k)).persist()
+    new_sigs = _minhash_from_index(new_inv, num_hashes)
+    banded_new = _banded(new_sigs, bands, rows_per_band)
+    banded_all = _banded(index_sigs, bands, rows_per_band).unionByName(banded_new)
+    # batch×(corpus ∪ batch): normalize to id_a < id_b, drop self-pairs;
+    # pairs with both sides old cannot appear (left side is batch-only)
     cands = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band_idx", "band_hash"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        banded_new.alias("x")
+        .join(banded_all.alias("y"), ["band_idx", "band_hash"])
+        .where(F.col("x.id") != F.col("y.id"))
+        .select(
+            F.least("x.id", "y.id").alias("id_a"),
+            F.greatest("x.id", "y.id").alias("id_b"),
+        )
         .distinct()
     )
-    return _exact_jaccard_on_candidates(cands, inv, threshold)
+    return _exact_jaccard_on_candidates(
+        cands, index_inv.unionByName(new_inv), threshold
+    )
 
 
 def simhash_signatures(

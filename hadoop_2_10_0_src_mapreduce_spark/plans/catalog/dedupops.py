@@ -110,18 +110,29 @@ winnow AS (
     SELECT 'winnow' AS branch, CAST(fp AS VARCHAR) AS fp,
            MIN(doc_id) AS keeper, COUNT(*) AS n_copies
     FROM doc_fps GROUP BY fp HAVING COUNT(*) >= 2
+),
+incr AS (
+    -- incremental invariant: folding the planted batch into the
+    -- originals' index must equal the one-shot recompute, so the
+    -- oracle IS the exact branch relabeled; the Spark side actually
+    -- runs the index-merge path and must land on the same rows
+    SELECT 'incr' AS branch, fp, keeper, n_copies FROM exact
 )
 SELECT * FROM exact
 UNION ALL
 SELECT * FROM winnow
+UNION ALL
+SELECT * FROM incr
 ORDER BY branch, keeper, fp
 """
 
 
 @register("dedup_exact", _EXACT_ORACLE, tags=("dedup",),
-          doc="Exact dedup (normalized-text md5 groups) + winnowing branch: shared MOSS rolling-min fingerprints over md5 shingle hashes, both hash-checked; winnowing catches the truncated near-dups exact dedup can't.")
+          doc="Exact dedup (normalized-text md5 groups) + winnowing branch (shared MOSS rolling-min fingerprints over md5 shingle hashes; catches the truncated near-dups exact dedup can't) + incremental branch (fold the planted batch into the originals' index; must equal the one-shot recompute) — all three hash-checked.")
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = corpus_with_dups(spark, sf_dir)
+    # three branches scan the corpus (fingerprints ×2, shingles ×1) —
+    # persist the small constructed frame once
+    corpus = corpus_with_dups(spark, sf_dir).persist()
     exact = dedup.exact_dedup(corpus, "text", "doc_id").select(
         F.lit("exact").alias("branch"), "fp", "keeper", "n_copies"
     )
@@ -139,7 +150,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_copies",
         )
     )
-    return exact.unionByName(winnow).orderBy("branch", "keeper", "fp")
+    # continuous-ingestion shape: index the pre-existing documents,
+    # fold the planted-duplicate batch in incrementally; the merged
+    # index must equal the exact branch row-for-row (the invariant the
+    # oracle encodes by relabeling its exact CTE)
+    incr = dedup.incremental_exact_dedup(
+        corpus.where(F.col("doc_id") >= 10000),
+        "text",
+        "doc_id",
+        dedup.exact_dedup(corpus.where(F.col("doc_id") < 10000), "text", "doc_id"),
+    ).select(F.lit("incr").alias("branch"), "fp", "keeper", "n_copies")
+    return (
+        exact.unionByName(winnow)
+        .unionByName(incr)
+        .orderBy("branch", "keeper", "fp")
+    )
 
 
 # --- n-gram Jaccard (inverted-index candidates vs O(n²) oracle) -------

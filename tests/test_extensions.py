@@ -619,3 +619,60 @@ def test_prepare_training_corpus_end_to_end(spark):
         docs, near_dup_threshold=0.5, min_quality=0.2, min_tokens=5
     ).collect()}
     assert again == {1, 5}
+
+
+def test_incremental_exact_dedup_equals_batch_recompute(spark, dup_corpus):
+    """THE incremental invariant: folding the planted-dup batch into
+    the original documents' index must equal one exact_dedup over the
+    whole corpus — min/sum merge over disjoint fingerprint groups."""
+    existing = dup_corpus.where(F.col("doc_id") < 10000)
+    batch = dup_corpus.where(F.col("doc_id") >= 10000)
+    index = dedup.exact_dedup(existing, "text", "doc_id")
+    merged = dedup.incremental_exact_dedup(batch, "text", "doc_id", index)
+    full = dedup.exact_dedup(dup_corpus, "text", "doc_id")
+    as_set = lambda df: {(r.fp, r.keeper, r.n_copies) for r in df.collect()}
+    assert as_set(merged) == as_set(full)
+
+
+def test_novel_docs_drops_seen_fingerprints(spark):
+    existing = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], ["doc_id", "text"]
+    )
+    index = dedup.exact_dedup(existing, "text", "doc_id")
+    batch = spark.createDataFrame(
+        [(10, "SEEN   before"),   # dup of fp(1) modulo normalization
+         (11, "brand new text"),
+         (12, "brand  NEW text")],  # in-batch dup of 11's fp
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id for r in dedup.novel_docs(batch, "text", "doc_id", index).collect()}
+    assert out == {11}
+
+
+def test_incremental_minhash_lsh_equals_full_run(spark, dup_corpus):
+    """pairs(A ∪ B) == pairs(A) ∪ incremental(B vs A's index state):
+    the corpus×corpus work is reused, cross and within-batch pairs come
+    from the incremental join, and the pair SET is unchanged."""
+    existing = dup_corpus.where(F.col("doc_id") < 10000)
+    batch = dup_corpus.where(F.col("doc_id") >= 10000)
+    # pipeline state from the prior run over `existing`
+    index_inv = dedup._hashed_index(
+        dedup._shingled(existing, "text", "doc_id", 3)
+    )
+    index_sigs = dedup._minhash_from_index(index_inv, 128)
+    pair_set = lambda df: {(r.id_a, r.id_b) for r in df.collect()}
+    within_existing = pair_set(
+        dedup.minhash_lsh_pairs(existing, "text", "doc_id", threshold=0.8)
+    )
+    incr = pair_set(
+        dedup.minhash_lsh_pairs_incremental(
+            batch, "text", "doc_id",
+            index_inv=index_inv, index_sigs=index_sigs, threshold=0.8,
+        )
+    )
+    full = pair_set(
+        dedup.minhash_lsh_pairs(dup_corpus, "text", "doc_id", threshold=0.8)
+    )
+    assert incr, "planted dups must produce batch-touching pairs"
+    assert incr.isdisjoint(within_existing)
+    assert within_existing | incr == full
