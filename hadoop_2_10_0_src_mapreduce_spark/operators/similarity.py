@@ -930,10 +930,37 @@ def ann_ivf_topk(
         ).withColumn("probe_rank", F.col("probe_rank") + 1)
         # probe_rank 0 rows = corpus filing; ranks ≥ 1 = query probes
         assigned = home.unionByName(fan).persist()
-    blocks = _shard_blocks(
-        assigned, id_col, block_size, self_query=queries is None
+    return _score_assigned(
+        assigned,
+        id_col,
+        vec_col,
+        k=k,
+        block_size=block_size,
+        round_digits=round_digits,
+        self_query=queries is None,
+        id_type={f.name: f.dataType.simpleString() for f in emb.schema.fields}[
+            id_col
+        ],
     )
-    id_type = {f.name: f.dataType.simpleString() for f in emb.schema.fields}[id_col]
+
+
+def _score_assigned(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int,
+    block_size: int,
+    round_digits: int,
+    self_query: bool,
+    id_type: str,
+) -> DataFrame:
+    """The IVF scoring tail shared by self-ANN, external-query mode,
+    and the persisted-index server: grid-shard the (vector, probed
+    list) rows into bounded blocks, per-block vectorized top-k, global
+    re-rank. ``assigned`` carries (id, vec, list_id, probe_rank) with
+    probe_rank 0 = corpus filing, ≥ 1 = query probes."""
+    blocks = _shard_blocks(assigned, id_col, block_size, self_query=self_query)
 
     def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         corpus = pdf[pdf["is_corpus"]]
@@ -962,3 +989,116 @@ def ann_ivf_topk(
     # a neighbor's home (list, block) is unique → each (query, neighbor)
     # pair surfaces from exactly one group; no dedup needed
     return _global_topk(per_block, k)
+
+
+def save_ivf_index(
+    emb: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    max_train: int = 4096,
+) -> None:
+    """Build and PERSIST an IVF index — the offline half of the
+    serving lifecycle (build once on the 100 TB corpus, answer query
+    batches forever after without touching unprobed data):
+
+    - ``<path>/centroids`` — (list_id, centroid array<double>), one
+      row per list; kilobytes.
+    - ``<path>/lists`` — the corpus filed into home lists, parquet
+      PARTITIONED BY list_id, so a query batch that probes p of c
+      lists reads p/c of the data via partition pruning (directory-
+      level skip, visible as PartitionFilters in the scan).
+
+    Training and filing are the same deterministic paths as
+    ``ann_ivf_topk`` (md5-seeded sequential k-means, stable probe
+    sort), so serve-from-disk results equal the in-session
+    external-query mode bit for bit (pinned by test)."""
+    vecs = emb.select(id_col, vec_col)
+    cents = train_ivf_centroids(
+        vecs,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        n_iters=n_iters,
+        max_train=max_train,
+    )
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "list_id int, centroid array<double>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    home = (
+        ivf_assign(vecs, cents, vec_col=vec_col, n_probe=1, keep_vec=True)
+        .where(F.col("probe_rank") == 0)
+        .drop("probe_rank")
+    )
+    home.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
+
+
+def query_ivf_index(
+    queries: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    block_size: int = 4096,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Serve a query batch from a ``save_ivf_index`` directory — the
+    online half. Loads the kilobyte centroid table to the driver, fans
+    each query out to its ``n_probe`` nearest lists, and reads ONLY
+    the probed list partitions: the probed list-id set (bounded by
+    n_centroids — ints, never vectors) becomes a literal IN filter on
+    the partition column, so the scan prunes unprobed directories
+    outright rather than filtering rows after reading them. Scoring is
+    the same bounded-block grid as ``ann_ivf_topk``; results equal
+    external-query mode on the same corpus bit for bit."""
+    spark = queries.sparkSession
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    )
+    cents = np.stack(
+        [np.asarray(r.centroid, dtype=np.float64) for r in cent_rows]
+    )
+    fan = ivf_assign(
+        queries.select(id_col, vec_col),
+        cents,
+        vec_col=vec_col,
+        n_probe=n_probe,
+        keep_vec=True,
+    ).withColumn("probe_rank", F.col("probe_rank") + 1)
+    fan = fan.persist()
+    # bounded driver collect: ≤ n_centroids ints, the partition-pruning
+    # predicate (a dynamic-pruning join would also work but makes the
+    # skip dependent on the planner choosing DPP; the literal IN is
+    # unconditional)
+    probed = sorted(
+        r.list_id for r in fan.select("list_id").distinct().collect()
+    )
+    lists = (
+        spark.read.parquet(f"{path}/lists")
+        .where(F.col("list_id").isin(probed))
+        .withColumn("probe_rank", F.lit(0))
+        .select(id_col, vec_col, "list_id", "probe_rank")
+    )
+    assigned = lists.unionByName(
+        fan.select(id_col, vec_col, "list_id", "probe_rank")
+    ).persist()
+    return _score_assigned(
+        assigned,
+        id_col,
+        vec_col,
+        k=k,
+        block_size=block_size,
+        round_digits=round_digits,
+        self_query=False,
+        id_type={
+            f.name: f.dataType.simpleString() for f in queries.schema.fields
+        }[id_col],
+    )

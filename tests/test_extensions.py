@@ -676,3 +676,45 @@ def test_incremental_minhash_lsh_equals_full_run(spark, dup_corpus):
     assert incr, "planted dups must produce batch-touching pairs"
     assert incr.isdisjoint(within_existing)
     assert within_existing | incr == full
+
+
+def test_ivf_index_roundtrip_serves_identically(spark, tmp_path):
+    """save_ivf_index → query_ivf_index must equal in-session
+    external-query mode bit for bit (same deterministic training,
+    same probes, same block scoring), and the probed-lists scan must
+    partition-prune: the lists table is partitioned by list_id and the
+    probe set becomes a literal partition filter, so unprobed list
+    directories are never read."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_index")
+    similarity.save_ivf_index(emb, path, n_centroids=8)
+    served = similarity.query_ivf_index(
+        queries, path, k=5, n_probe=2
+    )
+    in_session = similarity.ann_ivf_topk(
+        emb, queries=queries, k=5, n_centroids=8, n_probe=2
+    )
+    as_rows = lambda df: sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.sim) for r in df.collect()
+    )
+    assert as_rows(served) == as_rows(in_session)
+    assert as_rows(served), "serving returned no rows"
+
+    # partition pruning: the parquet scan of <path>/lists carries a
+    # PartitionFilters entry on list_id (directory-level skip)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        served.explain("formatted")
+    plan = buf.getvalue()
+    scan_lines = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "list_id" in line
+    ]
+    assert scan_lines, f"lists scan did not partition-prune:\n{plan[:2000]}"
