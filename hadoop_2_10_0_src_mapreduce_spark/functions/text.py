@@ -198,6 +198,127 @@ def quality_score(
     )
 
 
+# PII scrubbing — the redaction pass every training-data pipeline runs
+# before publishing a corpus. Patterns are deliberately conservative and
+# written in the common subset of Java regex (Spark) and RE2 (DuckDB):
+# \d, \b, bounded repetition, and character classes behave identically,
+# so the SQL twins reproduce the redaction byte-for-byte. Applied in a
+# FIXED order (emails, then IPv4, then phone-ish digit runs) — order
+# matters when matches could overlap, so both engines apply the same.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d()\- ]{6,}\d\b", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails, IPv4 addresses, and phone-like digit runs with
+    typed placeholder tokens. Pure Column expressions (three regex
+    passes), one vectorized scan at any corpus size."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def redact_pii_sql(expr: str) -> str:
+    """DuckDB twin of redact_pii from the same PII_PATTERNS."""
+    out = expr
+    for _, pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Match counts per PII category — the audit view (how much PII a
+    source carries) that drives keep/drop/redact policy."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_counts_sql(expr: str) -> dict[str, str]:
+    return {
+        name: f"len(regexp_extract_all({expr}, '{pat}'))"
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def dup_ngram_fraction(
+    col: Column | str, n: int, toks: Column | None = None
+) -> Column:
+    """Fraction of n-gram OCCURRENCES that are repeats of an earlier
+    occurrence — the Gopher-style repetition signal (a document whose
+    3-grams are mostly repeats is boilerplate or looping text):
+    1 − distinct/total over the doc's n-gram multiset, 0 for docs with
+    no n-grams. Pure Column expressions — n-grams are xxhash64 chains
+    over shifted token-array slices (the _shingled technique), so no
+    string materialization and no shuffle; one vectorized scan."""
+    tcol = toks if toks is not None else tokens(col)
+    n_windows = F.greatest(F.size(tcol) - (n - 1), F.lit(0))
+    slices = [F.slice(tcol, j + 1, n_windows) for j in range(n)]
+    grams = F.transform(slices[0], lambda t: F.xxhash64(t))
+    for s in slices[1:]:
+        grams = F.zip_with(grams, s, lambda acc, t: F.xxhash64(acc, t))
+    total = F.size(grams)
+    return F.when(total > 0, F.round(
+        (total - F.size(F.array_distinct(grams))) / total, 6
+    )).otherwise(F.lit(0.0))
+
+
+def dup_ngram_fraction_sql(expr: str, n: int) -> str:
+    """DuckDB twin of dup_ngram_fraction. The engines hash n-grams
+    differently (xxhash64 chain vs the literal string), but distinct-
+    vs-total COUNTS agree modulo a ~2^-64 collision — the same
+    equivalence _shingled relies on."""
+    toks = f"regexp_extract_all(lower({expr}), '{TOKEN_PATTERN}')"
+    grams = (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1),"
+        f" i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
+    )
+    return (
+        f"CASE WHEN len({grams}) > 0 THEN "
+        f"round((len({grams}) - len(list_distinct({grams})))"
+        f" / CAST(len({grams}) AS DOUBLE), 6) ELSE 0.0 END"
+    )
+
+
+def top_ngram_stats(
+    docs, text_col: str, id_col: str, *, n: int = 2
+):
+    """(id, top_gram_count, total_grams, top_gram_fraction): how much
+    of the document the single most frequent n-gram covers — the other
+    Gopher repetition rule (dup_ngram_fraction catches diffuse repeats;
+    this catches one phrase stamped over and over). Distributed
+    WordCount shape: explode n-gram hashes, count per (id, gram), max
+    per id — grams shuffle as 8-byte hashes, ties need no break (only
+    the max count is kept)."""
+    tcol = tokens(text_col)
+    n_windows = F.greatest(F.size(tcol) - (n - 1), F.lit(0))
+    slices = [F.slice(tcol, j + 1, n_windows) for j in range(n)]
+    grams = F.transform(slices[0], lambda t: F.xxhash64(t))
+    for s in slices[1:]:
+        grams = F.zip_with(grams, s, lambda acc, t: F.xxhash64(acc, t))
+    exploded = docs.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("g")
+    )
+    per_gram = exploded.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy("id")
+        .agg(
+            F.max("c").alias("top_gram_count"),
+            F.sum("c").cast("long").alias("total_grams"),
+        )
+        .withColumn(
+            "top_gram_fraction",
+            F.round(F.col("top_gram_count") / F.col("total_grams"), 6),
+        )
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Exact-dedup fingerprint: md5 of whitespace-normalized lowercased
     text (md5 exists in both engines, so oracles can reproduce it)."""

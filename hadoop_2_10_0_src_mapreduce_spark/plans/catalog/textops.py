@@ -61,8 +61,40 @@ _Q_SCORE_SQL = (
 )
 
 # Token counting (whitespace-ish + BPE-ish) rides in the same per-doc
-# row as the quality features — one checked-window slot for both §M7
-# text components, one scan of documents.
+# row as the quality features — one checked-window slot for the §M7
+# text components, one scan of documents. Round 4 adds the remaining
+# per-doc pipeline signals to the same row, still one scan:
+# - Gopher-style repetition (dup 2-/3-gram occurrence fractions over
+#   the shared token array — pure array exprs, no shuffle);
+# - PII audit + redaction over a deterministically PLANTED variant
+#   (docs have no natural PII): doc_id % 5 == 0 gets an email + IPv4 +
+#   phone suffix built from doc_id in BOTH engines; counts come from
+#   the same patterns and redacted_fp = md5(redacted text) proves the
+#   redaction byte-identical through the value hash.
+
+def _pii_suffix_spark() -> F.Column:
+    # built lazily: Column construction needs an active SparkContext,
+    # and catalog modules must stay importable before a session exists
+    return F.concat(
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.1."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call 555-123-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+
+
+_PII_SUFFIX_SQL = (
+    "' contact u' || CAST(doc_id AS VARCHAR) || '@example.com from 10.1.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-123-'"
+    " || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+)
+_PII_TEXT_SQL = (
+    f"CASE WHEN doc_id % 5 = 0 THEN text || {_PII_SUFFIX_SQL} ELSE text END"
+)
+_PII_COUNT_SQL = T.pii_counts_sql(f"({_PII_TEXT_SQL})")
+
 _QUALITY_ORACLE = f"""
 SELECT doc_id,
        {_Q_FEATURES['n_chars']} AS n_chars,
@@ -72,20 +104,33 @@ SELECT doc_id,
        {_Q_FEATURES['punct_ratio']} AS punct_ratio,
        {_Q_FEATURES['stopword_ratio']} AS stopword_ratio,
        {_Q_FEATURES['digit_ratio']} AS digit_ratio,
-       {_Q_SCORE_SQL} AS quality
+       {_Q_SCORE_SQL} AS quality,
+       {T.dup_ngram_fraction_sql('text', 2)} AS dup_2gram_frac,
+       {T.dup_ngram_fraction_sql('text', 3)} AS dup_3gram_frac,
+       {_PII_COUNT_SQL['email']} AS pii_email,
+       {_PII_COUNT_SQL['ipv4']} AS pii_ipv4,
+       {_PII_COUNT_SQL['phone']} AS pii_phone,
+       md5({T.redact_pii_sql(f'({_PII_TEXT_SQL})')}) AS redacted_fp
 FROM documents
 ORDER BY doc_id
 """
 
 
 @register("text_token_quality", _QUALITY_ORACLE, tags=("text",),
-          doc="Per-document token counts (whitespace-ish + BPE-ish) and quality features (length/punct/stopword/digit ratios) + composite score, in one scan.")
+          doc="Per-document token counts (whitespace-ish + BPE-ish), quality features (length/punct/stopword/digit ratios) + composite score, Gopher-style dup-n-gram repetition fractions, and PII audit + byte-checked redaction over planted PII — all in one scan.")
 def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    pii_text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), _pii_suffix_spark())
+    ).otherwise(F.col("text"))
     # tokenize once, below the scoring projection (shared regex pass)
-    toked = docs.select("doc_id", "text", T.tokens("text").alias("_toks"))
+    toked = docs.select(
+        "doc_id", "text", T.tokens("text").alias("_toks"),
+        pii_text.alias("_pii_text"),
+    )
     tc = F.col("_toks")
     feats = T.quality_features("text", tc)
+    pii = T.pii_counts("_pii_text")
     return toked.select(
         "doc_id",
         feats["n_chars"].alias("n_chars"),
@@ -94,6 +139,12 @@ def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[feats[name].alias(name) for name in
           ("mean_token_len", "punct_ratio", "stopword_ratio", "digit_ratio")],
         T.quality_score("text", tc).alias("quality"),
+        T.dup_ngram_fraction("text", 2, tc).alias("dup_2gram_frac"),
+        T.dup_ngram_fraction("text", 3, tc).alias("dup_3gram_frac"),
+        pii["email"].alias("pii_email"),
+        pii["ipv4"].alias("pii_ipv4"),
+        pii["phone"].alias("pii_phone"),
+        F.md5(T.redact_pii("_pii_text")).alias("redacted_fp"),
     ).orderBy("doc_id")
 
 

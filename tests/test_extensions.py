@@ -718,3 +718,84 @@ def test_ivf_index_roundtrip_serves_identically(spark, tmp_path):
         if "PartitionFilters" in line and "list_id" in line
     ]
     assert scan_lines, f"lists scan did not partition-prune:\n{plan[:2000]}"
+
+
+def test_redact_pii_and_counts(spark):
+    rows = [
+        (1, "mail me at john.doe+x@example.co.uk today"),
+        (2, "server 192.168.0.1 and 10.0.0.255 are up"),
+        (3, "call +1 (555) 123-4567 now"),
+        (4, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {
+        r.id: r.red
+        for r in df.select("id", T.redact_pii("text").alias("red")).collect()
+    }
+    assert out[1] == "mail me at <EMAIL> today"
+    assert out[2] == "server <IP> and <IP> are up"
+    assert out[3] == "call <PHONE> now"
+    assert out[4] == rows[3][1]
+    counts = df.select(
+        "id", *[c.alias(n) for n, c in T.pii_counts("text").items()]
+    ).collect()
+    got = {r.id: (r.email, r.ipv4, r.phone) for r in counts}
+    assert got[1] == (1, 0, 0)
+    assert got[2][1] == 2
+    assert got[3][2] >= 1
+    assert got[4] == (0, 0, 0)
+
+
+def test_redact_pii_sql_twin_matches_spark(spark):
+    """The DuckDB twin must reproduce Spark's redaction byte-for-byte
+    (common regex subset + fixed application order)."""
+    import duckdb
+
+    rows = [
+        ("a@b.com or c.d-e@f.org end",),
+        ("ip 8.8.8.8 phone 555-123-4567 mix a@b.io 1.2.3.4",),
+        ("nothing here",),
+        ("+44 20 7946 0958 trailing",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    spark_out = [
+        r.red for r in df.select(T.redact_pii("text").alias("red")).collect()
+    ]
+    con = duckdb.connect()
+    duck_out = [
+        con.execute(
+            f"SELECT {T.redact_pii_sql('?::VARCHAR')}".replace("?::VARCHAR", "$1::VARCHAR"), [t]
+        ).fetchone()[0]
+        for (t,) in rows
+    ]
+    assert spark_out == duck_out
+
+
+def test_dup_ngram_fraction_known_values(spark):
+    rows = [
+        (1, "a b a b a b"),       # 2-grams: ab ba ab ba ab → 5 total, 2 distinct
+        (2, "x y z w"),           # all distinct
+        (3, "q"),                 # no 2-grams
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {
+        r.id: r.f
+        for r in df.select(
+            "id", T.dup_ngram_fraction("text", 2).alias("f")
+        ).collect()
+    }
+    assert out[1] == round(3 / 5, 6)
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+
+
+def test_top_ngram_stats_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z w")], ["id", "text"]
+    )
+    out = {
+        r.id: (r.top_gram_count, r.total_grams, r.top_gram_fraction)
+        for r in T.top_ngram_stats(df, "text", "id", n=2).collect()
+    }
+    assert out[1] == (3, 5, 0.6)   # "a b" appears 3 of 5
+    assert out[2] == (1, 3, round(1 / 3, 6))
