@@ -249,3 +249,76 @@ def stream_running_user_totals(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _start_sink(running, "update", sink_table, checkpoint_dir, out_dir)
+
+
+def stream_incremental_corpus_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    index_dir: str,
+    out_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Streaming face of ``dedup.incremental_exact_dedup`` — the
+    continuous-ingestion pipeline end to end: every micro-batch of
+    documents is deduped in-batch, anti-joined against the PERSISTENT
+    fingerprint index (parquet at ``index_dir``), and only novel
+    documents append to ``out_dir`` while their fingerprints append to
+    the index. Unlike ``dropDuplicatesWithinWatermark`` (state bounded
+    by a time horizon, held in the state store), corpus membership here
+    is FOREVER and lives in table files — so a document first seen in
+    batch 1 is still dropped in batch 900, and across restarts, with
+    zero state-store growth; the dedup state is just the index table,
+    shared with the batch pipeline (``novel_docs`` reads the same
+    layout).
+
+    foreachBatch batches run sequentially, so read-index → append-index
+    has no write race. On failure replay the batch re-runs
+    (at-least-once): if the index append committed, the replayed batch
+    finds nothing novel (idempotent); if out_dir committed but the
+    index did not, re-emitted rows are possible — the standard
+    foreachBatch contract (_start_sink docstring); order the two
+    appends index-first to shrink that window... out_dir is written
+    AFTER the index here for exactly that reason."""
+    from pyspark.errors import AnalysisException
+
+    from hadoop_2_10_0_src_mapreduce_spark.functions.text import fingerprint
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch = (
+            batch_df.select(
+                fingerprint(text_col).alias("fp"),
+                F.col(id_col),
+                F.col(text_col),
+            )
+            .groupBy("fp")
+            .agg(
+                F.min_by(
+                    F.struct(F.col(id_col), F.col(text_col)), F.col(id_col)
+                ).alias("_r")
+            )
+            .select("fp", "_r.*")
+        )
+        try:
+            seen = s.read.parquet(index_dir).select("fp")
+            fresh = batch.join(seen, "fp", "left_anti")
+        except AnalysisException:  # first batch: no index yet
+            fresh = batch
+        # localCheckpoint (eager), not persist: the plan READS the index
+        # that the first write below APPENDS to — lazy re-evaluation of
+        # `fresh` at the second write would re-run the anti-join against
+        # the just-updated index and emit nothing. Checkpointing pins
+        # the rows and severs the lineage before either write runs.
+        fresh = fresh.localCheckpoint()
+        fresh.select("fp").write.mode("append").parquet(index_dir)
+        fresh.select(id_col, text_col).write.mode("append").parquet(out_dir)
+
+    src = spark.readStream.schema(schema).json(source_dir)
+    writer = src.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

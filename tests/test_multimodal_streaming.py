@@ -247,3 +247,45 @@ def test_streaming_stateful_running_totals(spark, stream_source):
         .collect()
     }
     assert final == batch
+
+
+def test_streaming_incremental_corpus_dedup_across_restart(spark, tmp_path_factory):
+    """The continuous-ingestion pipeline: novel documents flow to the
+    corpus, duplicate text is dropped IN batch, ACROSS batches, and
+    ACROSS restarts — because the dedup state is the persistent
+    fingerprint index table, not the state store."""
+    import json
+
+    base = tmp_path_factory.mktemp("corpus_dedup")
+    src = base / "docs"
+    src.mkdir()
+    idx, out, ckpt = (str(base / d) for d in ("index", "corpus", "ckpt"))
+    schema = "doc_id long, text string"
+
+    def write_wave(name, docs):
+        (src / name).write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in docs)
+        )
+
+    # wave 1: 3 writes "same  TEXT" — an in-batch dup of 1 modulo
+    # normalization; min id (1) is the keeper
+    write_wave("wave1.json", [(1, "same text"), (2, "other"), (3, "same  TEXT")])
+    q = sw.stream_incremental_corpus_dedup(
+        spark, str(src), schema, idx, out, checkpoint_dir=ckpt
+    )
+    q.awaitTermination(120)
+    got1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 2}
+
+    # wave 2 after restart: 4 duplicates wave-1 text (cross-restart),
+    # 5 is novel
+    write_wave("wave2.json", [(4, "SAME text"), (5, "brand new")])
+    q2 = sw.stream_incremental_corpus_dedup(
+        spark, str(src), schema, idx, out, checkpoint_dir=ckpt
+    )
+    q2.awaitTermination(120)
+    corpus = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert set(corpus) == {1, 2, 5}
+    # the index holds exactly the corpus's distinct fingerprints
+    n_fp = spark.read.parquet(idx).distinct().count()
+    assert n_fp == 3
