@@ -138,3 +138,68 @@ def value_aggregator(
             )
         exprs.append(_AGGREGATOR_TYPES[typ](col).alias(out))
     return df.groupBy(*keys).agg(*exprs)
+
+
+# --- sketch-based scale variants --------------------------------------
+# The exact aggregates above are the oracle-checkable face; these are
+# the 100 TB path for the cardinalities where exactness stops being
+# affordable: HyperLogLog++ distinct counts (bounded memory per group
+# vs countDistinct's expand-by-value), KLL/GK approximate quantiles
+# (one pass, no global sort), and frequent-item detection. Accuracy is
+# a TUNABLE, so correctness is pinned by tolerance tests against the
+# exact twins, not by the value-hash gate.
+
+
+def approx_uniq_value_count(
+    df: DataFrame, keys: Sequence[str], value: str, *, rsd: float = 0.05
+) -> DataFrame:
+    """uniq_value_count's sketch twin: HyperLogLog++ with relative
+    standard deviation ``rsd``. Memory per group is the fixed sketch
+    (~kilobytes at 5%), not the distinct-value set — at billions of
+    distinct values per key this is the only shape that finishes.
+    Partial aggregation merges sketches map-side like any Combiner."""
+    return df.groupBy(*keys).agg(
+        F.approx_count_distinct(value, rsd).alias("approx_uniq_count")
+    )
+
+
+def approx_quantiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    *,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-key approximate quantiles (percentile_approx, Greenwald-
+    Khanna style): one pass, mergeable partial sketches, error bounded
+    by 1/accuracy of the rank — the scale path where value_histogram's
+    exact median (a full sort of per-value counts) would dominate the
+    job. Returns one column per requested probability."""
+    pcol = F.percentile_approx(
+        value, F.array(*[F.lit(float(p)) for p in probs]), accuracy
+    )
+    sel = [
+        F.col("_q")[i].alias(f"q{str(p).replace('.', '_')}")
+        for i, p in enumerate(probs)
+    ]
+    return df.groupBy(*keys).agg(pcol.alias("_q")).select(*keys, *sel)
+
+
+def frequent_values(
+    df: DataFrame, keys: Sequence[str], value: str, *, min_share: float = 0.1
+) -> DataFrame:
+    """Values holding at least ``min_share`` of their key's rows — the
+    skew/hot-key detector (the operational companion to _df_capped and
+    the salted join: find the keys that NEED those guards). Exact and
+    cheap: one (key, value) count plus a per-key total that rides the
+    same shuffled exchange as a window aggregate."""
+    from pyspark.sql.window import Window
+
+    counted = df.groupBy(*keys, value).agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy(*keys))
+    return (
+        counted.withColumn("share", F.round(F.col("cnt") / total, 6))
+        .where(F.col("share") >= min_share)
+        .select(*keys, value, "cnt", "share")
+    )

@@ -147,3 +147,51 @@ def test_value_aggregator_spec_dispatch(spark):
 
     with _pytest.raises(ValueError):
         value_aggregator(df, ["k"], {"x": "median:v"})
+
+
+def test_approx_uniq_value_count_within_tolerance(spark):
+    """HLL++ distinct vs exact on the events fixture: within 3·rsd."""
+    from tests.conftest import SF_SMALL
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    exact = {
+        r.event_type: r.uniq_count
+        for r in aggregations.uniq_value_count(ev, ["event_type"], "user_id").collect()
+    }
+    approx = {
+        r.event_type: r.approx_uniq_count
+        for r in aggregations.approx_uniq_value_count(
+            ev, ["event_type"], "user_id", rsd=0.05
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(3, 0.15 * ex), (k, approx[k], ex)
+
+
+def test_approx_quantiles_rank_error_bounded(spark):
+    from tests.conftest import SF_SMALL
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    out = aggregations.approx_quantiles(
+        ev, ["event_type"], "value", probs=(0.5,), accuracy=10000
+    ).collect()
+    exact = {
+        r.event_type: r.m
+        for r in ev.groupBy("event_type").agg(F.median("value").alias("m")).collect()
+    }
+    vals = {r.event_type: r.q0_5 for r in out}
+    for k, med in exact.items():
+        # rank error 1/accuracy → value error bounded by neighborhood;
+        # on this fixture the approx median lands within 5% of exact
+        assert abs(vals[k] - med) <= max(0.05 * abs(med), 1e-6), (k, vals[k], med)
+
+
+def test_frequent_values_finds_planted_hot_key(spark):
+    rows = [(1, "hot")] * 60 + [(1, f"v{i}") for i in range(40)] + [(2, "x")]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = {
+        (r.k, r.v): r.share
+        for r in aggregations.frequent_values(df, ["k"], "v", min_share=0.5).collect()
+    }
+    assert out == {(1, "hot"): 0.6, (2, "x"): 1.0}
