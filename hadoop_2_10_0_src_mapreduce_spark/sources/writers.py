@@ -262,3 +262,46 @@ def write_side_outputs(
             .format(format)
             .save(f"{base_path}/{name}")
         )
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: tuple[str, ...] = (),
+) -> int:
+    """Compact a small-files parquet table in place — the maintenance
+    pass every append-heavy table needs (streaming foreachBatch sinks
+    and the incremental dedup index append one file set per
+    micro-batch; a year of that is millions of kilobyte files whose
+    OPEN cost dwarfs their scan cost). Rewrites the table into
+    ~``target_file_bytes`` files (count derived from the table's
+    on-disk footprint), preserving ``partition_cols`` layout, then
+    atomically swaps directories (write to `<path>.__compact__`,
+    rename old → `.__old__`, new → path, delete old) — readers either
+    see the old file set or the new one, never a mix. Returns the
+    output file count per partition.
+
+    Scale shape: one distributed read + repartition + write; nothing
+    driver-side but directory renames. Run it from the maintenance
+    schedule, not the ingest path — the ingest keeps appending small
+    files cheaply, and compaction amortizes them off-line."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    size = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, -(-size // target_file_bytes))
+    tmp, old = f"{path}.__compact__", f"{path}.__old__"
+    writer = df.repartition(n_files, *partition_cols) if partition_cols else df.repartition(n_files)
+    w = writer.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(tmp)
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return n_files

@@ -799,3 +799,31 @@ def test_top_ngram_stats_known_values(spark):
     }
     assert out[1] == (3, 5, 0.6)   # "a b" appears 3 of 5
     assert out[2] == (1, 3, round(1 / 3, 6))
+
+
+def test_embedding_near_dup_clusters_compose(spark):
+    """duplicate_components is modality-generic: feed it embedding
+    near-dup pairs (planted copies at two offsets → 3-member cliques)
+    and each planted group collapses to one representative."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.where(F.col("vec_id") % 40 == 0)
+    corpus = (
+        emb.unionByName(
+            planted.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+        )
+        .unionByName(
+            planted.select((F.col("vec_id") + 20000).alias("vec_id"), "embedding")
+        )
+    )
+    pairs = similarity.near_dup_pairs(corpus, threshold=0.999999)
+    clusters = {
+        r.id: r.rep for r in dedup.duplicate_components(pairs).collect()
+    }
+    originals = [r.vec_id for r in planted.collect()]
+    assert originals, "fixture must contain planted ids"
+    for v in originals:
+        # the three copies form one cluster labeled by the smallest id
+        assert clusters[v + 10000] == v
+        assert clusters[v + 20000] == v

@@ -301,3 +301,34 @@ def test_filter_and_projection_reach_parquet_scan(spark):
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in plan
     m = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert m and "l_orderkey" in m[0] and "l_extendedprice" not in m[0]
+
+
+def test_runtime_bloom_filter_prunes_join_probe_side(spark):
+    """Runtime row-level filtering: a selective filter on one join side
+    should inject a bloom filter into the OTHER side's scan, so probe
+    rows that cannot match never reach the shuffle — at 100 TB this is
+    the difference between shuffling the fact table and shuffling the
+    ~matching slice. The thresholds are sized for clusters, so the test
+    lowers them to demonstrate the mechanism; production keeps the
+    defaults (fires when the creation side is small and selective)."""
+    iso = spark.newSession()
+    iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    iso.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+    )
+    iso.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    # AQE broadcast conversion would remove the shuffle (and the need
+    # for the filter); force a shuffle join to exercise the mechanism
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = iso.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    orders = iso.read.parquet(f"{SF_SMALL}/orders.parquet").where(
+        F.col("o_totalprice") > 400000
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_quantity", "o_totalprice"
+    )
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter" in plan.lower() or "mightcontain" in plan.lower(), plan

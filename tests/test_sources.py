@@ -341,3 +341,36 @@ def test_write_side_outputs_named_routing(spark, tmp_path):
     )
     assert spark.read.parquet(f"{base}/small").count() == 2
     assert spark.read.parquet(f"{base}/all_rows").count() == 3
+
+
+def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
+    """The maintenance pass for append-heavy tables (streaming sinks,
+    the incremental dedup index): many tiny appended file sets compact
+    to a handful of files, rows and partition layout intact, via an
+    atomic directory swap."""
+    import pathlib
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import compact_table
+
+    path = str(tmp_path / "appended")
+    # simulate 12 micro-batch appends of a partitioned table
+    for b in range(12):
+        spark.createDataFrame(
+            [(b * 10 + i, f"doc {b}-{i}", "a" if i % 2 == 0 else "b") for i in range(5)],
+            "doc_id long, text string, src string",
+        ).write.mode("append").partitionBy("src").parquet(path)
+    before_rows = sorted(
+        (r.doc_id, r.text, r.src) for r in spark.read.parquet(path).collect()
+    )
+    n_before = len(list(pathlib.Path(path).rglob("*.parquet")))
+    assert n_before >= 24  # at least one file per (batch, partition)
+
+    compact_table(spark, path, partition_cols=("src",))
+    after = spark.read.parquet(path)
+    after_rows = sorted((r.doc_id, r.text, r.src) for r in after.collect())
+    assert after_rows == before_rows
+    n_after = len(list(pathlib.Path(path).rglob("*.parquet")))
+    assert n_after < n_before / 4
+    # partition dirs survive (src=a / src=b layout)
+    dirs = {p.name for p in pathlib.Path(path).iterdir() if p.is_dir()}
+    assert {"src=a", "src=b"} <= dirs
