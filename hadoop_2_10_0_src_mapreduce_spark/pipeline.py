@@ -6,7 +6,8 @@ serves is the LLM-corpus cleaning pipeline. ``prepare_training_corpus``
 composes the engine's own operators into that standard chain:
 
     exact dedup → near-dup clustering → representative selection
-    → language / quality gating → per-doc stats
+    → language / quality / repetition gating → PII redaction
+    → per-doc stats
 
 Everything stays one lazy DataFrame program except the near-dup
 clustering step (iterative — see dedup.duplicate_components), so
@@ -34,6 +35,8 @@ def prepare_training_corpus(
     min_tokens: int = 5,
     near_dup_threshold: float = 0.8,
     max_doc_freq: int | None = 100,
+    max_dup_3gram_frac: float | None = 0.5,
+    redact: bool = True,
 ) -> DataFrame:
     """The standard corpus-cleaning chain, one call.
 
@@ -44,12 +47,18 @@ def prepare_training_corpus(
        the pair graph; only each cluster's min-id representative
        survives.
     3. GATES — language allow-list (omit ``languages`` to keep all),
-       composite quality floor, minimum token count.
+       composite quality floor, minimum token count, and a repetition
+       ceiling (``max_dup_3gram_frac``: Gopher-style — documents whose
+       3-grams are mostly repeats are boilerplate/looping text; None
+       disables).
+    4. REDACTION — published text has emails/IPs/phone-runs replaced
+       with typed placeholders (``redact=False`` keeps raw text).
 
-    Returns (id, text, pred_lang, quality, n_tokens) for the surviving
-    documents. Deterministic end to end: every keeper is a min-id
-    choice, hashing is fixed-seed, and the quality/language scores are
-    pure expressions — rerunning yields the identical corpus.
+    Returns (id, text, pred_lang, quality, n_tokens, dup_3gram_frac)
+    for the surviving documents. Deterministic end to end: every keeper
+    is a min-id choice, hashing is fixed-seed, and the quality/language
+    scores are pure expressions — rerunning yields the identical
+    corpus.
     """
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
 
@@ -80,10 +89,17 @@ def prepare_training_corpus(
         T.lang_id("text", F.col("_toks")).alias("pred_lang"),
         T.quality_score("text", F.col("_toks")).alias("quality"),
         F.size("_toks").alias("n_tokens"),
+        T.dup_ngram_fraction("text", 3, F.col("_toks")).alias("dup_3gram_frac"),
     )
     out = scored.where(
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     )
+    if max_dup_3gram_frac is not None:
+        out = out.where(F.col("dup_3gram_frac") <= max_dup_3gram_frac)
     if languages is not None:
         out = out.where(F.col("pred_lang").isin(*languages))
+    if redact:
+        # gates ran on the RAW text above; only the published column is
+        # scrubbed, so a redaction placeholder never skews a score
+        out = out.withColumn("text", T.redact_pii("text"))
     return out

@@ -827,3 +827,34 @@ def test_embedding_near_dup_clusters_compose(spark):
         # the three copies form one cluster labeled by the smallest id
         assert clusters[v + 10000] == v
         assert clusters[v + 20000] == v
+
+
+def test_prepare_training_corpus_repetition_gate_and_redaction(spark):
+    """The recipe's round-4 stages: a looping document is dropped by
+    the dup-3-gram ceiling, and surviving text is PII-redacted while
+    the gates scored the RAW text."""
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import (
+        prepare_training_corpus,
+    )
+
+    loopy = "the cat sat on the mat and " * 20  # dup-3-gram ≈ 1
+    clean = (
+        "write to alice@example.org about the weather in the mountains "
+        "where it rains for days and the rivers rise over the banks"
+    )
+    docs = spark.createDataFrame(
+        [(1, loopy), (2, clean)], ["doc_id", "text"]
+    )
+    out = {r.id: r for r in prepare_training_corpus(
+        docs, near_dup_threshold=0.9, min_quality=0.2, min_tokens=5,
+        max_dup_3gram_frac=0.5,
+    ).collect()}
+    assert set(out) == {2}
+    assert "<EMAIL>" in out[2].text and "alice@" not in out[2].text
+    # redact=False keeps raw text; disabling the ceiling keeps the loop
+    raw = {r.id: r for r in prepare_training_corpus(
+        docs, near_dup_threshold=0.9, min_quality=0.2, min_tokens=5,
+        max_dup_3gram_frac=None, redact=False,
+    ).collect()}
+    assert set(raw) == {1, 2}
+    assert "alice@example.org" in raw[2].text
