@@ -103,3 +103,111 @@ def prepare_training_corpus(
         # scrubbed, so a redaction placeholder never skews a score
         out = out.withColumn("text", T.redact_pii("text"))
     return out
+
+
+def sample_by_token_budget(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    seed: int = 7,
+) -> DataFrame:
+    """Data MIXING: downsample each source to ~its token budget — the
+    step that turns per-source corpora into a training mixture with
+    chosen proportions. Computes per-source token totals (one
+    aggregate over token counts, never text), derives a keep-fraction
+    min(1, budget/total) per source, and Bernoulli-samples rows with
+    ``sampleBy`` — deterministic for a fixed seed, one scan + one
+    tiny driver-side fraction map (|sources| entries, not rows).
+    Sources absent from ``budgets`` are kept whole. Expected (not
+    exact) budgets, the standard trade: an exact cut needs a global
+    sort; Bernoulli is one pass and unbiased."""
+    totals = {
+        r[source_col]: r.total
+        for r in docs.groupBy(source_col)
+        .agg(F.sum(T.token_count(text_col)).alias("total"))
+        .collect()
+    }
+    fractions = {
+        src: min(1.0, budgets[src] / totals[src]) if totals.get(src) else 1.0
+        for src in totals
+        if src in budgets
+    }
+    keep_all = [s for s in totals if s not in budgets]
+    sampled = docs.sampleBy(source_col, fractions, seed=seed)
+    if keep_all:
+        sampled = sampled.unionByName(
+            docs.where(F.col(source_col).isin(keep_all))
+        )
+    return sampled
+
+
+def assign_packing_bins(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_tokens: int = 2048,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Sequence PACKING assignment: group documents into bins of
+    ~``target_tokens`` so a downstream step can concatenate each bin
+    into one training sequence. This is SEQUENTIAL packing (concat in
+    deterministic id order, cut at the boundary the running total
+    crosses) — what production pipelines actually run; bin-optimal
+    packing is NP-hard and unnecessary. The running total is a window
+    cumsum over ``id_col`` order (per ``shard_col`` when given, so
+    window partitions are bounded at corpus scale — shard first, e.g.
+    by source or by pmod(hash(id), k); without a shard the cumsum is
+    one global window partition, fine for small corpora only). Each
+    document lands in the bin its START position falls in:
+    bin = floor((cumsum − n) / target) — so every bin holds at most
+    ``target_tokens`` plus the overshoot of its one boundary-crossing
+    document (truncation of that tail is the caller's policy), and a
+    document that crosses several boundaries still belongs to exactly
+    one bin.
+
+    Returns (shard?, bin, id, n_tokens, bin_tokens) — the bound above
+    is pinned by test."""
+    from pyspark.sql.window import Window
+
+    part = [shard_col] if shard_col else []
+    w = Window.partitionBy(*part).orderBy(id_col) if part else (
+        Window.orderBy(id_col)
+    )
+    sized = docs.select(
+        *part, F.col(id_col), T.token_count(text_col).alias("n_tokens")
+    )
+    csum = F.sum("n_tokens").over(w)
+    binned = sized.withColumn(
+        "bin",
+        F.floor((csum - F.col("n_tokens")) / F.lit(target_tokens)).cast("long"),
+    )
+    wb = Window.partitionBy(*part, "bin")
+    return binned.withColumn(
+        "bin_tokens", F.sum("n_tokens").over(wb)
+    ).select(*part, "bin", id_col, "n_tokens", "bin_tokens")
+
+
+def write_jsonl_shards(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    rows_per_shard: int = 100_000,
+    mode: str = "error",
+) -> None:
+    """Publish a corpus as JSON-lines shards — the interchange format
+    training stacks ingest. Shard membership is DETERMINISTIC (range
+    partition by id, sized from a count), so re-publishing the same
+    corpus yields the same shard boundaries; within-shard order rides
+    the range sort. One count + one range shuffle + the write."""
+    n = docs.count()
+    shards = max(1, -(-n // rows_per_shard))
+    (
+        docs.repartitionByRange(shards, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .write.mode(mode)
+        .json(path)
+    )

@@ -858,3 +858,72 @@ def test_prepare_training_corpus_repetition_gate_and_redaction(spark):
     ).collect()}
     assert set(raw) == {1, 2}
     assert "alice@example.org" in raw[2].text
+
+
+def test_sample_by_token_budget_mixes_sources(spark):
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import (
+        sample_by_token_budget,
+    )
+
+    rows = [(i, "w " * 100, "big") for i in range(200)] + [
+        (1000 + i, "w " * 100, "small") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    # budget big → ~10% of its 20k tokens; small has no budget → whole
+    out = sample_by_token_budget(docs, {"big": 2000}, seed=7)
+    counts = {r.source: r.n for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("small") == 10
+    assert 5 <= counts.get("big", 0) <= 45  # Bernoulli around 20 of 200
+    # deterministic for a fixed seed
+    again = {r.source: r.n for r in sample_by_token_budget(
+        docs, {"big": 2000}, seed=7
+    ).groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == counts
+
+
+def test_assign_packing_bins_bound_and_order(spark):
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import assign_packing_bins
+
+    rows = [(i, "tok " * ((i % 7 + 1) * 10), "s") for i in range(50)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "src"])
+    out = assign_packing_bins(
+        docs, target_tokens=100, shard_col="src"
+    ).collect()
+    # bound: every bin <= target + its boundary-crossing doc's tokens
+    by_bin: dict = {}
+    for r in out:
+        by_bin.setdefault(r.bin, []).append(r)
+    for b, members in by_bin.items():
+        members.sort(key=lambda r: r.doc_id)
+        total = sum(r.n_tokens for r in members)
+        assert total == members[0].bin_tokens
+        assert total <= 100 + members[-1].n_tokens
+    # bins are contiguous id ranges (sequential packing): the doc ids
+    # sorted by bin equal the ids sorted outright
+    ordered = [r.doc_id for r in sorted(out, key=lambda r: (r.bin, r.doc_id))]
+    assert ordered == sorted(r.doc_id for r in out)
+
+
+def test_write_jsonl_shards_deterministic_layout(spark, tmp_path):
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import write_jsonl_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(100)], ["doc_id", "text"]
+    )
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_jsonl_shards(docs, p1, rows_per_shard=30)
+    write_jsonl_shards(docs, p2, rows_per_shard=30)
+    import pathlib
+
+    files1 = sorted(f.name for f in pathlib.Path(p1).glob("part-*"))
+    assert len(files1) == 4  # ceil(100/30)
+    back = spark.read.json(p1)
+    assert back.count() == 100
+    # same shard boundaries on re-publish: per-file row counts match
+    def sizes(p):
+        return sorted(
+            len(f.read_text().splitlines())
+            for f in pathlib.Path(p).glob("part-*")
+        )
+    assert sizes(p1) == sizes(p2)
