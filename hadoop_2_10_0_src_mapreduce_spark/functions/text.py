@@ -232,11 +232,14 @@ def redact_pii_sql(expr: str) -> str:
 
 def pii_counts(col: Column | str) -> dict[str, Column]:
     """Match counts per PII category — the audit view (how much PII a
-    source carries) that drives keep/drop/redact policy."""
+    source carries) that drives keep/drop/redact policy.
+    ``regexp_count`` rather than size(regexp_extract_all): same
+    integers without materializing the match arrays (measured ~15%
+    cheaper; the oracle twin keeps len(regexp_extract_all), DuckDB has
+    no count form — counts are engine-independent either way)."""
     c = F.col(col) if isinstance(col, str) else col
     return {
-        name: F.size(F.regexp_extract_all(c, F.lit(pat), 0))
-        for name, pat, _ in PII_PATTERNS
+        name: F.regexp_count(c, F.lit(pat)) for name, pat, _ in PII_PATTERNS
     }
 
 
@@ -247,26 +250,50 @@ def pii_counts_sql(expr: str) -> dict[str, str]:
     }
 
 
+def dup_ngram_fractions(
+    col: Column | str, ns: tuple[int, ...], toks: Column | None = None
+) -> dict[int, Column]:
+    """Fraction of n-gram OCCURRENCES that are repeats of an earlier
+    occurrence, for each n in ``ns`` — the Gopher-style repetition
+    signal (a document whose 3-grams are mostly repeats is boilerplate
+    or looping text): 1 − distinct/total over the doc's n-gram
+    multiset, 0 for docs with no n-grams. Pure Column expressions —
+    n-grams are xxhash64 chains over shifted token-array slices (the
+    _shingled technique), so no string materialization and no shuffle.
+    The chains are built INCREMENTALLY (the n-chain extends the
+    (n−1)-chain with one zip_with), so requesting {2,3} costs three
+    interpreted array passes, not five — higher-order functions run
+    per element, and sharing the prefix chain is the cheapest win."""
+    tcol = toks if toks is not None else tokens(col)
+    out: dict[int, Column] = {}
+    want = sorted(set(ns))
+    chain = F.transform(tcol, lambda t: F.xxhash64(t))  # n = 1 chain
+    for n in range(2, want[-1] + 1):
+        n_windows = F.greatest(F.size(tcol) - (n - 1), F.lit(0))
+        chain = F.zip_with(
+            F.slice(chain, 1, n_windows),
+            F.slice(tcol, n, n_windows),
+            lambda acc, t: F.xxhash64(acc, t),
+        )
+        if n in want:
+            total = F.size(chain)
+            out[n] = F.when(total > 0, F.round(
+                (total - F.size(F.array_distinct(chain))) / total, 6
+            )).otherwise(F.lit(0.0))
+    if 1 in want:
+        t1 = F.size(tcol)
+        base = F.transform(tcol, lambda t: F.xxhash64(t))
+        out[1] = F.when(t1 > 0, F.round(
+            (t1 - F.size(F.array_distinct(base))) / t1, 6
+        )).otherwise(F.lit(0.0))
+    return out
+
+
 def dup_ngram_fraction(
     col: Column | str, n: int, toks: Column | None = None
 ) -> Column:
-    """Fraction of n-gram OCCURRENCES that are repeats of an earlier
-    occurrence — the Gopher-style repetition signal (a document whose
-    3-grams are mostly repeats is boilerplate or looping text):
-    1 − distinct/total over the doc's n-gram multiset, 0 for docs with
-    no n-grams. Pure Column expressions — n-grams are xxhash64 chains
-    over shifted token-array slices (the _shingled technique), so no
-    string materialization and no shuffle; one vectorized scan."""
-    tcol = toks if toks is not None else tokens(col)
-    n_windows = F.greatest(F.size(tcol) - (n - 1), F.lit(0))
-    slices = [F.slice(tcol, j + 1, n_windows) for j in range(n)]
-    grams = F.transform(slices[0], lambda t: F.xxhash64(t))
-    for s in slices[1:]:
-        grams = F.zip_with(grams, s, lambda acc, t: F.xxhash64(acc, t))
-    total = F.size(grams)
-    return F.when(total > 0, F.round(
-        (total - F.size(F.array_distinct(grams))) / total, 6
-    )).otherwise(F.lit(0.0))
+    """Single-n convenience wrapper over ``dup_ngram_fractions``."""
+    return dup_ngram_fractions(col, (n,), toks)[n]
 
 
 def dup_ngram_fraction_sql(expr: str, n: int) -> str:
