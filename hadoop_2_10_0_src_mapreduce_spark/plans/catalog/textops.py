@@ -139,8 +139,12 @@ def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[feats[name].alias(name) for name in
           ("mean_token_len", "punct_ratio", "stopword_ratio", "digit_ratio")],
         T.quality_score("text", tc).alias("quality"),
-        T.dup_ngram_fraction("text", 2, tc).alias("dup_2gram_frac"),
-        T.dup_ngram_fraction("text", 3, tc).alias("dup_3gram_frac"),
+        *[
+            c.alias(f"dup_{n}gram_frac")
+            for n, c in sorted(
+                T.dup_ngram_fractions("text", (2, 3), tc).items()
+            )
+        ],
         pii["email"].alias("pii_email"),
         pii["ipv4"].alias("pii_ipv4"),
         pii["phone"].alias("pii_phone"),
