@@ -47,6 +47,21 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--explain", action="store_true",
                      help="print the formatted physical plan instead of executing")
 
+    pl = sub.add_parser(
+        "pipeline", help="run the corpus-cleaning recipe over documents"
+    )
+    pl.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pl.add_argument("--output", help="write the cleaned corpus as JSONL shards here")
+    pl.add_argument("--languages", help="comma-separated allow-list (e.g. en,de)")
+    pl.add_argument("--min-quality", type=float, default=0.3)
+    pl.add_argument("--min-tokens", type=int, default=5)
+    pl.add_argument("--near-dup-threshold", type=float, default=0.8)
+    pl.add_argument("--max-dup-3gram-frac", type=float, default=0.5)
+    pl.add_argument("--no-redact", action="store_true")
+    pl.add_argument("--limit", type=int, default=20, help="rows to print")
+    pl.add_argument("-D", dest="conf", action="append", default=[],
+                    metavar="key=value", help="Spark conf override")
+
     args = ap.parse_args(argv)
 
     from hadoop_2_10_0_src_mapreduce_spark.plans.registry import REGISTRY, all_queries
@@ -55,6 +70,32 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "list":
         for name in sorted(qs):
             print(f"{name}\t{REGISTRY[name].doc}")
+        return 0
+
+    if args.cmd == "pipeline":
+        from hadoop_2_10_0_src_mapreduce_spark.pipeline import (
+            prepare_training_corpus,
+            write_jsonl_shards,
+        )
+        from hadoop_2_10_0_src_mapreduce_spark.session import get_spark
+        from hadoop_2_10_0_src_mapreduce_spark.sources.readers import load_table
+
+        spark = get_spark("cli:pipeline", extra_conf=_conf_pairs(args.conf))
+        spark.sparkContext.setLogLevel("ERROR")
+        docs = load_table(spark, args.sf_dir, "documents")
+        out = prepare_training_corpus(
+            docs,
+            languages=tuple(args.languages.split(",")) if args.languages else None,
+            min_quality=args.min_quality,
+            min_tokens=args.min_tokens,
+            near_dup_threshold=args.near_dup_threshold,
+            max_dup_3gram_frac=args.max_dup_3gram_frac,
+            redact=not args.no_redact,
+        )
+        if args.output:
+            write_jsonl_shards(out, args.output, id_col="id")
+        else:
+            out.show(args.limit, truncate=60)
         return 0
 
     if args.query not in qs:

@@ -198,3 +198,66 @@ def test_duplicate_components_match_union_find(spark, edges):
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
     got = {r.id: r.rep for r in duplicate_components(df).collect()}
     assert got == expected
+
+
+# words drawn from a tiny vocabulary → heavy duplicate fingerprints
+_doc_texts = st.lists(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+             min_size=1, max_size=6).map(" ".join),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(texts=_doc_texts, split=st.integers(0, 24))
+@settings(max_examples=12, deadline=None)
+def test_incremental_exact_dedup_chaining_property(spark, texts, split):
+    """For ANY corpus and ANY split point: folding the tail batch into
+    the head's index equals one exact_dedup over everything — the
+    incremental invariant under adversarial duplicate density."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    split = min(split, len(rows))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    head = docs.where(F.col("doc_id") < split)
+    tail = docs.where(F.col("doc_id") >= split)
+    merged = incremental_exact_dedup(
+        tail, "text", "doc_id", exact_dedup(head, "text", "doc_id")
+    )
+    full = exact_dedup(docs, "text", "doc_id")
+    key = lambda df: {(r.fp, r.keeper, r.n_copies) for r in df.collect()}
+    assert key(merged) == key(full)
+
+
+@given(
+    sizes=st.lists(st.integers(1, 12), min_size=1, max_size=30),
+    target=st.integers(4, 20),
+)
+@settings(max_examples=12, deadline=None)
+def test_packing_bins_bound_property(spark, sizes, target):
+    """For ANY document sizes and target: every bin's token total is at
+    most target + its boundary-crossing (last) document's tokens, ids
+    stay in sequential order, and every doc lands in exactly one bin."""
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import assign_packing_bins
+
+    rows = [(i, "w " * n, "s") for i, n in enumerate(sizes)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = assign_packing_bins(
+        docs, target_tokens=target, shard_col="src"
+    ).collect()
+    assert len(out) == len(sizes)
+    by_bin: dict = {}
+    for r in out:
+        by_bin.setdefault(r.bin, []).append(r)
+    prev_max = -1
+    for b in sorted(by_bin):
+        members = sorted(by_bin[b], key=lambda r: r.doc_id)
+        total = sum(r.n_tokens for r in members)
+        assert total <= target + members[-1].n_tokens
+        # contiguity: bins partition the id sequence in order
+        assert members[0].doc_id == prev_max + 1
+        prev_max = members[-1].doc_id

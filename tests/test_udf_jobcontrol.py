@@ -104,3 +104,16 @@ def test_cli_list_and_run(spark, tmp_path, capsys):
     assert main(["run", "flagship_pricing_join", "--explain"]) == 0
     plan = capsys.readouterr().out
     assert "Physical Plan" in plan and "Scan parquet" in plan
+
+
+def test_cli_pipeline_writes_jsonl(spark, tmp_path, capsys):
+    from hadoop_2_10_0_src_mapreduce_spark.__main__ import main
+
+    out = str(tmp_path / "corpus")
+    assert main([
+        "pipeline", "--min-quality", "0.0", "--min-tokens", "1",
+        "--max-dup-3gram-frac", "1.0", "--output", out,
+    ]) == 0
+    back = spark.read.json(out)
+    assert back.count() > 0
+    assert {"id", "text", "pred_lang", "quality"} <= set(back.columns)
