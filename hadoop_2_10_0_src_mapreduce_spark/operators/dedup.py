@@ -794,3 +794,38 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def winnow_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 3, w: int = 4,
+    threshold: float = 0.6, max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs via a WINNOWED inverted index — the MOSS recipe
+    end to end: candidates collide on shared winnowing fingerprints
+    (density ~2/(w+1) of shingle positions, so the index the self-join
+    touches is ~(w+1)/2× smaller than the full shingle index), then
+    survivors are exact-verified with full-shingle Jaccard, so the
+    REPORTED similarity is identical to ngram_jaccard_pairs on the
+    pairs found. Recall is structural, not probabilistic: any shared
+    token run of length ≥ w+k−1 guarantees a shared fingerprint (the
+    winnowing guarantee), which near-duplicate prose at J ≥ 0.6
+    overwhelmingly contains — but a pair whose overlap is only
+    scattered short runs can be missed; that is the price of the
+    smaller index, and why this is the high-threshold/big-corpus dial
+    (vs the lossless-but-bigger prefix filter). ``max_doc_freq`` caps
+    hot fingerprints exactly like the shingle df-cap."""
+    fps = winnowing_fingerprints(df, text_col, id_col, k=k, w=w)
+    fp_index = fps.select("id", F.col("fp").alias("h"))
+    if max_doc_freq is not None:
+        fp_index = _df_capped(fp_index, max_doc_freq)
+    cands = (
+        fp_index.alias("x")
+        .join(fp_index.alias("y"), "h")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    inv = _df_capped(
+        _hashed_index(_shingled(df, text_col, id_col, k)), max_doc_freq
+    )
+    return _exact_jaccard_on_candidates(cands, inv, threshold)

@@ -927,3 +927,36 @@ def test_write_jsonl_shards_deterministic_layout(spark, tmp_path):
             for f in pathlib.Path(p).glob("part-*")
         )
     assert sizes(p1) == sizes(p2)
+
+
+def test_winnow_jaccard_finds_planted_near_dups_with_smaller_index(
+    spark, dup_corpus
+):
+    """The winnowed candidate index must be several times smaller than
+    the full shingle index, and still find every planted near-dup pair
+    at J>=0.6 (prose near-dups share long token runs, so the winnowing
+    guarantee covers them); reported Jaccard matches the plain path
+    exactly on the pairs found."""
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            dup_corpus, "text", "doc_id", threshold=0.6
+        ).collect()
+    }
+    winnowed = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.winnow_jaccard_pairs(
+            dup_corpus, "text", "doc_id", threshold=0.6
+        ).collect()
+    }
+    planted = {p for p in full if p[1] >= 10000}
+    assert planted and planted <= set(winnowed)
+    for p, j in winnowed.items():
+        assert full[p] == j  # same exact verify → same values
+    n_shingle = dedup._hashed_index(
+        dedup._shingled(dup_corpus, "text", "doc_id", 3)
+    ).count()
+    n_winnow = dedup.winnowing_fingerprints(
+        dup_corpus, "text", "doc_id", k=3, w=4
+    ).count()
+    assert n_winnow * 2 < n_shingle  # the index-size win is real
