@@ -162,3 +162,33 @@ def repartition_by_binary_range(
     left offset)."""
     c = F.col(col) if isinstance(col, str) else col
     return df.repartition(n, F.substring(c, offset + 1, length))
+
+
+def partition_size_stats(df) -> "DataFrame":
+    """Skew diagnostic: per-partition row counts plus summary stats —
+    the first thing to look at when a stage straggles. One pass: group
+    by ``spark_partition_id()`` then aggregate the counts; at any
+    scale the intermediate is one row per NON-EMPTY partition, so the
+    planned partition count (driver-side metadata, no job) supplies
+    the denominator — a fully-skewed frame groups to one row, and
+    without the planned count the ratio would read a perfect 1.0. A
+    max/avg ratio near 1 means balanced; >> 1 means hot partitions —
+    reach for repartition(), salting (joins.salted_join), or AQE skew
+    handling, and use aggregations.frequent_values to find WHICH key
+    is hot. ``n_empty`` > 0 with a high ratio is the classic
+    hashed-to-few-keys signature."""
+    from pyspark.sql import functions as F
+
+    n_planned = df.rdd.getNumPartitions()
+    per = df.groupBy(F.spark_partition_id().alias("pid")).agg(
+        F.count(F.lit(1)).alias("rows")
+    )
+    avg = F.sum("rows") / F.lit(n_planned)
+    return per.agg(
+        F.lit(n_planned).alias("n_partitions"),
+        (F.lit(n_planned) - F.count(F.lit(1))).alias("n_empty"),
+        F.min("rows").alias("min_nonempty_rows"),
+        F.max("rows").alias("max_rows"),
+        F.round(avg, 2).alias("avg_rows"),
+        F.round(F.max("rows") / avg, 3).alias("max_avg_ratio"),
+    )

@@ -195,3 +195,21 @@ def test_frequent_values_finds_planted_hot_key(spark):
         for r in aggregations.frequent_values(df, ["k"], "v", min_share=0.5).collect()
     }
     assert out == {(1, "hot"): 0.6, (2, "x"): 1.0}
+
+
+def test_partition_size_stats_flags_planted_skew(spark):
+    from hadoop_2_10_0_src_mapreduce_spark.operators.sortpart import (
+        partition_size_stats,
+    )
+
+    balanced = spark.range(10000).repartition(8)
+    r = partition_size_stats(balanced).first()
+    assert r.n_partitions == 8
+    assert r.max_avg_ratio < 1.5
+
+    # all rows hashed to one key → one hot partition after repartition
+    skewed = spark.range(10000).select(F.lit(1).alias("k")).repartition(8, "k")
+    s = partition_size_stats(skewed).first()
+    assert s.max_rows == 10000
+    assert s.n_empty >= 6
+    assert s.max_avg_ratio >= 4.0
