@@ -638,6 +638,7 @@ def quantize_embeddings(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Symmetric int8 quantization: per-vector scale = max|v| / 127,
     qvec[i] = round(v[i] / scale) ∈ [-127, 127]. The vector payload
@@ -648,8 +649,10 @@ def quantize_embeddings(
     join-back). Entirely JVM (aggregate/transform — no Python, no
     UDF). Zero vectors quantize to zeros (scale floor avoids 0/0).
 
-    Returns (id, qvec array<tinyint>, scale double);
+    Returns (id, qvec array<tinyint>, scale double, *keep_cols);
     ``dequantize_embeddings`` inverts to within scale/2 per component.
+    ``keep_cols`` ride along in the same projection (one pass — no
+    join-back against the possibly-expensive source).
     """
     v = _as_double(vec_col)
     amax = F.aggregate(
@@ -664,6 +667,7 @@ def quantize_embeddings(
             v, lambda x: F.round(x / scale).cast("tinyint")
         ).alias("qvec"),
         scale.alias("scale"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -1000,6 +1004,7 @@ def save_ivf_index(
     n_centroids: int = 16,
     n_iters: int = 5,
     max_train: int = 4096,
+    quantize: bool = False,
 ) -> None:
     """Build and PERSIST an IVF index — the offline half of the
     serving lifecycle (build once on the 100 TB corpus, answer query
@@ -1015,7 +1020,14 @@ def save_ivf_index(
     Training and filing are the same deterministic paths as
     ``ann_ivf_topk`` (md5-seeded sequential k-means, stable probe
     sort), so serve-from-disk results equal the in-session
-    external-query mode bit for bit (pinned by test)."""
+    external-query mode bit for bit (pinned by test).
+
+    ``quantize=True`` stores each list vector as int8 + per-vector
+    scale (``quantize_embeddings``) — a 4–8× smaller index, which at
+    100 TB is the difference in what the probed-partition scan reads;
+    the server dequantizes transparently and scores the approximation
+    (per-component error ≤ scale/2; recall floor pinned by test).
+    Centroids always stay float — they are kilobytes."""
     vecs = emb.select(id_col, vec_col)
     cents = train_ivf_centroids(
         vecs,
@@ -1036,6 +1048,10 @@ def save_ivf_index(
         .where(F.col("probe_rank") == 0)
         .drop("probe_rank")
     )
+    if quantize:
+        home = quantize_embeddings(
+            home, id_col=id_col, vec_col=vec_col, keep_cols=("list_id",)
+        )
     home.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
 
 
@@ -1081,15 +1097,28 @@ def query_ivf_index(
     probed = sorted(
         r.list_id for r in fan.select("list_id").distinct().collect()
     )
+    stored = spark.read.parquet(f"{path}/lists").where(
+        F.col("list_id").isin(probed)
+    )
+    quantized = "qvec" in stored.columns
+    if quantized:  # int8 index: dequantize in the scan projection
+        stored = stored.select(
+            F.col(id_col),
+            F.transform(
+                "qvec", lambda q: q.cast("double") * F.col("scale")
+            ).alias(vec_col),
+            "list_id",
+        )
     lists = (
-        spark.read.parquet(f"{path}/lists")
-        .where(F.col("list_id").isin(probed))
-        .withColumn("probe_rank", F.lit(0))
+        stored.withColumn("probe_rank", F.lit(0))
         .select(id_col, vec_col, "list_id", "probe_rank")
     )
-    assigned = lists.unionByName(
-        fan.select(id_col, vec_col, "list_id", "probe_rank")
-    ).persist()
+    fan_sel = fan.select(id_col, vec_col, "list_id", "probe_rank")
+    if quantized:
+        # dequantized lists are array<double>; widen the query side to
+        # match explicitly rather than relying on union coercion
+        fan_sel = fan_sel.withColumn(vec_col, _as_double(vec_col))
+    assigned = lists.unionByName(fan_sel).persist()
     return _score_assigned(
         assigned,
         id_col,

@@ -960,3 +960,38 @@ def test_winnow_jaccard_finds_planted_near_dups_with_smaller_index(
         dup_corpus, "text", "doc_id", k=3, w=4
     ).count()
     assert n_winnow * 2 < n_shingle  # the index-size win is real
+
+
+def test_quantized_ivf_index_smaller_and_recalls(spark, tmp_path):
+    """int8 index storage: the lists directory shrinks by >2x, the
+    server dequantizes transparently, and quantized serving recalls
+    most of the unquantized serving's neighbor pairs (per-component
+    error <= scale/2)."""
+    import pathlib
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    pf, pq = str(tmp_path / "float"), str(tmp_path / "int8")
+    similarity.save_ivf_index(emb, pf, n_centroids=8)
+    similarity.save_ivf_index(emb, pq, n_centroids=8, quantize=True)
+
+    def dir_size(p):
+        return sum(
+            f.stat().st_size for f in pathlib.Path(p, "lists").rglob("*.parquet")
+        )
+
+    assert dir_size(pq) * 2 < dir_size(pf)
+
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.query_ivf_index(queries, pf, k=5, n_probe=4).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.query_ivf_index(queries, pq, k=5, n_probe=4).collect()
+    }
+    assert full, "serving returned no rows"
+    recall = len(quant & full) / len(full)
+    assert recall >= 0.7, f"quantized serving recall collapsed: {recall:.3f}"
