@@ -634,9 +634,12 @@ def minhash_lsh_pairs_incremental(
     changes which join produces a pair, never the pair set.
 
     Scale shape: banded batch (small) joins banded corpus (big) on
-    (band_idx, band_hash) — the batch side broadcasts or shuffles
-    narrow keys; verify joins rebuild sets from the combined index with
-    ids-only shuffles, as in the batch path."""
+    (band_idx, band_hash); verify joins rebuild sets from the combined
+    index with ids-only shuffles, as in the batch path. At 100 TB,
+    store the banded corpus table bucketed by (band_idx, band_hash)
+    (write_sorted_bucketed) so the per-batch join co-locates instead
+    of re-shuffling the corpus-wide band rows every batch — the same
+    make-state-durable move as the fingerprint index."""
     rows_per_band = num_hashes // bands
     new_inv = _hashed_index(_shingled(new_df, text_col, id_col, k)).persist()
     new_sigs = _minhash_from_index(new_inv, num_hashes)

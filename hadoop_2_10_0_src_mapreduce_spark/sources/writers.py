@@ -286,7 +286,11 @@ def compact_table(
     Scale shape: one distributed read + repartition + write; nothing
     driver-side but directory renames. Run it from the maintenance
     schedule, not the ingest path — the ingest keeps appending small
-    files cheaply, and compaction amortizes them off-line."""
+    files cheaply, and compaction amortizes them off-line. The swap
+    uses POSIX renames (pathlib/shutil), i.e. this utility manages
+    LOCAL/NFS table dirs; on an object store the same read→rewrite
+    plan applies but the swap must go through the store's rename or a
+    table format's atomic commit."""
     import shutil
 
     df = spark.read.parquet(path)

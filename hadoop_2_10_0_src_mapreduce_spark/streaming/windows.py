@@ -275,6 +275,11 @@ def stream_incremental_corpus_dedup(
     shared with the batch pipeline (``novel_docs`` reads the same
     layout).
 
+    At scale: the per-batch anti-join reads the index table — keep it
+    bucketed by fp (or add a bloom-filter pre-filter) so the join
+    co-locates rather than shuffling the corpus-wide index every
+    micro-batch, and run sources/writers.compact_table on it from the
+    maintenance schedule (each batch appends one small file set).
     foreachBatch batches run sequentially, so read-index → append-index
     has no write race. On failure replay the batch re-runs
     (at-least-once): if the index append committed, the replayed batch
