@@ -20,6 +20,9 @@ Layout
                    JobControl DAG analog.
 - ``streaming``  : Structured Streaming extension (no reference parity —
                    Hadoop MR 2.10.0 is strictly batch, SURVEY.md §2.9).
+- ``pipeline``   : the end-to-end corpus recipe (clean → gate → redact)
+                   plus data mixing, sequence packing, and JSONL-shard
+                   publishing.
 """
 
 from hadoop_2_10_0_src_mapreduce_spark.session import get_spark

@@ -211,3 +211,45 @@ def write_jsonl_shards(
         .write.mode(mode)
         .json(path)
     )
+
+
+def pack_bins_to_sequences(
+    docs: DataFrame,
+    bins: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str | None = None,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Materialize ``assign_packing_bins`` output into training
+    sequences: join the assignment back to the text, group per
+    (shard?, bin), and concatenate members in id order —
+    sort_array over (id, text) structs, so the within-bin order is
+    deterministic without a sort exchange (struct compare is
+    field-ordered; ids are unique). Returns (shard?, bin, seq_text,
+    n_docs, n_tokens). Per-group payload is ~target_tokens of text —
+    bounded by construction, so collect_list cannot blow up a task."""
+    part = [shard_col] if shard_col else []
+    joined = bins.join(
+        docs.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    return (
+        joined.groupBy(*part, "bin")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col), F.col(text_col)))
+            ).alias("_m"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            *part,
+            "bin",
+            F.array_join(
+                F.transform("_m", lambda m: m[text_col]), sep
+            ).alias("seq_text"),
+            "n_docs",
+            "n_tokens",
+        )
+    )

@@ -995,3 +995,22 @@ def test_quantized_ivf_index_smaller_and_recalls(spark, tmp_path):
     assert full, "serving returned no rows"
     recall = len(quant & full) / len(full)
     assert recall >= 0.7, f"quantized serving recall collapsed: {recall:.3f}"
+
+
+def test_pack_bins_to_sequences_orders_and_bounds(spark):
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import (
+        assign_packing_bins,
+        pack_bins_to_sequences,
+    )
+
+    rows = [(i, f"doc{i} " * 10, "s") for i in range(20)]  # 10 tokens each
+    docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    bins = assign_packing_bins(docs, target_tokens=35, shard_col="src")
+    seqs = pack_bins_to_sequences(docs, bins, shard_col="src").collect()
+    assert sum(r.n_docs for r in seqs) == 20
+    for r in seqs:
+        members = r.seq_text.split("\n\n")
+        ids = [int(m.split()[0][3:]) for m in members]
+        assert ids == sorted(ids)          # id order within the sequence
+        assert r.n_tokens <= 35 + 10       # bound: target + boundary doc
+        assert r.n_tokens == 10 * r.n_docs
