@@ -821,6 +821,10 @@ def winnow_jaccard_pairs(
     fp_index = fps.select("id", F.col("fp").alias("h"))
     if max_doc_freq is not None:
         fp_index = _df_capped(fp_index, max_doc_freq)
+    # module caching contract: both self-join sides read the fingerprint
+    # index, and both verify-join sides read the shingle index — persist
+    # each so the winnowing/shingling passes run once, not per consumer
+    fp_index = fp_index.persist()
     cands = (
         fp_index.alias("x")
         .join(fp_index.alias("y"), "h")
@@ -830,5 +834,5 @@ def winnow_jaccard_pairs(
     )
     inv = _df_capped(
         _hashed_index(_shingled(df, text_col, id_col, k)), max_doc_freq
-    )
+    ).persist()
     return _exact_jaccard_on_candidates(cands, inv, threshold)
