@@ -1014,3 +1014,38 @@ def test_pack_bins_to_sequences_orders_and_bounds(spark):
         assert ids == sorted(ids)          # id order within the sequence
         assert r.n_tokens <= 35 + 10       # bound: target + boundary doc
         assert r.n_tokens == 10 * r.n_docs
+
+
+def test_edge_cases_empty_batches_and_queries(spark, tmp_path):
+    """Robustness edges: an empty incremental batch leaves the index
+    unchanged; serving an empty query batch returns an empty frame
+    (no probed partitions, no failure); compacting an unpartitioned
+    table preserves rows."""
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import compact_table
+
+    # empty incremental batch
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    index = dedup.exact_dedup(docs, "text", "doc_id")
+    empty = docs.where(F.lit(False))
+    merged = dedup.incremental_exact_dedup(empty, "text", "doc_id", index)
+    key = lambda df: {(r.fp, r.keeper, r.n_copies) for r in df.collect()}
+    assert key(merged) == key(index)
+
+    # empty query batch against a persisted IVF index
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    similarity.save_ivf_index(emb, path, n_centroids=4)
+    no_queries = emb.where(F.lit(False)).select("vec_id", "embedding")
+    served = similarity.query_ivf_index(no_queries, path, k=3, n_probe=2)
+    assert served.count() == 0
+
+    # unpartitioned compaction
+    t = str(tmp_path / "flat")
+    for b in range(6):
+        spark.range(b * 10, b * 10 + 10).write.mode("append").parquet(t)
+    before = sorted(r.id for r in spark.read.parquet(t).collect())
+    compact_table(spark, t)
+    after = sorted(r.id for r in spark.read.parquet(t).collect())
+    assert after == before
