@@ -120,6 +120,60 @@ def novel_docs(
     return batch.join(index_df.select("fp"), "fp", "left_anti")
 
 
+def contaminated_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """Train–eval DECONTAMINATION flags: the ids of training documents
+    sharing at least one n-token shingle with ANY benchmark/eval
+    document — the standard contamination test (13-gram overlap for
+    web-scale corpora; dial ``n`` down for short documents). Returns a
+    one-column (id) frame.
+
+    Scale shape: the eval side is benchmark-sized — thousands of
+    documents, minuscule next to the corpus — so its DISTINCT shingle
+    hashes broadcast into a map-side semi-join against the exploded
+    train shingles; the corpus never shuffles for the membership test,
+    only the surviving (contaminated) ids deduplicate. Shingles are the
+    same xxhash64 chains as the near-dup index (``_shingled``), so a
+    caller already running Jaccard dedup at the same k can reuse one
+    index for both."""
+    ev = (
+        _shingled(eval_df, text_col, id_col, n)
+        .select(F.explode("sh").alias("h"))
+        .distinct()
+    )
+    tr = _shingled(train, text_col, id_col, n)
+    return (
+        tr.select("id", F.explode("sh").alias("h"))
+        .join(F.broadcast(ev), "h", "left_semi")
+        .select("id")
+        .distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """Drop every training document flagged by ``contaminated_ids`` —
+    the filter a corpus MUST pass before its benchmark numbers mean
+    anything. Anti-join on the id only; the returned frame keeps the
+    train schema untouched."""
+    bad = contaminated_ids(train, eval_df, text_col, id_col, n=n).select(
+        F.col("id").alias(id_col)
+    )
+    return train.join(bad, id_col, "left_anti")
+
+
 def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """(id, sh: array<long>) — DISTINCT k-token shingle hashes per doc.
 

@@ -190,6 +190,77 @@ def assign_packing_bins(
     ).select(*part, "bin", id_col, "n_tokens", "bin_tokens")
 
 
+def split_assign(
+    id_col: str, weights: dict[str, float]
+) -> F.Column:
+    """Deterministic corpus SPLIT assignment (train/val/test): the
+    document's unit-interval coordinate is u = uint32(md5(id)[:8])/2³²
+    — a pure function of the id, so membership is stable across runs,
+    machines, and engines (md5 exists everywhere; ``split_sql`` is the
+    oracle twin) — and the row lands in the first split whose
+    cumulative normalized weight exceeds u. Properties that matter for
+    training hygiene, all by construction: splits are DISJOINT and
+    COMPLETE (a CASE over non-overlapping half-open intervals),
+    adding documents never moves an existing one between splits
+    (membership depends only on the id), and proportions converge to
+    the weights by uniformity of the hash. ``weights`` order is the
+    interval order; the last split absorbs the u = 1 edge."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(2.0**32)
+    )
+    total = sum(weights.values())
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    if expr is None:  # single split
+        return F.lit(names[-1])
+    return expr.otherwise(F.lit(names[-1]))
+
+
+_SPLIT_HEX2INT = " + ".join(
+    f"(instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+    for j in range(8)
+)
+
+
+def split_sql(id_expr: str, weights: dict[str, float]) -> str:
+    """DuckDB twin of ``split_assign`` — same md5 coordinate, same
+    cumulative-weight CASE, so an external oracle reproduces every
+    split assignment exactly."""
+    u = (
+        f"((SELECT {_SPLIT_HEX2INT} FROM (SELECT md5(CAST({id_expr} AS VARCHAR)) AS h))"
+        " / 4294967296.0)"
+    )
+    total = sum(weights.values())
+    acc = 0.0
+    cases = []
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cases.append(f"WHEN {u} < {acc!r} THEN '{name}'")
+    if not cases:
+        return f"'{names[-1]}'"
+    return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+
+
+def split_corpus(
+    docs: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Attach the deterministic split label (see ``split_assign``) as
+    ``split_col``. One projection — no shuffle, no sampling state."""
+    return docs.withColumn(split_col, split_assign(id_col, weights))
+
+
 def write_jsonl_shards(
     docs: DataFrame,
     path: str,
@@ -197,17 +268,29 @@ def write_jsonl_shards(
     id_col: str = "doc_id",
     rows_per_shard: int = 100_000,
     mode: str = "error",
+    shuffle: bool = False,
 ) -> None:
     """Publish a corpus as JSON-lines shards — the interchange format
     training stacks ingest. Shard membership is DETERMINISTIC (range
     partition by id, sized from a count), so re-publishing the same
     corpus yields the same shard boundaries; within-shard order rides
-    the range sort. One count + one range shuffle + the write."""
+    the range sort. One count + one range shuffle + the write.
+
+    ``shuffle=True`` range-partitions and sorts by md5(id) instead of
+    the raw id — a deterministic GLOBAL shuffle (same permutation every
+    publish), so training order carries no curriculum bias from id
+    locality (ids usually encode crawl order / source adjacency) while
+    the publish stays reproducible byte-for-byte."""
     n = docs.count()
     shards = max(1, -(-n // rows_per_shard))
+    key = (
+        F.md5(F.col(id_col).cast("string")) if shuffle else F.col(id_col)
+    )
     (
-        docs.repartitionByRange(shards, F.col(id_col))
-        .sortWithinPartitions(id_col)
+        docs.withColumn("_shard_key", key)
+        .repartitionByRange(shards, F.col("_shard_key"))
+        .sortWithinPartitions("_shard_key")
+        .drop("_shard_key")
         .write.mode(mode)
         .json(path)
     )

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_2_10_0_src_mapreduce_spark.functions import text as T
+from hadoop_2_10_0_src_mapreduce_spark.pipeline import split_sql
 from hadoop_2_10_0_src_mapreduce_spark.plans.registry import register
 from hadoop_2_10_0_src_mapreduce_spark.sources.readers import load_table
 
@@ -152,30 +153,148 @@ def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-# --- fingerprint + per-source rollup ----------------------------------
+# --- fingerprint rollup + decontamination + split (three branches) -----
+# One checked slot for three corpus-hygiene passes (branch pattern, cf.
+# scan_fixed_multi), harmonized under (branch, grp, n_docs,
+# n_distinct_fp, total_chars):
+# - 'rollup': the per-source fingerprint rollup (unchanged semantics).
+# - 'decontam': train–eval contamination audit. Eval set = doc_id%50==0
+#   (benchmark stand-in); the remaining docs are the training corpus,
+#   with doc_id%31==0 rows CONTAMINATED deterministically (the first 5
+#   tokens of eval doc 0 appended — an exact benchmark quote). A train
+#   doc is flagged iff it shares ≥1 5-token shingle with any eval doc
+#   (the GPT-3 13-gram recipe, n dialed to these short fixtures). Per
+#   source: n_docs = flagged, n_distinct_fp = clean, total_chars = sum
+#   of clean docs' n_chars. Planted quotes MUST flag; natural shingle
+#   collisions may add more — both engines replay them identically.
+# - 'split': deterministic train/val/test assignment (split_assign:
+#   u = uint32(md5(id)[:8])/2³² into cumulative-weight intervals —
+#   engine-replayable, stable under corpus growth). Per split:
+#   n_docs, n_distinct_fp = distinct sources seen, total_chars.
+
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+_DECON_N = 5
+
+_Q5 = (
+    f"(SELECT array_to_string(({_Q_TOKS})[1:5], ' ') FROM documents WHERE doc_id = 0)"
+)
 
 _FINGERPRINT_ORACLE = f"""
-SELECT source,
+WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+tr AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 31 = 0 THEN text || ' ' || {_Q5}
+                ELSE text END AS text,
+           source, n_chars
+    FROM documents WHERE doc_id % 50 <> 0
+),
+evsh AS (
+    SELECT DISTINCT unnest({T.shingles_sql('text', _DECON_N)}) AS s FROM ev
+),
+trsh AS (
+    SELECT doc_id, unnest(list_distinct({T.shingles_sql('text', _DECON_N)})) AS s
+    FROM tr
+),
+contam AS (
+    SELECT DISTINCT doc_id FROM trsh WHERE s IN (SELECT s FROM evsh)
+)
+SELECT 'rollup' AS branch, source AS grp,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT {T.fingerprint_sql('text')}) AS n_distinct_fp,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
-GROUP BY source
-ORDER BY source
+GROUP BY grp
+UNION ALL
+SELECT 'decontam' AS branch, t.source AS grp,
+       COUNT(*) FILTER (WHERE c.doc_id IS NOT NULL) AS n_docs,
+       COUNT(*) FILTER (WHERE c.doc_id IS NULL) AS n_distinct_fp,
+       CAST(SUM(CASE WHEN c.doc_id IS NULL THEN t.n_chars ELSE 0 END) AS BIGINT)
+           AS total_chars
+FROM tr t LEFT JOIN contam c USING (doc_id)
+GROUP BY grp
+UNION ALL
+SELECT 'split' AS branch, {split_sql('doc_id', _SPLIT_WEIGHTS)} AS grp,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_distinct_fp,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY grp
+ORDER BY branch, grp
 """
 
 
 @register("text_fingerprint_rollup", _FINGERPRINT_ORACLE, tags=("text",),
-          doc="Document fingerprinting (normalized md5) rolled up per source.")
+          doc="Three corpus-hygiene branches in one slot: per-source fingerprint rollup (normalized md5), train-eval DECONTAMINATION audit (5-token shingle overlap vs a planted-quote eval set; GPT-3 n-gram recipe), and deterministic md5-bucket train/val/test SPLIT counts — all hash-checked.")
 def text_fingerprint_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_2_10_0_src_mapreduce_spark.operators import dedup
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import split_corpus
+
     docs = load_table(spark, sf_dir, "documents")
-    return (
+
+    rollup = (
         docs.select("source", "n_chars", T.fingerprint("text").alias("fp"))
-        .groupBy("source")
+        .groupBy(F.col("source").alias("grp"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct("fp").alias("n_distinct_fp"),
             F.sum("n_chars").alias("total_chars"),
         )
-        .orderBy("source")
+        .select(F.lit("rollup").alias("branch"), "grp", "n_docs",
+                "n_distinct_fp", "total_chars")
+    )
+
+    ev = docs.where(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    quote = ev.where(F.col("doc_id") == 0).select(
+        F.array_join(F.slice(T.tokens("text"), 1, _DECON_N), " ").alias("_q")
+    )
+    tr = (
+        docs.where(F.col("doc_id") % 50 != 0)
+        .crossJoin(F.broadcast(quote))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 31 == 0,
+                F.concat(F.col("text"), F.lit(" "), F.col("_q")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "source",
+            "n_chars",
+        )
+    )
+    bad = dedup.contaminated_ids(tr, ev, "text", "doc_id", n=_DECON_N).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("_c")
+    )
+    decontam = (
+        tr.join(bad, "doc_id", "left")
+        .groupBy(F.col("source").alias("grp"))
+        .agg(
+            F.sum(F.when(F.col("_c").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("_c").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_distinct_fp"),
+            F.sum(F.when(F.col("_c").isNull(), F.col("n_chars")).otherwise(0))
+            .cast("long").alias("total_chars"),
+        )
+        .select(F.lit("decontam").alias("branch"), "grp", "n_docs",
+                "n_distinct_fp", "total_chars")
+    )
+
+    split = (
+        split_corpus(docs, _SPLIT_WEIGHTS, id_col="doc_id")
+        .groupBy(F.col("split").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_distinct_fp"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(F.lit("split").alias("branch"), "grp", "n_docs",
+                "n_distinct_fp", "total_chars")
+    )
+
+    return (
+        rollup.unionByName(decontam)
+        .unionByName(split)
+        .orderBy("branch", "grp")
     )

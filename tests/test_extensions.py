@@ -1049,3 +1049,87 @@ def test_edge_cases_empty_batches_and_queries(spark, tmp_path):
     compact_table(spark, t)
     after = sorted(r.id for r in spark.read.parquet(t).collect())
     assert after == before
+
+
+def test_split_corpus_disjoint_complete_stable(spark):
+    """split_assign partitions the corpus: every doc gets exactly one
+    label, proportions track the weights, growing the corpus never
+    moves an existing doc, and the DuckDB twin reproduces every
+    assignment."""
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import split_corpus, split_sql
+
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(2000)], ["doc_id", "text"]
+    )
+    out = split_corpus(docs, weights).collect()
+    labels = {r.doc_id: r.split for r in out}
+    assert len(labels) == 2000 and set(labels.values()) <= set(weights)
+    counts = {s: sum(1 for v in labels.values() if v == s) for s in weights}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05  # uniform-hash tolerance
+    assert counts["val"] > 100 and counts["test"] > 100
+
+    # stability: half the corpus yields the identical labels for its docs
+    half = split_corpus(docs.where(F.col("doc_id") < 1000), weights).collect()
+    assert all(labels[r.doc_id] == r.split for r in half)
+
+    # engine-independence: DuckDB twin agrees on every row
+    import duckdb
+
+    con = duckdb.connect()
+    dd = con.execute(
+        "SELECT i AS doc_id, " + split_sql("i", weights) +
+        " AS split FROM range(2000) t(i)"
+    ).fetchall()
+    assert all(labels[i] == s for i, s in dd)
+
+
+def test_decontaminate_drops_quoting_docs_only(spark):
+    """Planted benchmark quotes are flagged; clean docs survive; the
+    filtered corpus keeps its schema."""
+    evald = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "pack my box with five dozen liquor jugs")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [(10, "completely unrelated text about spark partitions and shuffles"),
+         (11, "he said the quick brown fox jumps over whatever and left"),
+         (12, "short"),
+         (13, "my box with five dozen liquor jugs was heavy says the report"),
+         (14, "another clean document mentioning a fox and a dog only")],
+        ["doc_id", "text"],
+    )
+    bad = {r.id for r in dedup.contaminated_ids(train, evald, "text", "doc_id", n=5).collect()}
+    assert bad == {11, 13}
+    clean = dedup.decontaminate(train, evald, "text", "doc_id", n=5)
+    assert clean.columns == ["doc_id", "text"]
+    assert {r.doc_id for r in clean.collect()} == {10, 12, 14}
+
+
+def test_write_jsonl_shards_shuffle_is_deterministic_permutation(spark, tmp_path):
+    """shuffle=True publishes the same rows in an id-decorrelated but
+    reproducible order: two publishes are byte-identical, and the
+    within-shard order differs from the sorted-id order."""
+    import pathlib
+
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import write_jsonl_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(200)], ["doc_id", "text"]
+    )
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_jsonl_shards(docs, p1, rows_per_shard=50, shuffle=True)
+    write_jsonl_shards(docs, p2, rows_per_shard=50, shuffle=True)
+
+    def lines(p):
+        return [
+            f.read_text() for f in sorted(pathlib.Path(p).glob("part-*"))
+        ]
+
+    assert lines(p1) == lines(p2)  # reproducible publish
+    back = spark.read.json(p1)
+    assert back.count() == 200 and "_shard_key" not in back.columns
+    first = lines(p1)[0].splitlines()
+    ids = [int(l.split('"doc_id":')[1].split(",")[0].strip("} ")) for l in first]
+    assert ids != sorted(ids)  # order decorrelated from ids
