@@ -198,6 +198,39 @@ def quality_score(
     )
 
 
+def linear_score(
+    features: dict[str, Column], weights: dict[str, float], *, bias: float = 0.0
+) -> Column:
+    """MODEL-based quality scoring: a linear classifier (the shape of a
+    fasttext / logistic-regression quality filter — weights trained
+    offline, applied at corpus scale as a pure column expression) over
+    any feature dict, squashed to (0, 1) by the RATIONAL sigmoid
+    0.5 + 0.5·z/(1 + |z|). Rational on purpose: no exp/log, only IEEE
+    add/mul/div/abs, so any engine evaluating the same tree reproduces
+    the score bit-for-bit (the ``tfidf_top_terms`` rational-idf trick)
+    — and it is monotone in z exactly like the logistic, so rankings
+    and thresholds behave identically. Accumulation order is the
+    ``weights`` dict order; ``linear_score_sql`` replays it."""
+    z: Column = F.lit(float(bias))
+    for name, w in weights.items():
+        z = z + F.lit(float(w)) * features[name]
+    return F.round(F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z)), 6)
+
+
+def linear_score_sql(
+    features: dict[str, str], weights: dict[str, float], *, bias: float = 0.0
+) -> str:
+    """DuckDB twin of ``linear_score`` — same terms, same left-to-right
+    accumulation, same rational sigmoid. Use weights with exact binary
+    representations (±0.25, ±0.5, ±1, ±2, …) so the decimal literals
+    parse to the identical doubles."""
+    z = " + ".join(
+        [repr(float(bias))]
+        + [f"({float(w)!r}) * ({features[n]})" for n, w in weights.items()]
+    )
+    return f"round(0.5 + 0.5 * ({z}) / (1.0 + abs({z})), 6)"
+
+
 # PII scrubbing — the redaction pass every training-data pipeline runs
 # before publishing a corpus. Patterns are deliberately conservative and
 # written in the common subset of Java regex (Spark) and RE2 (DuckDB):

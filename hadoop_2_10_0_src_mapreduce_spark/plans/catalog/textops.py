@@ -96,6 +96,17 @@ _PII_TEXT_SQL = (
 )
 _PII_COUNT_SQL = T.pii_counts_sql(f"({_PII_TEXT_SQL})")
 
+# model-based (fasttext-shape) quality filter: linear weights over the
+# already-hash-checked features, rational sigmoid — weights chosen with
+# exact binary representations so both engines see identical doubles
+_MODEL_W = {
+    "stopword_ratio": 2.0,
+    "punct_ratio": -2.0,
+    "digit_ratio": -1.0,
+    "mean_token_len": 0.25,
+}
+_MODEL_BIAS = -0.5
+
 _QUALITY_ORACLE = f"""
 SELECT doc_id,
        {_Q_FEATURES['n_chars']} AS n_chars,
@@ -106,6 +117,7 @@ SELECT doc_id,
        {_Q_FEATURES['stopword_ratio']} AS stopword_ratio,
        {_Q_FEATURES['digit_ratio']} AS digit_ratio,
        {_Q_SCORE_SQL} AS quality,
+       {T.linear_score_sql(_Q_FEATURES, _MODEL_W, bias=_MODEL_BIAS)} AS model_quality,
        {T.dup_ngram_fraction_sql('text', 2)} AS dup_2gram_frac,
        {T.dup_ngram_fraction_sql('text', 3)} AS dup_3gram_frac,
        {_PII_COUNT_SQL['email']} AS pii_email,
@@ -118,7 +130,7 @@ ORDER BY doc_id
 
 
 @register("text_token_quality", _QUALITY_ORACLE, tags=("text",),
-          doc="Per-document token counts (whitespace-ish + BPE-ish), quality features (length/punct/stopword/digit ratios) + composite score, Gopher-style dup-n-gram repetition fractions, and PII audit + byte-checked redaction over planted PII — all in one scan.")
+          doc="Per-document token counts (whitespace-ish + BPE-ish), quality features (length/punct/stopword/digit ratios) + composite score + MODEL-based linear quality score (fasttext-shape weights, rational sigmoid), Gopher-style dup-n-gram repetition fractions, and PII audit + byte-checked redaction over planted PII — all in one scan.")
 def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pii_text = F.when(
@@ -140,6 +152,7 @@ def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[feats[name].alias(name) for name in
           ("mean_token_len", "punct_ratio", "stopword_ratio", "digit_ratio")],
         T.quality_score("text", tc).alias("quality"),
+        T.linear_score(feats, _MODEL_W, bias=_MODEL_BIAS).alias("model_quality"),
         *[
             c.alias(f"dup_{n}gram_frac")
             for n, c in sorted(

@@ -1133,3 +1133,37 @@ def test_write_jsonl_shards_shuffle_is_deterministic_permutation(spark, tmp_path
     first = lines(p1)[0].splitlines()
     ids = [int(l.split('"doc_id":')[1].split(",")[0].strip("} ")) for l in first]
     assert ids != sorted(ids)  # order decorrelated from ids
+
+
+def test_linear_score_known_values_and_monotone(spark):
+    """z=0 → 0.5; the rational sigmoid is monotone in z; weights flip
+    the direction as expected."""
+    from hadoop_2_10_0_src_mapreduce_spark.functions.text import (
+        linear_score,
+        linear_score_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (1.0, 0.0), (4.0, 0.0), (0.0, 3.0)], ["good", "bad"]
+    )
+    feats = {"good": F.col("good"), "bad": F.col("bad")}
+    out = df.select(
+        linear_score(feats, {"good": 1.0, "bad": -2.0}).alias("s")
+    ).collect()
+    scores = [r.s for r in out]
+    assert scores[0] == 0.5               # z = 0
+    assert scores[0] < scores[1] < scores[2]   # monotone in good
+    assert scores[3] < scores[0]          # negative weight pulls down
+    assert all(0.0 < s < 1.0 for s in scores)
+
+    # SQL twin reproduces the exact doubles
+    import duckdb
+
+    sql = linear_score_sql(
+        {"good": "good", "bad": "bad"}, {"good": 1.0, "bad": -2.0}
+    )
+    dd = duckdb.connect().execute(
+        f"SELECT {sql} FROM (VALUES (0.0, 0.0), (1.0, 0.0), (4.0, 0.0),"
+        " (0.0, 3.0)) t(good, bad)"
+    ).fetchall()
+    assert [r[0] for r in dd] == scores
