@@ -995,6 +995,90 @@ def _score_assigned(
     return _global_topk(per_block, k)
 
 
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC duplicate pairs: spherical-k-means
+    cluster the corpus (the oracle-exact IVF trainer — md5-seeded,
+    sequential float reductions), generate candidate pairs only WITHIN
+    each home list, rescore them exactly, and keep pairs with cosine ≥
+    ``threshold``. The within-cluster restriction IS the published
+    recipe's approximation: semantically-duplicate points land in the
+    same k-means cell, so cross-cell pairs — the quadratic bulk — are
+    never generated. Identical vectors always share a home list (same
+    dots, same stable argmax), so exact copies are found with
+    recall 1.
+
+    Deterministic and engine-replayable end to end (training,
+    assignment, and the sequential cosine all match the DuckDB twin
+    the catalog registers), so an external oracle can recompute the
+    entire pair set — approximation included.
+
+    Scale shape: candidate volume is Σ(list size)² — quadratic per
+    CELL, by construction of the algorithm; raise ``n_centroids`` so
+    lists stay bounded (E[list] ≈ n/c; SemDeDup at web scale runs
+    c ~ √n or larger). Only (id, list_id) rows enter the self-join;
+    vectors join back where they live via the Arrow scorer, so a hot
+    cell costs shuffle rows, never executor memory."""
+    vecs = emb.select(id_col, vec_col)
+    cents = train_ivf_centroids(
+        vecs, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+    )
+    # persist: both sides of the within-list self-join read the
+    # assignment; without it the mapInPandas subtree runs twice
+    home = (
+        ivf_assign(vecs, cents, vec_col=vec_col, n_probe=1)
+        .where(F.col("probe_rank") == 0)
+        .persist()
+    )
+    a = home.select(F.col(id_col).alias("query_id"), "list_id")
+    b = home.select(F.col(id_col).alias("neighbor_id"), "list_id")
+    cands = (
+        a.join(b, "list_id")
+        .where(F.col("query_id") < F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    scored = _score_pairs_arrow(emb, cands, id_col, vec_col, round_digits)
+    return scored.where(F.col("sim") >= threshold).select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "sim",
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """Cluster membership view of ``semantic_dedup_pairs``: connected
+    components over the pair graph → (id, rep) with rep = the smallest
+    id reachable — keep rep, drop the rest, exactly like the text-side
+    duplicate clustering. Only ids participating in some pair appear;
+    everything else is implicitly its own keeper."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    pairs = semantic_dedup_pairs(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        n_centroids=n_centroids,
+    )
+    return duplicate_components(pairs)
+
+
 def save_ivf_index(
     emb: DataFrame,
     path: str,

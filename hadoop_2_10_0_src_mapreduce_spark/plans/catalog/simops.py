@@ -20,6 +20,90 @@ _COS = (
     "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
 )
 
+_IVF_HEX2INT = " + ".join(
+    f"(instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+    for j in range(8)
+)
+
+
+def _ivf_cte_chain(
+    corpus_sql: str,
+    *,
+    n_centroids: int,
+    n_iters: int,
+    n_probe: int,
+    max_train: int,
+    dim: int,
+) -> str:
+    """The engine-replay of deterministic spherical k-means as a CTE
+    chain (NO leading WITH, so callers can prepend WITH RECURSIVE):
+    ``e`` (corpus as DOUBLE[]), ``vn`` (normalized), ``samp``
+    (md5-stride bounded training sample), ``cent_0..cent_{n_iters}``
+    (unrolled iterations: argmax-assign via ROW_NUMBER over
+    list_inner_product, member-ordered sequential mean via
+    list_inner_product(list(x ORDER BY id), ones), blanket
+    renormalization), ``probes`` (stable n_probe fan-out), ``home``
+    (probe_rank 0 filing). Shared by the IVF ANN oracle and the
+    semantic-dedup oracle — one replay of the trainer, two consumers."""
+    u32 = (
+        f"(SELECT {_IVF_HEX2INT} FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h))"
+    )
+    parts = [f"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM ({corpus_sql})),
+vn AS MATERIALIZED (
+    SELECT vec_id, list_transform(v, x -> x / nrm) AS nv
+    FROM (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
+),
+samp AS MATERIALIZED (
+    SELECT vec_id, nv FROM vn
+    WHERE ({u32}) %
+          (SELECT CAST(CEIL(COUNT(*) / {max_train}.0) AS BIGINT) FROM e) = 0
+),
+cent_0 AS MATERIALIZED (
+    SELECT rn - 1 AS c, nv AS vec FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+               nv
+        FROM samp) WHERE rn <= {n_centroids}
+)"""]
+    for i in range(1, n_iters + 1):
+        parts.append(f""",
+assign_{i} AS (
+    SELECT vec_id, c FROM (
+        SELECT s.vec_id, ct.c,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                   ORDER BY list_inner_product(s.nv, ct.vec) DESC, ct.c) AS rn
+        FROM samp s CROSS JOIN cent_{i - 1} ct) WHERE rn = 1
+),
+sums_{i} AS (
+    SELECT a.c, d.di,
+           list_inner_product(
+               list(s.nv[d.di + 1] ORDER BY s.vec_id),
+               list_transform(list(s.nv[d.di + 1] ORDER BY s.vec_id),
+                              y -> CAST(1 AS DOUBLE))) AS sm,
+           COUNT(*) AS cnt
+    FROM assign_{i} a JOIN samp s USING (vec_id) CROSS JOIN range({dim}) d(di)
+    GROUP BY a.c, d.di
+),
+merged_{i} AS (
+    SELECT o.c, COALESCE(nw.vec, o.vec) AS vec
+    FROM cent_{i - 1} o LEFT JOIN
+         (SELECT c, list(sm / cnt ORDER BY di) AS vec FROM sums_{i} GROUP BY c) nw
+         USING (c)
+),
+cent_{i} AS MATERIALIZED (
+    SELECT c, list_transform(vec, x -> x / nrm) AS vec
+    FROM (SELECT c, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM merged_{i})
+)""")
+    parts.append(f""",
+probes AS MATERIALIZED (
+    SELECT vec_id, c AS list_id, rn - 1 AS probe_rank FROM (
+        SELECT vn.vec_id, ct.c,
+               ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+                   ORDER BY list_inner_product(vn.nv, ct.vec) DESC, ct.c) AS rn
+        FROM vn CROSS JOIN cent_{n_iters} ct) WHERE rn <= {n_probe}
+),
+home AS MATERIALIZED (SELECT vec_id, list_id FROM probes WHERE probe_rank = 0)""")
+    return "".join(parts)
+
 # --- brute-force top-k (correctness anchor) ---------------------------
 
 _TOPK_ORACLE = f"""
@@ -50,31 +134,88 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rnk")
 
 
-# --- embedding-cosine near-dup on planted duplicates -------------------
+# --- embedding-cosine near-dup + SEMANTIC dedup (two branches) ---------
+# 'pairs': LSH-candidate near-dup pairs at sim≥0.99 over a corpus with
+# planted copies (unchanged semantics; oracle brute-forces all pairs).
+# 'semdedup': SemDeDup-style semantic duplicate CLUSTERS — spherical
+# k-means cells (the oracle-exact IVF trainer), pairs generated only
+# within each home cell at sim≥0.95, connected components, one (id,
+# rep) row per participating vector (sim NULL). Oracle replays the
+# entire path: the unrolled k-means CTE chain (shared with
+# sim_ann_ivf), home-cell pair join + sequential cosine, recursive
+# reachability components — approximation and all.
 
-_NEARDUP_ORACLE = f"""
-WITH corpus AS (
+_CORPUS_PLANTED_SQL = """
     SELECT vec_id, embedding FROM embeddings
     UNION ALL
     SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
-),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM corpus)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 6) AS sim
-FROM e a, e b
-WHERE a.vec_id < b.vec_id AND round({_COS}, 6) >= 0.99
-ORDER BY id_a, id_b
 """
 
 
-@register("sim_near_dup_embeddings", _NEARDUP_ORACLE, tags=("similarity", "dedup"),
-          doc="Embedding-cosine near-dup pairs (sim≥0.99) over a corpus with planted copies.")
+def _neardup_oracle() -> str:
+    chain = _ivf_cte_chain(
+        _CORPUS_PLANTED_SQL, n_centroids=16, n_iters=5, n_probe=1,
+        max_train=4096, dim=64,
+    )
+    return f"""
+WITH RECURSIVE {chain},
+brute AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 6) AS sim
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id AND round({_COS}, 6) >= 0.99
+),
+sem_pairs AS MATERIALIZED (
+    SELECT ha.vec_id AS id_a, hb.vec_id AS id_b
+    FROM home ha JOIN home hb
+         ON ha.list_id = hb.list_id AND ha.vec_id < hb.vec_id
+    JOIN e qa ON qa.vec_id = ha.vec_id
+    JOIN e qb ON qb.vec_id = hb.vec_id
+    WHERE round(list_inner_product(qa.v, qb.v) /
+                (sqrt(list_inner_product(qa.v, qa.v)) *
+                 sqrt(list_inner_product(qb.v, qb.v))), 6) >= 0.95
+),
+sem_adj AS (
+    SELECT id_a AS src, id_b AS dst FROM sem_pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM sem_pairs
+),
+sem_walk(id, lab) AS (
+    SELECT src, src FROM sem_adj
+    UNION
+    SELECT a.src, w.lab FROM sem_adj a JOIN sem_walk w ON w.id = a.dst
+),
+sem_clusters AS (
+    SELECT id, MIN(lab) AS rep FROM sem_walk GROUP BY id
+)
+SELECT 'pairs' AS branch, id_a, id_b, sim FROM brute
+UNION ALL
+SELECT 'semdedup' AS branch, id AS id_a, rep AS id_b,
+       CAST(NULL AS DOUBLE) AS sim
+FROM sem_clusters
+ORDER BY branch, id_a, id_b
+"""
+
+
+@register("sim_near_dup_embeddings", _neardup_oracle(), tags=("similarity", "dedup"),
+          doc="Embedding-cosine near-dup pairs (sim≥0.99, planted copies) PLUS SemDeDup-style semantic duplicate clusters (k-means home cells, within-cell pairs at sim≥0.95, connected components); oracle replays k-means, cell pairs, and components exactly.")
 def sim_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.where(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(planted)
-    return similarity.near_dup_pairs(corpus, threshold=0.99).orderBy("id_a", "id_b")
+    pairs = similarity.near_dup_pairs(corpus, threshold=0.99).select(
+        F.lit("pairs").alias("branch"), "id_a", "id_b", "sim"
+    )
+    clusters = similarity.semantic_dedup(
+        corpus, threshold=0.95, n_centroids=16
+    ).select(
+        F.lit("semdedup").alias("branch"),
+        F.col("id").alias("id_a"),
+        F.col("rep").alias("id_b"),
+        F.lit(None).cast("double").alias("sim"),
+    )
+    return pairs.unionByName(clusters).orderBy("branch", "id_a", "id_b")
 
 
 # --- LSH-bucketed ANN (scale path; oracle recomputes the index) --------
@@ -181,12 +322,6 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the global rank directly. Same md5-seeding philosophy as
 # _ann_lsh_oracle / dedup_simhash.
 
-_IVF_HEX2INT = " + ".join(
-    f"(instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
-    for j in range(8)
-)
-
-
 def _ann_ivf_oracle(
     n_centroids: int = 16,
     n_iters: int = 5,
@@ -195,65 +330,14 @@ def _ann_ivf_oracle(
     k: int = 5,
     dim: int = 64,
 ) -> str:
-    # uint32 of md5(id)[:8] — the training-sample stride hash
-    u32 = (
-        f"(SELECT {_IVF_HEX2INT} FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h))"
+    chain = _ivf_cte_chain(
+        "SELECT vec_id, embedding FROM embeddings",
+        n_centroids=n_centroids, n_iters=n_iters, n_probe=n_probe,
+        max_train=max_train, dim=dim,
     )
     parts = [f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-vn AS (
-    SELECT vec_id, list_transform(v, x -> x / nrm) AS nv
-    FROM (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
-),
-samp AS (
-    SELECT vec_id, nv FROM vn
-    WHERE ({u32}) %
-          (SELECT CAST(CEIL(COUNT(*) / {max_train}.0) AS BIGINT) FROM e) = 0
-),
-cent_0 AS (
-    SELECT rn - 1 AS c, nv AS vec FROM (
-        SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
-               nv
-        FROM samp) WHERE rn <= {n_centroids}
-)"""]
-    for i in range(1, n_iters + 1):
-        parts.append(f""",
-assign_{i} AS (
-    SELECT vec_id, c FROM (
-        SELECT s.vec_id, ct.c,
-               ROW_NUMBER() OVER (PARTITION BY s.vec_id
-                   ORDER BY list_inner_product(s.nv, ct.vec) DESC, ct.c) AS rn
-        FROM samp s CROSS JOIN cent_{i - 1} ct) WHERE rn = 1
-),
-sums_{i} AS (
-    SELECT a.c, d.di,
-           list_inner_product(
-               list(s.nv[d.di + 1] ORDER BY s.vec_id),
-               list_transform(list(s.nv[d.di + 1] ORDER BY s.vec_id),
-                              y -> CAST(1 AS DOUBLE))) AS sm,
-           COUNT(*) AS cnt
-    FROM assign_{i} a JOIN samp s USING (vec_id) CROSS JOIN range({dim}) d(di)
-    GROUP BY a.c, d.di
-),
-merged_{i} AS (
-    SELECT o.c, COALESCE(nw.vec, o.vec) AS vec
-    FROM cent_{i - 1} o LEFT JOIN
-         (SELECT c, list(sm / cnt ORDER BY di) AS vec FROM sums_{i} GROUP BY c) nw
-         USING (c)
-),
-cent_{i} AS (
-    SELECT c, list_transform(vec, x -> x / nrm) AS vec
-    FROM (SELECT c, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM merged_{i})
-)""")
+WITH {chain}"""]
     parts.append(f""",
-probes AS (
-    SELECT vec_id, c AS list_id, rn - 1 AS probe_rank FROM (
-        SELECT vn.vec_id, ct.c,
-               ROW_NUMBER() OVER (PARTITION BY vn.vec_id
-                   ORDER BY list_inner_product(vn.nv, ct.vec) DESC, ct.c) AS rn
-        FROM vn CROSS JOIN cent_{n_iters} ct) WHERE rn <= {n_probe}
-),
-home AS (SELECT vec_id, list_id FROM probes WHERE probe_rank = 0),
 scored AS (
     SELECT p.vec_id AS query_id, h.vec_id AS neighbor_id,
            round(list_inner_product(q.v, nb.v) /

@@ -1167,3 +1167,27 @@ def test_linear_score_known_values_and_monotone(spark):
         " (0.0, 3.0)) t(good, bad)"
     ).fetchall()
     assert [r[0] for r in dd] == scores
+
+
+def test_semantic_dedup_finds_planted_copies(spark):
+    """Planted exact copies always share a k-means home cell (same
+    dots, same stable argmax), so every copy clusters with its
+    original; the rep is the smallest reachable id."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    comp = {
+        r.id: r.rep
+        for r in similarity.semantic_dedup(
+            corpus, threshold=0.999, n_centroids=4
+        ).collect()
+    }
+    originals = {r.vec_id for r in planted.collect()}
+    for copy_id in originals:
+        assert comp.get(copy_id) == copy_id - 10000  # copy → original
+    # pairs are symmetric members of the same cluster
+    assert all(rep <= i for i, rep in comp.items())
