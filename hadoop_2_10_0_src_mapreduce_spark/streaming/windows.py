@@ -251,6 +251,66 @@ def stream_running_user_totals(
     return _start_sink(running, "update", sink_table, checkpoint_dir, out_dir)
 
 
+def stream_stream_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    schema: str,
+    sink_table: str = "joined_stream",
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+    max_gap: str = "1 hour",
+    checkpoint_dir: str | None = None,
+    out_dir: str | None = None,
+) -> StreamingQuery:
+    """Stream–stream INNER join with a time bound — the canonical
+    two-stream correlation (impressions ⋈ clicks, requests ⋈
+    responses): rows join when keys match AND the right event lands in
+    [left ts, left ts + ``max_gap``]. Both sides carry a watermark, and
+    the time-interval predicate is what lets Spark EXPIRE join state:
+    a buffered left row can only ever match right rows inside its gap
+    window, so state for rows older than watermark + gap is dropped —
+    without the bound, both sides buffer forever (Spark rejects
+    unbounded state in append mode for exactly that reason).
+
+    Output columns: key, left ``l_<ts>``/``l_value``, right
+    ``r_<ts>``/``r_value``. At 100 TB-day scale the join shuffles both
+    streams by the key; the state store holds only the watermark+gap
+    horizon per partition.
+    """
+    left = (
+        spark.readStream.schema(schema)
+        .json(left_dir)
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col),
+            F.col(ts_col).alias("l_ts"),
+            F.col("value").alias("l_value"),
+        )
+    )
+    right = (
+        spark.readStream.schema(schema)
+        .json(right_dir)
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col).alias("_rk"),
+            F.col(ts_col).alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            f"{key_col} = _rk AND r_ts >= l_ts AND "
+            f"r_ts <= l_ts + interval {max_gap}"
+        ),
+        "inner",
+    ).drop("_rk")
+    return _start_sink(joined, "append", sink_table, checkpoint_dir, out_dir)
+
+
 def stream_incremental_corpus_dedup(
     spark: SparkSession,
     source_dir: str,

@@ -289,3 +289,50 @@ def test_streaming_incremental_corpus_dedup_across_restart(spark, tmp_path_facto
     # the index holds exactly the corpus's distinct fingerprints
     n_fp = spark.read.parquet(idx).distinct().count()
     assert n_fp == 3
+
+
+def test_stream_stream_join_matches_batch(spark, stream_source, tmp_path_factory):
+    """Time-bounded stream-stream inner join equals the batch join with
+    the same predicate; the interval bound is what lets Spark expire
+    join state."""
+    src, ev = stream_source
+    right_dir = str(tmp_path_factory.mktemp("ss_right") / "data")
+    # right stream: same users, shifted +30min, distinct event ids
+    right = ev.select(
+        (F.col("event_id") + 1_000_000).alias("event_id"),
+        (F.col("ts") + F.expr("interval 30 minutes")).alias("ts"),
+        "user_id",
+        "event_type",
+        (F.col("value") * 2).alias("value"),
+    )
+    right.coalesce(2).write.json(right_dir)
+
+    q = sw.stream_stream_join(
+        spark, src, right_dir, EVENT_SCHEMA,
+        sink_table="ss_join", max_gap="1 hour",
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.user_id, r.l_ts.isoformat(), r.r_ts.isoformat(), r.l_value, r.r_value)
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    # batch reference reads the SAME json dirs the stream consumed
+    # (the json roundtrip truncates timestamps to milliseconds, so the
+    # parquet-sourced frames would differ in keys, not in semantics)
+    lb = spark.read.schema(EVENT_SCHEMA).json(src)
+    rb = spark.read.schema(EVENT_SCHEMA).json(right_dir)
+    l = lb.select("user_id", F.col("ts").alias("l_ts"), F.col("value").alias("l_value"))
+    r = rb.select(
+        F.col("user_id").alias("_rk"), F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+    batch = {
+        (row.user_id, row.l_ts.isoformat(), row.r_ts.isoformat(),
+         row.l_value, row.r_value)
+        for row in l.join(
+            r,
+            F.expr("user_id = _rk AND r_ts >= l_ts AND "
+                   "r_ts <= l_ts + interval 1 hour"),
+        ).drop("_rk").collect()
+    }
+    assert streamed == batch and len(streamed) > 0
