@@ -411,6 +411,74 @@ def shingles_sql(expr: str, k: int = 3) -> str:
     )
 
 
+def hash_embeddings(
+    docs,
+    text_col: str,
+    id_col: str,
+    *,
+    dim: int = 64,
+    ngram: int = 1,
+    out_col: str = "embedding",
+):
+    """Text → dense vector via the FEATURE-HASHING trick (HashingTF
+    with signed buckets): every token (or token n-gram) scatters into
+    bucket pmod(xxhash64(gram), dim) with sign ±1 from an independent
+    hash bit, per-bucket signs sum, and the vector is L2-normalized.
+    Signed hashing keeps bucket collisions unbiased (E[collision
+    contribution] = 0 — the classic hashing-kernel result), so cosine
+    between hashed vectors tracks n-gram overlap: exact duplicates →
+    1.0, near-dups → high, unrelated → near 0.
+
+    This is the engine's text→embedding boundary: the output column
+    composes directly with every vector operator (semantic_dedup,
+    ann_*_topk, near_dup_pairs, quantize/save_ivf_index), so a corpus
+    with no model embeddings still gets semantic-family dedup. Swap in
+    model vectors by renaming their column — everything downstream is
+    schema-compatible. Entirely JVM: explode → two hash exprs → two
+    aggregations (by (id, bucket), then by id) → one map-to-array
+    projection; no Python, no UDF, shuffles carry (id, bucket, count)
+    only.
+
+    Returns (id, out_col array<double> unit-norm; all-zero if the text
+    has no tokens or all buckets cancel)."""
+    grams = tokens(F.col(text_col))
+    if ngram > 1:
+        n_windows = F.greatest(F.size(grams) - (ngram - 1), F.lit(0))
+        slices = [F.slice(grams, j + 1, n_windows) for j in range(ngram)]
+        g = slices[0]
+        for s in slices[1:]:
+            g = F.zip_with(g, s, lambda a, t: F.concat_ws(" ", a, t))
+        grams = g
+    exploded = docs.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("_g")
+    ).select(
+        "id",
+        F.pmod(F.xxhash64("_g"), F.lit(dim)).cast("int").alias("_b"),
+        # independent sign bit: hash with a different seed column
+        (F.pmod(F.xxhash64("_g", F.lit(1)), F.lit(2)) * 2 - 1)
+        .cast("double")
+        .alias("_s"),
+    )
+    bucket_sums = exploded.groupBy("id", "_b").agg(F.sum("_s").alias("_v"))
+    vecs = bucket_sums.groupBy("id").agg(
+        F.map_from_arrays(F.collect_list("_b"), F.collect_list("_v")).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.coalesce(F.element_at("_m", d.cast("int")), F.lit(0.0)),
+    )
+    raw = vecs.select("id", dense.alias("_raw"))
+    nrm = F.sqrt(
+        F.aggregate("_raw", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return raw.select(
+        F.col("id").alias(id_col),
+        F.when(nrm > 0, F.transform("_raw", lambda x: x / nrm))
+        .otherwise(F.col("_raw"))
+        .alias(out_col),
+    )
+
+
 def tfidf_top_terms(docs, text_col: str, id_col: str, *, k: int = 3):
     """Top-k terms per document by smoothed TF-IDF — keyword
     extraction / importance weighting for the training-data pipeline.

@@ -37,6 +37,9 @@ def prepare_training_corpus(
     max_doc_freq: int | None = 100,
     max_dup_3gram_frac: float | None = 0.5,
     redact: bool = True,
+    eval_df: DataFrame | None = None,
+    decontam_ngram: int = 13,
+    split_weights: dict[str, float] | None = None,
 ) -> DataFrame:
     """The standard corpus-cleaning chain, one call.
 
@@ -46,19 +49,25 @@ def prepare_training_corpus(
        verified at ``near_dup_threshold``, connected components over
        the pair graph; only each cluster's min-id representative
        survives.
-    3. GATES — language allow-list (omit ``languages`` to keep all),
+    3. DECONTAMINATION — when ``eval_df`` is given, drop every doc
+       sharing a ``decontam_ngram``-token shingle with the benchmark
+       set (dedup.decontaminate) BEFORE the gates, so no eval text
+       can leak into the published corpus.
+    4. GATES — language allow-list (omit ``languages`` to keep all),
        composite quality floor, minimum token count, and a repetition
        ceiling (``max_dup_3gram_frac``: Gopher-style — documents whose
        3-grams are mostly repeats are boilerplate/looping text; None
        disables).
-    4. REDACTION — published text has emails/IPs/phone-runs replaced
+    5. REDACTION — published text has emails/IPs/phone-runs replaced
        with typed placeholders (``redact=False`` keeps raw text).
+    6. SPLIT — when ``split_weights`` is given, attach the
+       deterministic md5-bucket train/val/test label as ``split``.
 
-    Returns (id, text, pred_lang, quality, n_tokens, dup_3gram_frac)
-    for the surviving documents. Deterministic end to end: every keeper
-    is a min-id choice, hashing is fixed-seed, and the quality/language
-    scores are pure expressions — rerunning yields the identical
-    corpus.
+    Returns (id, text, pred_lang, quality, n_tokens, dup_3gram_frac
+    [, split]) for the surviving documents. Deterministic end to end:
+    every keeper is a min-id choice, hashing is fixed-seed, and the
+    quality/language scores are pure expressions — rerunning yields
+    the identical corpus.
     """
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
 
@@ -81,7 +90,17 @@ def prepare_training_corpus(
     )
     survivors = uniq.join(losers, "id", "left_anti")
 
-    # 3. score + gate in one projection (tokens computed once)
+    # 3. decontamination: no benchmark text leaks into the corpus
+    # (eval_df shares the corpus column names — same text_col/id_col)
+    if eval_df is not None:
+        eval_base = eval_df.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        )
+        survivors = dedup.decontaminate(
+            survivors, eval_base, "text", "id", n=decontam_ngram
+        )
+
+    # 4. score + gate in one projection (tokens computed once)
     toked = survivors.select("id", "text", T.tokens("text").alias("_toks"))
     scored = toked.select(
         "id",
@@ -102,6 +121,8 @@ def prepare_training_corpus(
         # gates ran on the RAW text above; only the published column is
         # scrubbed, so a redaction placeholder never skews a score
         out = out.withColumn("text", T.redact_pii("text"))
+    if split_weights is not None:
+        out = out.withColumn("split", split_assign("id", split_weights))
     return out
 
 
@@ -188,6 +209,43 @@ def assign_packing_bins(
     return binned.withColumn(
         "bin_tokens", F.sum("n_tokens").over(wb)
     ).select(*part, "bin", id_col, "n_tokens", "bin_tokens")
+
+
+def cap_per_source(
+    docs: DataFrame,
+    max_docs: int,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    cap_salts: int = 16,
+) -> DataFrame:
+    """Per-source document CAP — the source-diversity guard (one crawl
+    domain must not be half the corpus): keep each source's
+    ``max_docs`` smallest rows by (md5(id), id) — deterministic,
+    engine-independent, and stable under corpus growth for the docs
+    already kept... until the source exceeds the cap, after which the
+    keeper set is still a pure function of the id set. Two-level
+    salted cap (the ``capped_lsh_buckets`` pattern): rows first cap
+    within pmod(xxhash64(id), s) sub-groups, survivors take the final
+    cap — output identical to the one-level window (any global
+    smallest-``max_docs`` row is among its own salt's smallest), but
+    no window partition ever sees a whole hot source."""
+    from pyspark.sql.window import Window
+
+    w1 = Window.partitionBy(source_col, "_salt").orderBy("_capkey", id_col)
+    w2 = Window.partitionBy(source_col).orderBy("_capkey", id_col)
+    return (
+        docs.withColumn("_capkey", F.md5(F.col(id_col).cast("string")))
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(cap_salts)).cast("int"),
+        )
+        .withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= max_docs)
+        .withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= max_docs)
+        .drop("_capkey", "_salt", "_rn1", "_rn")
+    )
 
 
 def split_assign(

@@ -1191,3 +1191,101 @@ def test_semantic_dedup_finds_planted_copies(spark):
         assert comp.get(copy_id) == copy_id - 10000  # copy → original
     # pairs are symmetric members of the same cluster
     assert all(rep <= i for i, rep in comp.items())
+
+
+def test_hash_embeddings_compose_with_semantic_dedup(spark):
+    """The hashing-trick vectorizer: unit-norm output, duplicate texts
+    get identical vectors (cosine 1), near-dups land close, unrelated
+    texts far — and the output column feeds semantic_dedup directly,
+    giving text corpora the embedding-family dedup without a model."""
+    from hadoop_2_10_0_src_mapreduce_spark.functions.text import hash_embeddings
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                                   # exact copy
+            (3, base + " extra trailing words appended"),  # near-dup
+            (4, "completely different content about spark shuffle partitions"),
+        ],
+        ["doc_id", "text"],
+    )
+    emb = hash_embeddings(docs, "text", "doc_id", dim=32)
+    vecs = {r.doc_id: r.embedding for r in emb.collect()}
+    import math
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    for v in vecs.values():
+        assert abs(math.sqrt(cos(v, v)) - 1.0) < 1e-9  # unit norm
+    assert vecs[1] == vecs[2]
+    assert cos(vecs[1], vecs[3]) > 0.8
+    assert cos(vecs[1], vecs[4]) < 0.5
+
+    comp = {
+        r.id: r.rep
+        for r in similarity.semantic_dedup(
+            emb, id_col="doc_id", threshold=0.999, n_centroids=2
+        ).collect()
+    }
+    assert comp.get(2) == 1  # the copy clusters to its original
+    assert 4 not in comp
+
+
+def test_cap_per_source_two_level_equals_one_level(spark):
+    """The salted two-level cap returns exactly the one-level window's
+    keeper set (smallest max_docs by (md5(id), id) per source), with a
+    planted hot source."""
+    import hashlib
+
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import cap_per_source
+
+    rows = [(i, "hot" if i < 500 else f"src{i % 7}", f"text {i}")
+            for i in range(700)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    capped = cap_per_source(docs, 20, cap_salts=4)
+    got = {(r.source, r.doc_id) for r in capped.collect()}
+
+    by_src = {}
+    for i, src, _ in rows:
+        by_src.setdefault(src, []).append(i)
+    want = set()
+    for src, ids in by_src.items():
+        keep = sorted(ids, key=lambda x: (hashlib.md5(str(x).encode()).hexdigest(), x))[:20]
+        want |= {(src, i) for i in keep}
+    assert got == want
+    hot = [i for s, i in got if s == "hot"]
+    assert len(hot) == 20
+
+
+def test_prepare_training_corpus_decontam_and_split(spark):
+    """The recipe drops benchmark-quoting docs when eval_df is given
+    and attaches the deterministic split label when split_weights is."""
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import prepare_training_corpus
+
+    quote = "zebras quietly migrate across the northern basin every autumn season"
+    filler = "the quick brown fox jumps over the lazy dog and then the small cat runs home today"
+    docs = spark.createDataFrame(
+        [(i, f"{filler} variant {i} with extra words number {i * 7}")
+         for i in range(40)]
+        + [(100, f"intro text then {quote} closing remark words here")],
+        ["doc_id", "text"],
+    )
+    evald = spark.createDataFrame([(0, quote)], ["doc_id", "text"])
+    out = prepare_training_corpus(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        min_quality=0.0,
+        min_tokens=1,
+        max_dup_3gram_frac=None,
+        eval_df=evald,
+        decontam_ngram=5,
+        split_weights={"train": 0.8, "val": 0.2},
+    )
+    ids = {r.id for r in out.collect()}
+    assert 100 not in ids and len(ids) > 30
+    assert "split" in out.columns
+    labels = {r.split for r in out.collect()}
+    assert labels <= {"train", "val"} and "train" in labels
