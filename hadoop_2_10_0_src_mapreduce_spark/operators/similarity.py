@@ -219,6 +219,7 @@ def _score_pairs_arrow(
     round_digits: int,
     *,
     mirror: bool = False,
+    emb_right: DataFrame | None = None,
 ) -> DataFrame:
     """High-volume twin of ``_score_pairs``: same join-back topology
     (ids shuffle, vectors join where they live), but the cosine runs in
@@ -245,8 +246,10 @@ def _score_pairs_arrow(
     # upcast inside numpy: float32→float64 is exact, so the sequential
     # accumulation sees the same doubles as a JVM-side cast would
     # produce, and the Arrow transfer + join payload halve
+    # emb_right lets the two pair sides come from DIFFERENT tables
+    # (e.g. a query batch vs a stored index); default is the self-join
     qv = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    nv = emb.select(
+    nv = (emb if emb_right is None else emb_right).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
     )
     paired = cands.join(qv, "query_id").join(nv, "neighbor_id")
@@ -1215,3 +1218,135 @@ def query_ivf_index(
             f.name: f.dataType.simpleString() for f in queries.schema.fields
         }[id_col],
     )
+
+
+def save_lsh_index(
+    emb: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 16,
+    dim: int = 64,
+    max_bucket: int = 1024,
+    quantize: bool = False,
+) -> None:
+    """Build and PERSIST the LSH half of the ANN dial (the offline
+    mirror of ``save_ivf_index``):
+
+    - ``<path>/conf`` — one row of (n_planes, n_tables, dim,
+      max_bucket): the hyperplanes themselves need NO storage — they
+      are md5-derived (``md5_planes``), so the server recomputes them
+      bit-identically from the conf alone.
+    - ``<path>/buckets`` — the capped bucket memberships WITH a vector
+      copy per membership row, parquet PARTITIONED BY (table_idx,
+      bucket): an LSH index stores L copies of each vector by
+      construction; partition dirs are bounded by n_tables·2^n_planes,
+      and a query batch reads only its probed (table, bucket) pairs
+      via partition pruning.
+
+    ``quantize=True`` stores int8 qvec + per-vector scale instead of
+    the float vector — offsets the L-fold copy cost 4–8×; the server
+    dequantizes in the scan projection. The hot-bucket cap applies to
+    the STORED side only (a capped member still probes as a query) —
+    the correct serving semantics: storage is bounded, recall loss is
+    confined to buckets past the point where LSH discriminates."""
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(n_planes, n_tables, dim, max_bucket)],
+        "n_planes int, n_tables int, dim int, max_bucket int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/conf")
+    capped = capped_lsh_buckets(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        dim=dim,
+        max_bucket=max_bucket,
+    )
+    stored = capped.join(emb.select(id_col, vec_col), id_col)
+    if quantize:
+        stored = quantize_embeddings(
+            stored, id_col=id_col, vec_col=vec_col,
+            keep_cols=("table_idx", "bucket"),
+        )
+    stored.write.mode("overwrite").partitionBy("table_idx", "bucket").parquet(
+        f"{path}/buckets"
+    )
+
+
+def query_lsh_index(
+    queries: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Serve a query batch from a ``save_lsh_index`` directory: re-derive
+    the md5 hyperplanes from the stored conf, bucket the queries, read
+    ONLY the probed (table_idx, bucket) partitions (an OR-of-ANDs
+    literal predicate per table — directory-level pruning, bounded by
+    |batch|·n_tables pairs of ints collected to the driver), generate
+    distinct candidate id pairs, rescore through the two-table Arrow
+    join-back, and re-rank globally. A query whose id equals a stored
+    id is the same vector and is excluded from its own neighbors.
+
+    Results match the in-session self-ANN (``ann_lsh_topk``) whenever
+    no bucket hits the storage cap (pinned by test); for capped buckets
+    the served results can only differ on the capped tail, where LSH
+    had stopped discriminating."""
+    spark = queries.sparkSession
+    conf = spark.read.parquet(f"{path}/conf").collect()[0]
+    planes = md5_planes(conf.n_tables, conf.n_planes, conf.dim)
+    qsig = lsh_signatures(
+        queries.select(id_col, vec_col),
+        vec_col=vec_col,
+        n_planes=conf.n_planes,
+        n_tables=conf.n_tables,
+        planes=planes,
+    ).persist()
+    # bounded driver collect: ≤ |batch|·n_tables (table, bucket) int
+    # pairs — the partition-pruning predicate
+    probed: dict[int, set[int]] = {}
+    for r in qsig.select("table_idx", "bucket").distinct().collect():
+        probed.setdefault(r.table_idx, set()).add(r.bucket)
+    pred = None
+    for t, buckets in sorted(probed.items()):
+        term = (F.col("table_idx") == t) & F.col("bucket").isin(sorted(buckets))
+        pred = term if pred is None else pred | term
+    stored = spark.read.parquet(f"{path}/buckets").where(pred)
+    if "qvec" in stored.columns:  # int8 index: dequantize in the scan
+        stored = stored.select(
+            F.col(id_col),
+            F.transform(
+                "qvec", lambda q: q.cast("double") * F.col("scale")
+            ).alias(vec_col),
+            "table_idx",
+            "bucket",
+        )
+    cands = (
+        qsig.select(F.col(id_col).alias("query_id"), "table_idx", "bucket")
+        .join(
+            stored.select(
+                F.col(id_col).alias("neighbor_id"), "table_idx", "bucket"
+            ),
+            ["table_idx", "bucket"],
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    emb_right = stored.select(id_col, vec_col).distinct()
+    scored = _score_pairs_arrow(
+        queries.select(id_col, vec_col),
+        cands,
+        id_col,
+        vec_col,
+        round_digits,
+        emb_right=emb_right,
+    )
+    return _global_topk(scored, k)

@@ -1289,3 +1289,45 @@ def test_prepare_training_corpus_decontam_and_split(spark):
     assert "split" in out.columns
     labels = {r.split for r in out.collect()}
     assert labels <= {"train", "val"} and "train" in labels
+
+
+def test_lsh_index_roundtrip_serves_identically(spark, tmp_path):
+    """save_lsh_index → query_lsh_index with the corpus as the query
+    batch equals in-session self-ANN (no bucket hits the cap at this
+    scale, so candidates coincide), and the buckets scan
+    partition-prunes on (table_idx, bucket). The int8-quantized index
+    serves with high overlap against the float index."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "lsh_index")
+    similarity.save_lsh_index(emb, path, n_planes=6, n_tables=8)
+    served = similarity.query_lsh_index(emb, path, k=5)
+    in_session = similarity.ann_lsh_topk(emb, k=5, n_planes=6, n_tables=8)
+    as_rows = lambda df: sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.sim) for r in df.collect()
+    )
+    assert as_rows(served) == as_rows(in_session)
+    assert as_rows(served), "serving returned no rows"
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        served.explain("formatted")
+    plan = buf.getvalue()
+    assert any(
+        "PartitionFilters" in line and "table_idx" in line
+        for line in plan.splitlines()
+    ), f"buckets scan did not partition-prune:\n{plan[:2000]}"
+
+    # quantized index: same top-1 neighbor for most queries (int8
+    # rounding can reorder near-ties further down the list)
+    qpath = str(tmp_path / "lsh_index_q")
+    similarity.save_lsh_index(emb, qpath, n_planes=6, n_tables=8, quantize=True)
+    qserved = similarity.query_lsh_index(emb, qpath, k=1)
+    top1 = {r.query_id: r.neighbor_id for r in served.collect() if r.rnk == 1}
+    qtop1 = {r.query_id: r.neighbor_id for r in qserved.collect()}
+    agree = sum(1 for q, n in top1.items() if qtop1.get(q) == n)
+    assert agree / len(top1) > 0.8
