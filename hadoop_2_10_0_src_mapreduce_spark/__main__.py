@@ -58,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--near-dup-threshold", type=float, default=0.8)
     pl.add_argument("--max-dup-3gram-frac", type=float, default=0.5)
     pl.add_argument("--no-redact", action="store_true")
+    pl.add_argument("--split", help="comma-separated name=weight list "
+                    "(e.g. train=0.98,val=0.01,test=0.01) — attach the "
+                    "deterministic split label")
+    pl.add_argument("--shuffle", action="store_true",
+                    help="publish shards in deterministic md5(id) order "
+                    "instead of id order")
     pl.add_argument("--limit", type=int, default=20, help="rows to print")
     pl.add_argument("-D", dest="conf", action="append", default=[],
                     metavar="key=value", help="Spark conf override")
@@ -83,6 +89,12 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("cli:pipeline", extra_conf=_conf_pairs(args.conf))
         spark.sparkContext.setLogLevel("ERROR")
         docs = load_table(spark, args.sf_dir, "documents")
+        split_weights = None
+        if args.split:
+            split_weights = {
+                kv.split("=")[0]: float(kv.split("=")[1])
+                for kv in args.split.split(",")
+            }
         out = prepare_training_corpus(
             docs,
             languages=tuple(args.languages.split(",")) if args.languages else None,
@@ -91,9 +103,12 @@ def main(argv: list[str] | None = None) -> int:
             near_dup_threshold=args.near_dup_threshold,
             max_dup_3gram_frac=args.max_dup_3gram_frac,
             redact=not args.no_redact,
+            split_weights=split_weights,
         )
         if args.output:
-            write_jsonl_shards(out, args.output, id_col="id")
+            write_jsonl_shards(
+                out, args.output, id_col="id", shuffle=args.shuffle
+            )
         else:
             out.show(args.limit, truncate=60)
         return 0

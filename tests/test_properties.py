@@ -261,3 +261,72 @@ def test_packing_bins_bound_property(spark, sizes, target):
         # contiguity: bins partition the id sequence in order
         assert members[0].doc_id == prev_max + 1
         prev_max = members[-1].doc_id
+
+
+@given(
+    ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=40, unique=True),
+    weights=st.lists(st.floats(0.05, 10.0), min_size=1, max_size=5),
+)
+@settings(max_examples=12, deadline=None)
+def test_split_assign_partition_property(spark, ids, weights):
+    """Every id gets exactly one split label, the label matches the
+    naive md5-interval computation, and membership depends on the id
+    alone (subset invariance is implied)."""
+    import hashlib
+
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import split_corpus
+
+    w = {f"s{i}": wt for i, wt in enumerate(weights)}
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {r.doc_id: r.split for r in split_corpus(df, w).collect()}
+    assert set(got) == set(ids)
+
+    total = sum(w.values())
+    names = list(w)
+    for i in ids:
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+        acc, want = 0.0, names[-1]
+        for name in names[:-1]:
+            acc += w[name] / total
+            if u < acc:
+                want = name
+                break
+        assert got[i] == want, (i, u, got[i], want)
+
+
+@given(
+    seed_texts=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=6, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    extra=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=6, max_size=12),
+        max_size=4,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_contaminated_ids_monotone_in_eval_set(spark, seed_texts, extra):
+    """Growing the eval set can only grow the contaminated set, and a
+    train doc equal to an eval doc is always flagged (≥ n tokens)."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.dedup import (
+        contaminated_ids,
+    )
+
+    texts = [" ".join(t) for t in seed_texts]
+    extra_texts = [" ".join(t) for t in extra]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    ev_small = spark.createDataFrame([(100, texts[0])], ["doc_id", "text"])
+    flagged_small = {
+        r.id for r in contaminated_ids(train, ev_small, "text", "doc_id", n=3).collect()
+    }
+    assert 0 in flagged_small  # self-overlap always flags
+
+    ev_rows = [(100, texts[0])] + [(200 + i, t) for i, t in enumerate(extra_texts)]
+    ev_big = spark.createDataFrame(ev_rows, ["doc_id", "text"])
+    flagged_big = {
+        r.id for r in contaminated_ids(train, ev_big, "text", "doc_id", n=3).collect()
+    }
+    assert flagged_small <= flagged_big
