@@ -127,6 +127,7 @@ def contaminated_ids(
     id_col: str,
     *,
     n: int = 13,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Train–eval DECONTAMINATION flags: the ids of training documents
     sharing at least one n-token shingle with ANY benchmark/eval
@@ -138,19 +139,25 @@ def contaminated_ids(
     documents, minuscule next to the corpus — so its DISTINCT shingle
     hashes broadcast into a map-side semi-join against the exploded
     train shingles; the corpus never shuffles for the membership test,
-    only the surviving (contaminated) ids deduplicate. Shingles are the
-    same xxhash64 chains as the near-dup index (``_shingled``), so a
-    caller already running Jaccard dedup at the same k can reuse one
-    index for both."""
+    only the surviving (contaminated) ids deduplicate. Pass
+    ``broadcast_eval=False`` when the "eval" side is itself
+    corpus-sized (e.g. decontaminating against another training set) —
+    the semi-join then shuffles on the shingle hash instead of
+    collecting the eval set to the driver. Shingles are the same
+    xxhash64 chains as the near-dup index (``_shingled``), so a caller
+    already running Jaccard dedup at the same k can reuse one index
+    for both."""
     ev = (
         _shingled(eval_df, text_col, id_col, n)
         .select(F.explode("sh").alias("h"))
         .distinct()
     )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
     tr = _shingled(train, text_col, id_col, n)
     return (
         tr.select("id", F.explode("sh").alias("h"))
-        .join(F.broadcast(ev), "h", "left_semi")
+        .join(ev, "h", "left_semi")
         .select("id")
         .distinct()
     )
@@ -163,14 +170,15 @@ def decontaminate(
     id_col: str,
     *,
     n: int = 13,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Drop every training document flagged by ``contaminated_ids`` —
     the filter a corpus MUST pass before its benchmark numbers mean
     anything. Anti-join on the id only; the returned frame keeps the
     train schema untouched."""
-    bad = contaminated_ids(train, eval_df, text_col, id_col, n=n).select(
-        F.col("id").alias(id_col)
-    )
+    bad = contaminated_ids(
+        train, eval_df, text_col, id_col, n=n, broadcast_eval=broadcast_eval
+    ).select(F.col("id").alias(id_col))
     return train.join(bad, id_col, "left_anti")
 
 
