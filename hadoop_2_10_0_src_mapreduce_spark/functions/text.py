@@ -179,12 +179,17 @@ def quality_features(
 
 
 def quality_score(
-    col: Column | str, toks: Column | None = None
+    col: Column | str,
+    toks: Column | None = None,
+    features: dict[str, Column] | None = None,
 ) -> Column:
     """Composite 0..1-ish score: long enough, word-like tokens, some
     stopwords (prose-like), not punct/digit soup. Weights are plain
-    constants — tune per corpus."""
-    f = quality_features(col, toks)
+    constants — tune per corpus. Pass ``features`` (a
+    ``quality_features`` dict) when the caller already projects the
+    features — the score then reuses those column trees instead of
+    rebuilding the aggregate pass."""
+    f = features if features is not None else quality_features(col, toks)
     length_term = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
     wordlen_term = F.when(
         (f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 10), F.lit(1.0)

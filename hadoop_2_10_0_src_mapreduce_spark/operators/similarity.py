@@ -1340,7 +1340,9 @@ def query_lsh_index(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    emb_right = stored.select(id_col, vec_col).distinct()
+    # an id appears once per stored (table, bucket) membership — dedupe
+    # by the id key alone (copies are identical), not the vector array
+    emb_right = stored.select(id_col, vec_col).dropDuplicates([id_col])
     scored = _score_pairs_arrow(
         queries.select(id_col, vec_col),
         cands,

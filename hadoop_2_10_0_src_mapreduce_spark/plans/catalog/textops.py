@@ -151,7 +151,7 @@ def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
         *[feats[name].alias(name) for name in
           ("mean_token_len", "punct_ratio", "stopword_ratio", "digit_ratio")],
-        T.quality_score("text", tc).alias("quality"),
+        T.quality_score("text", tc, features=feats).alias("quality"),
         T.linear_score(feats, _MODEL_W, bias=_MODEL_BIAS).alias("model_quality"),
         *[
             c.alias(f"dup_{n}gram_frac")
