@@ -1331,3 +1331,53 @@ def test_lsh_index_roundtrip_serves_identically(spark, tmp_path):
     qtop1 = {r.query_id: r.neighbor_id for r in qserved.collect()}
     agree = sum(1 for q, n in top1.items() if qtop1.get(q) == n)
     assert agree / len(top1) > 0.8
+
+
+def test_compact_table_cluster_by_skipping_layout(spark, tmp_path):
+    """cluster_by compaction produces near-disjoint per-file value
+    ranges (parquet footer min/max), the layout any engine's
+    statistics-based skipping needs; rows are preserved."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import compact_table
+
+    t = str(tmp_path / "tbl")
+    # append-heavy table: every batch spans the whole key range, so
+    # pre-compaction file ranges ALL overlap
+    for b in range(5):
+        spark.range(0, 1000).select(
+            (F.col("id") * 5 + b).alias("k"), F.lit(b).alias("batch")
+        ).write.mode("append").parquet(t)
+
+    def ranges(p):
+        out = []
+        for f in pathlib.Path(p).rglob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            ks, ke = [], []
+            for rg in range(md.num_row_groups):
+                for c in range(md.num_columns):
+                    col = md.row_group(rg).column(c)
+                    if col.path_in_schema == "k" and col.statistics:
+                        ks.append(col.statistics.min)
+                        ke.append(col.statistics.max)
+            if ks:
+                out.append((min(ks), max(ke)))
+        return sorted(out)
+
+    before = ranges(t)
+    overlaps_before = sum(
+        1 for i in range(len(before) - 1) if before[i][1] >= before[i + 1][0]
+    )
+    assert overlaps_before > 0  # appended batches interleave key ranges
+
+    n = compact_table(spark, t, target_file_bytes=8 * 1024, cluster_by=("k",))
+    assert n >= 2  # multiple clustered files, or the test proves nothing
+    after = ranges(t)
+    assert len(after) >= 2
+    overlaps_after = sum(
+        1 for i in range(len(after) - 1) if after[i][1] >= after[i + 1][0]
+    )
+    assert overlaps_after == 0  # disjoint ranges: skipping-ready layout
+    assert spark.read.parquet(t).count() == 5000
