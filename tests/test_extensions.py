@@ -1381,3 +1381,64 @@ def test_compact_table_cluster_by_skipping_layout(spark, tmp_path):
     )
     assert overlaps_after == 0  # disjoint ranges: skipping-ready layout
     assert spark.read.parquet(t).count() == 5000
+
+
+def test_new_ops_empty_and_boundary_edges(spark, tmp_path):
+    """Empty/boundary edges of the round-4 additions: semantic dedup
+    with no qualifying pairs, LSH serving with a no-hit query batch,
+    per-source cap larger than any source, single-split assignment."""
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import (
+        cap_per_source,
+        split_corpus,
+    )
+
+    # semantic dedup: all-orthogonal vectors → no pairs, empty frame
+    eye = spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.0 for j in range(8)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    assert (
+        similarity.semantic_dedup(eye, threshold=0.5, n_centroids=2).count()
+        == 0
+    )
+
+    # LSH serving: query batch present, k larger than candidates — runs,
+    # bounded, and every returned neighbor is a stored id
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    similarity.save_lsh_index(emb, path, n_planes=6, n_tables=4)
+    few = emb.where(F.col("vec_id") < 3)
+    got = similarity.query_lsh_index(few, path, k=10_000).collect()
+    stored_ids = {r.vec_id for r in emb.collect()}
+    assert got and all(r.neighbor_id in stored_ids for r in got)
+
+    # cap larger than every source: identity
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "t") for i in range(30)],
+        ["doc_id", "source", "text"],
+    )
+    assert cap_per_source(docs, 1000).count() == 30
+
+    # single split: everything gets the one label
+    labels = {r.split for r in split_corpus(docs, {"train": 1.0}).collect()}
+    assert labels == {"train"}
+
+
+def test_hash_embeddings_bag_of_words_invariance(spark):
+    """ngram=1 hashing is a bag-of-words map: token order never changes
+    the vector; ngram=2 is order-sensitive by construction."""
+    from hadoop_2_10_0_src_mapreduce_spark.functions.text import hash_embeddings
+
+    a = "alpha beta gamma delta epsilon zeta"
+    b = "zeta epsilon delta gamma beta alpha"
+    docs = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    v1 = hash_embeddings(docs, "text", "doc_id", dim=16)
+    vecs = {r.doc_id: r.embedding for r in v1.collect()}
+    assert vecs[1] == vecs[2]
+    v2 = {
+        r.doc_id: r.embedding
+        for r in hash_embeddings(docs, "text", "doc_id", dim=16, ngram=2).collect()
+    }
+    assert v2[1] != v2[2]
