@@ -68,6 +68,22 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("-D", dest="conf", action="append", default=[],
                     metavar="key=value", help="Spark conf override")
 
+    ix = sub.add_parser(
+        "index", help="build / query a persisted ANN index (IVF or LSH)"
+    )
+    ix.add_argument("action", choices=("build", "query"))
+    ix.add_argument("--family", choices=("ivf", "lsh"), default="ivf")
+    ix.add_argument("--path", required=True, help="index directory")
+    ix.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ix.add_argument("--quantize", action="store_true",
+                    help="store int8 vectors (4-8x smaller index)")
+    ix.add_argument("--k", type=int, default=5)
+    ix.add_argument("--n-queries", type=int, default=10,
+                    help="query: serve the first N embedding rows")
+    ix.add_argument("--limit", type=int, default=20, help="rows to print")
+    ix.add_argument("-D", dest="conf", action="append", default=[],
+                    metavar="key=value", help="Spark conf override")
+
     args = ap.parse_args(argv)
 
     from hadoop_2_10_0_src_mapreduce_spark.plans.registry import REGISTRY, all_queries
@@ -111,6 +127,36 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             out.show(args.limit, truncate=60)
+        return 0
+
+    if args.cmd == "index":
+        from pyspark.sql import functions as F
+
+        from hadoop_2_10_0_src_mapreduce_spark.operators import similarity
+        from hadoop_2_10_0_src_mapreduce_spark.session import get_spark
+        from hadoop_2_10_0_src_mapreduce_spark.sources.readers import load_table
+
+        spark = get_spark("cli:index", extra_conf=_conf_pairs(args.conf))
+        spark.sparkContext.setLogLevel("ERROR")
+        emb = load_table(spark, args.sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        if args.action == "build":
+            if args.family == "ivf":
+                similarity.save_ivf_index(emb, args.path, quantize=args.quantize)
+            else:
+                similarity.save_lsh_index(emb, args.path, quantize=args.quantize)
+            print(f"built {args.family} index at {args.path}")
+        else:
+            queries = emb.where(F.col("vec_id") < args.n_queries)
+            serve = (
+                similarity.query_ivf_index
+                if args.family == "ivf"
+                else similarity.query_lsh_index
+            )
+            serve(queries, args.path, k=args.k).orderBy(
+                "query_id", "rnk"
+            ).show(args.limit, truncate=False)
         return 0
 
     if args.query not in qs:

@@ -117,3 +117,16 @@ def test_cli_pipeline_writes_jsonl(spark, tmp_path, capsys):
     back = spark.read.json(out)
     assert back.count() > 0
     assert {"id", "text", "pred_lang", "quality"} <= set(back.columns)
+
+
+def test_cli_index_build_and_query(spark, tmp_path, capsys):
+    from hadoop_2_10_0_src_mapreduce_spark.__main__ import main
+
+    path = str(tmp_path / "cli_ivf")
+    assert main(["index", "build", "--family", "ivf", "--path", path]) == 0
+    assert main([
+        "index", "query", "--family", "ivf", "--path", path,
+        "--n-queries", "3", "--limit", "5",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "query_id" in out and "neighbor_id" in out
