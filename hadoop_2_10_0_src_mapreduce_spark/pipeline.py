@@ -133,17 +133,25 @@ def sample_by_token_budget(
     text_col: str = "text",
     source_col: str = "source",
     seed: int = 7,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Data MIXING: downsample each source to ~its token budget — the
     step that turns per-source corpora into a training mixture with
     chosen proportions. Computes per-source token totals (one
     aggregate over token counts, never text), derives a keep-fraction
-    min(1, budget/total) per source, and Bernoulli-samples rows with
-    ``sampleBy`` — deterministic for a fixed seed, one scan + one
-    tiny driver-side fraction map (|sources| entries, not rows).
+    min(1, budget/total) per source, and Bernoulli-samples rows.
     Sources absent from ``budgets`` are kept whole. Expected (not
     exact) budgets, the standard trade: an exact cut needs a global
-    sort; Bernoulli is one pass and unbiased."""
+    sort; Bernoulli is one pass and unbiased.
+
+    Pass ``id_col`` for LAYOUT-INDEPENDENT determinism: a row is kept
+    iff uint32(md5(seed:id)[:8])/2³² < fraction — a pure function of
+    (seed, id), so the sample is identical whatever the partitioning,
+    file order, or cluster size (the ``split_assign`` property).
+    Without it the sampling falls back to ``sampleBy``, whose rand(
+    seed) stream is seeded PER PARTITION — deterministic only while
+    the physical layout is; a repartitioned rerun samples different
+    rows. At corpus scale prefer ``id_col``."""
     totals = {
         r[source_col]: r.total
         for r in docs.groupBy(source_col)
@@ -156,7 +164,29 @@ def sample_by_token_budget(
         if src in budgets
     }
     keep_all = [s for s in totals if s not in budgets]
-    sampled = docs.sampleBy(source_col, fractions, seed=seed)
+    if id_col is not None:
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(2.0**32)
+        )
+        frac = F.create_map(
+            *[x for s, f in fractions.items() for x in (F.lit(s), F.lit(f))]
+        )
+        sampled = docs.where(
+            F.col(source_col).isin(list(fractions)) & (u < frac[F.col(source_col)])
+        )
+    else:
+        sampled = docs.sampleBy(source_col, fractions, seed=seed)
     if keep_all:
         sampled = sampled.unionByName(
             docs.where(F.col(source_col).isin(keep_all))

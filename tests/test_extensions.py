@@ -1442,3 +1442,34 @@ def test_hash_embeddings_bag_of_words_invariance(spark):
         for r in hash_embeddings(docs, "text", "doc_id", dim=16, ngram=2).collect()
     }
     assert v2[1] != v2[2]
+
+
+def test_sample_by_token_budget_id_keyed_is_layout_independent(spark):
+    """With id_col, the kept set is a pure function of (seed, id):
+    identical across repartitioned copies of the same data, and changes
+    with the seed."""
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import sample_by_token_budget
+
+    rows = [(i, "w " * 50, "big") for i in range(300)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    kept1 = {
+        r.doc_id
+        for r in sample_by_token_budget(
+            docs, {"big": 3000}, seed=7, id_col="doc_id"
+        ).collect()
+    }
+    shuffled = docs.repartition(17, "text")
+    kept2 = {
+        r.doc_id
+        for r in sample_by_token_budget(
+            shuffled, {"big": 3000}, seed=7, id_col="doc_id"
+        ).collect()
+    }
+    assert kept1 == kept2 and 0 < len(kept1) < 300
+    kept3 = {
+        r.doc_id
+        for r in sample_by_token_budget(
+            docs, {"big": 3000}, seed=8, id_col="doc_id"
+        ).collect()
+    }
+    assert kept3 != kept1
