@@ -40,6 +40,8 @@ def prepare_training_corpus(
     eval_df: DataFrame | None = None,
     decontam_ngram: int = 13,
     split_weights: dict[str, float] | None = None,
+    model_weights: dict[str, float] | None = None,
+    min_model_quality: float = 0.5,
 ) -> DataFrame:
     """The standard corpus-cleaning chain, one call.
 
@@ -54,10 +56,14 @@ def prepare_training_corpus(
        set (dedup.decontaminate) BEFORE the gates, so no eval text
        can leak into the published corpus.
     4. GATES — language allow-list (omit ``languages`` to keep all),
-       composite quality floor, minimum token count, and a repetition
+       composite quality floor, minimum token count, a repetition
        ceiling (``max_dup_3gram_frac``: Gopher-style — documents whose
        3-grams are mostly repeats are boilerplate/looping text; None
-       disables).
+       disables), and optionally a MODEL-based filter
+       (``model_weights``: offline-trained linear weights over the
+       quality features, scored with the rational sigmoid — the
+       fasttext-classifier stage; rows below ``min_model_quality``
+       drop).
     5. REDACTION — published text has emails/IPs/phone-runs replaced
        with typed placeholders (``redact=False`` keeps raw text).
     6. SPLIT — when ``split_weights`` is given, attach the
@@ -100,19 +106,29 @@ def prepare_training_corpus(
             survivors, eval_base, "text", "id", n=decontam_ngram
         )
 
-    # 4. score + gate in one projection (tokens computed once)
+    # 4. score + gate in one projection (tokens computed once; the
+    # quality features feed both the composite and the model score)
     toked = survivors.select("id", "text", T.tokens("text").alias("_toks"))
+    feats = T.quality_features("text", F.col("_toks"))
+    model_cols = (
+        [T.linear_score(feats, model_weights).alias("model_quality")]
+        if model_weights is not None
+        else []
+    )
     scored = toked.select(
         "id",
         "text",
         T.lang_id("text", F.col("_toks")).alias("pred_lang"),
-        T.quality_score("text", F.col("_toks")).alias("quality"),
+        T.quality_score("text", F.col("_toks"), features=feats).alias("quality"),
+        *model_cols,
         F.size("_toks").alias("n_tokens"),
         T.dup_ngram_fraction("text", 3, F.col("_toks")).alias("dup_3gram_frac"),
     )
     out = scored.where(
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     )
+    if model_weights is not None:
+        out = out.where(F.col("model_quality") >= min_model_quality)
     if max_dup_3gram_frac is not None:
         out = out.where(F.col("dup_3gram_frac") <= max_dup_3gram_frac)
     if languages is not None:

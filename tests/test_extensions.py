@@ -1473,3 +1473,27 @@ def test_sample_by_token_budget_id_keyed_is_layout_independent(spark):
         ).collect()
     }
     assert kept3 != kept1
+
+
+def test_prepare_training_corpus_model_gate(spark):
+    """model_weights adds the model_quality column and its floor gates
+    rows; digit-soup docs score below prose under digit-penalizing
+    weights."""
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import prepare_training_corpus
+
+    prose = "the quick brown fox jumps over the lazy dog and it is a fine day for that"
+    soup = "4437 9081 2219 7745 3310 8864 5521 9907 1123 6678 2235 8810"
+    docs = spark.createDataFrame(
+        [(1, prose), (2, soup)], ["doc_id", "text"]
+    )
+    w = {"stopword_ratio": 2.0, "digit_ratio": -4.0}
+    out = prepare_training_corpus(
+        docs,
+        min_quality=0.0,
+        min_tokens=1,
+        max_dup_3gram_frac=None,
+        model_weights=w,
+        min_model_quality=0.5,
+    )
+    rows = {r.id: r.model_quality for r in out.collect()}
+    assert set(rows) == {1} and rows[1] > 0.5
