@@ -62,10 +62,10 @@ def main() -> None:
                 timings[name] = el
             spreads[name] = max(spreads.get(name, el), el)
 
-    # Adaptive third pass: a >30% disagreement between the two passes
-    # means contention hit at least one of them — those queries (only)
+    # Adaptive extra pass: a >30% max/min spread across the three
+    # passes means contention hit at least one — those queries (only)
     # get one more real execution. Bounded extra cost, and a spike that
-    # lands on both passes of a query no longer defines its number.
+    # lands on every pass of a query no longer defines its number.
     for name, fn in qs.items():
         if spreads[name] > 1.3 * timings[name] and timings[name] > 0.5:
             t0 = time.time()

@@ -446,14 +446,13 @@ def hash_embeddings(
 
     Returns (id, out_col array<double> unit-norm; all-zero if the text
     has no tokens or all buckets cancel)."""
-    grams = tokens(F.col(text_col))
-    if ngram > 1:
-        n_windows = F.greatest(F.size(grams) - (ngram - 1), F.lit(0))
-        slices = [F.slice(grams, j + 1, n_windows) for j in range(ngram)]
-        g = slices[0]
-        for s in slices[1:]:
-            g = F.zip_with(g, s, lambda a, t: F.concat_ws(" ", a, t))
-        grams = g
+    # ngram > 1 reuses the shingles() sliding window (same space-joined
+    # grams the dedup family shingles on); ngram == 1 is the raw tokens
+    grams = (
+        tokens(F.col(text_col))
+        if ngram == 1
+        else shingles(F.col(text_col), ngram)
+    )
     exploded = docs.select(
         F.col(id_col).alias("id"), F.explode(grams).alias("_g")
     ).select(
@@ -473,10 +472,18 @@ def hash_embeddings(
         lambda d: F.coalesce(F.element_at("_m", d.cast("int")), F.lit(0.0)),
     )
     raw = vecs.select("id", dense.alias("_raw"))
+    # explode drops gram-less documents (no tokens, or < ngram of
+    # them) — restore them via a left join so the contract holds:
+    # every input id gets a row, all-zero when nothing hashed
+    ids = docs.select(F.col(id_col).alias("id"))
+    zero = F.array_repeat(F.lit(0.0), dim)
+    filled = ids.join(raw, "id", "left").select(
+        "id", F.coalesce("_raw", zero).alias("_raw")
+    )
     nrm = F.sqrt(
         F.aggregate("_raw", F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    return raw.select(
+    return filled.select(
         F.col("id").alias(id_col),
         F.when(nrm > 0, F.transform("_raw", lambda x: x / nrm))
         .otherwise(F.col("_raw"))

@@ -324,7 +324,16 @@ def ngram_pairs_from_index(inv: DataFrame, threshold: float) -> DataFrame:
     """The plain inverted-index Jaccard join over an ALREADY-built
     (id, h) index — split out so callers running several strategies
     (or thresholds) over one corpus build and persist the index ONCE
-    (the shingling pass is the dominant scalar cost)."""
+    (the shingling pass is the dominant scalar cost).
+
+    Measured and rejected: the lossless size-ratio prune (join
+    predicate n_a ≥ t·n_b ∧ n_b ≥ t·n_a — necessary for J ≥ t since
+    J ≤ min/max) ran ~8% SLOWER at sf0.1 (1.71 vs 1.58 s, identical
+    output): carrying both set sizes through the self-join and the
+    wider groupBy key cost more than the pruning saved on this
+    size-homogeneous corpus. Revisit only for corpora with heavy
+    document-length variance, where the ratio test actually bites;
+    the high-threshold regime already has the prefix-filtered path."""
     counted = (
         inv.alias("x")
         .join(inv.alias("y"), "h")

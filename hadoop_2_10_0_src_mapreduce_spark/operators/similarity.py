@@ -728,10 +728,11 @@ def train_ivf_centroids(
     n = sample.count()
     if n > max_train:
         stride = -(-n // max_train)  # ceil
-        h32 = F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        sample = sample.where(h32 % F.lit(stride) == 0)
+        from hadoop_2_10_0_src_mapreduce_spark.functions.hashing import md5_u32
+
+        sample = sample.where(
+            md5_u32(F.col(id_col).cast("string")) % F.lit(stride) == 0
+        )
     pdf = sample.orderBy(id_col).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
@@ -1314,6 +1315,14 @@ def query_lsh_index(
     probed: dict[int, set[int]] = {}
     for r in qsig.select("table_idx", "bucket").distinct().collect():
         probed.setdefault(r.table_idx, set()).add(r.bucket)
+    if not probed:  # empty query batch: empty result, like the IVF twin
+        id_type = {
+            f.name: f.dataType.simpleString() for f in queries.schema.fields
+        }[id_col]
+        return spark.createDataFrame(
+            [],
+            f"query_id {id_type}, rnk int, neighbor_id {id_type}, sim double",
+        )
     pred = None
     for t, buckets in sorted(probed.items()):
         term = (F.col("table_idx") == t) & F.col("bucket").isin(sorted(buckets))

@@ -22,6 +22,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hadoop_2_10_0_src_mapreduce_spark.functions import text as T
+from hadoop_2_10_0_src_mapreduce_spark.functions.hashing import (
+    MD5_HEX2INT_SQL,
+    md5_unit,
+)
 from hadoop_2_10_0_src_mapreduce_spark.operators import dedup
 
 
@@ -181,19 +185,8 @@ def sample_by_token_budget(
     }
     keep_all = [s for s in totals if s not in budgets]
     if id_col is not None:
-        u = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("double")
-            / F.lit(2.0**32)
+        u = md5_unit(
+            F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
         )
         frac = F.create_map(
             *[x for s, f in fractions.items() for x in (F.lit(s), F.lit(f))]
@@ -309,11 +302,7 @@ def split_assign(
     (membership depends only on the id), and proportions converge to
     the weights by uniformity of the hash. ``weights`` order is the
     interval order; the last split absorbs the u = 1 edge."""
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / F.lit(2.0**32)
-    )
+    u = md5_unit(F.col(id_col).cast("string"))
     total = sum(weights.values())
     expr = None
     acc = 0.0
@@ -327,18 +316,12 @@ def split_assign(
     return expr.otherwise(F.lit(names[-1]))
 
 
-_SPLIT_HEX2INT = " + ".join(
-    f"(instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
-    for j in range(8)
-)
-
-
 def split_sql(id_expr: str, weights: dict[str, float]) -> str:
     """DuckDB twin of ``split_assign`` — same md5 coordinate, same
     cumulative-weight CASE, so an external oracle reproduces every
     split assignment exactly."""
     u = (
-        f"((SELECT {_SPLIT_HEX2INT} FROM (SELECT md5(CAST({id_expr} AS VARCHAR)) AS h))"
+        f"((SELECT {MD5_HEX2INT_SQL} FROM (SELECT md5(CAST({id_expr} AS VARCHAR)) AS h))"
         " / 4294967296.0)"
     )
     total = sum(weights.values())

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoop_2_10_0_src_mapreduce_spark.functions.hashing import md5_u32_sql
 from hadoop_2_10_0_src_mapreduce_spark.operators import similarity
 from hadoop_2_10_0_src_mapreduce_spark.plans.registry import register
 from hadoop_2_10_0_src_mapreduce_spark.sources.readers import load_table
@@ -19,12 +20,6 @@ _COS = (
     "list_inner_product(a.v, b.v) / "
     "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
 )
-
-_IVF_HEX2INT = " + ".join(
-    f"(instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
-    for j in range(8)
-)
-
 
 def _ivf_cte_chain(
     corpus_sql: str,
@@ -45,9 +40,7 @@ def _ivf_cte_chain(
     renormalization), ``probes`` (stable n_probe fan-out), ``home``
     (probe_rank 0 filing). Shared by the IVF ANN oracle and the
     semantic-dedup oracle — one replay of the trainer, two consumers."""
-    u32 = (
-        f"(SELECT {_IVF_HEX2INT} FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h))"
-    )
+    u32 = md5_u32_sql("CAST(vec_id AS VARCHAR)")
     parts = [f"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM ({corpus_sql})),
 vn AS MATERIALIZED (
     SELECT vec_id, list_transform(v, x -> x / nrm) AS nv

@@ -311,9 +311,14 @@ def compact_table(
     n_files = max(1, -(-size // target_file_bytes))
     tmp, old = f"{path}.__compact__", f"{path}.__old__"
     if cluster_by:
-        writer = df.repartitionByRange(
-            n_files, *cluster_by
-        ).sortWithinPartitions(*cluster_by)
+        # partition_cols lead the range key so each task holds few
+        # directory values — ranging on cluster_by alone would make
+        # every task span all partitions and the partitionBy write
+        # splinter into ~n_files × n_partitions small files
+        keys = (*partition_cols, *cluster_by)
+        writer = df.repartitionByRange(n_files, *keys).sortWithinPartitions(
+            *keys
+        )
     elif partition_cols:
         writer = df.repartition(n_files, *partition_cols)
     else:

@@ -1413,6 +1413,11 @@ def test_new_ops_empty_and_boundary_edges(spark, tmp_path):
     got = similarity.query_lsh_index(few, path, k=10_000).collect()
     stored_ids = {r.vec_id for r in emb.collect()}
     assert got and all(r.neighbor_id in stored_ids for r in got)
+    # truly EMPTY batch: empty frame, not a crash (the IVF-twin edge)
+    none = emb.where(F.lit(False))
+    empty = similarity.query_lsh_index(none, path, k=5)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "rnk", "neighbor_id", "sim"]
 
     # cap larger than every source: identity
     docs = spark.createDataFrame(
@@ -1442,6 +1447,21 @@ def test_hash_embeddings_bag_of_words_invariance(spark):
         for r in hash_embeddings(docs, "text", "doc_id", dim=16, ngram=2).collect()
     }
     assert v2[1] != v2[2]
+
+    # contract: gram-less docs (no tokens / fewer than ngram) get an
+    # all-zero row rather than vanishing from the output
+    with_empty = spark.createDataFrame(
+        [(1, a), (2, "!!! ... ???"), (3, "solo")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r.embedding
+        for r in hash_embeddings(
+            with_empty, "text", "doc_id", dim=16, ngram=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[2] == [0.0] * 16 and out[3] == [0.0] * 16
+    assert any(x != 0.0 for x in out[1])
 
 
 def test_sample_by_token_budget_id_keyed_is_layout_independent(spark):
@@ -1497,3 +1517,27 @@ def test_prepare_training_corpus_model_gate(spark):
     )
     rows = {r.id: r.model_quality for r in out.collect()}
     assert set(rows) == {1} and rows[1] > 0.5
+
+
+def test_compact_table_cluster_with_partition_dirs(spark, tmp_path):
+    """cluster_by + partition_cols: range keys lead with the partition
+    columns, so tasks align with directories and the write does not
+    splinter into n_files x n_partitions small files."""
+    import pathlib
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import compact_table
+
+    t = str(tmp_path / "tbl")
+    for b in range(4):
+        spark.range(0, 800).select(
+            (F.col("id") % 4).alias("p"), (F.col("id") * 4 + b).alias("k")
+        ).write.mode("append").partitionBy("p").parquet(t)
+    n = compact_table(
+        spark, t, target_file_bytes=16 * 1024,
+        partition_cols=("p",), cluster_by=("k",),
+    )
+    files = list(pathlib.Path(t).rglob("*.parquet"))
+    # tasks span few partition values: file count stays O(n_files),
+    # not n_files x |p|
+    assert len(files) <= 2 * n
+    assert spark.read.parquet(t).count() == 3200
