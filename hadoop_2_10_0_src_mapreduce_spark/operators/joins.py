@@ -201,3 +201,60 @@ def asof_join(
         *lcols,
         *[F.col("_m")[c].alias(c) for c in rpayload],
     )
+
+
+def range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    *,
+    bin_width: float,
+    closed: str = "left",
+) -> DataFrame:
+    """Interval/range join: every fact row paired with every interval
+    row whose [lo, hi) contains its point (``closed="both"`` for
+    [lo, hi]) — the point-in-interval lookup (IP→block, ts→validity
+    window, value→band) the reference expressed as a reduce-side
+    tag-and-sweep (SURVEY §2.4) and naive SQL expresses as a non-equi
+    theta join.
+
+    Scale shape — the reason this exists: Catalyst plans a bare
+    ``p BETWEEN lo AND hi`` predicate as BroadcastNestedLoop (or a
+    cartesian at worst): O(|facts|·|intervals|) comparisons and a
+    broadcast-or-bust memory profile. This implementation BINS the
+    range dimension instead: each fact hashes to exactly one bin
+    (floor(point/bin_width)); each interval replicates across the bins
+    it overlaps; the join is then a plain EQUI join on the bin key —
+    shuffle-partitioned, AQE-planned, skew-splittable like any other —
+    with the exact predicate as a cheap post-filter. A (fact, interval)
+    match meets in exactly one bin (the fact's), so no dedup is needed
+    and results are exactly the theta join's. Interval replication cost
+    is Σ⌈len/bin_width⌉ rows of (lo, hi, payload): pick ``bin_width``
+    near the median interval length so typical intervals land in 1–2
+    bins. Degenerate empty intervals (lo > hi, or lo ≥ hi under
+    half-open) match nothing and are dropped before the explode —
+    Spark's ``sequence`` would otherwise count DOWNWARD for them and
+    fabricate bins.
+    """
+    if closed not in ("left", "both"):
+        raise ValueError(f"range_join closed must be left|both, got {closed!r}")
+    point = F.col(point_col)
+    lo, hi = F.col(lo_col), F.col(hi_col)
+    upper_ok = point <= hi if closed == "both" else point < hi
+    nonempty = lo <= hi if closed == "both" else lo < hi
+    fb = facts.withColumn("_bin", F.floor(point / F.lit(bin_width)))
+    ib = intervals.where(nonempty).withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(lo / F.lit(bin_width)), F.floor(hi / F.lit(bin_width))
+            )
+        ),
+    )
+    return (
+        fb.join(ib, "_bin")
+        .where((point >= lo) & upper_ok)
+        .drop("_bin")
+    )

@@ -1,0 +1,65 @@
+"""Time-series rolling analytics over pre-aggregated series.
+
+Extension beyond the reference: Hadoop MR users hand-rolled running
+aggregates inside a secondary-sorted reducer (sort on (key, ts), carry
+state across values — SURVEY §2.5/§2.10); Spark's window functions are
+the declarative twin. These helpers compute the standard per-series
+metric family — previous value (lag), trailing moving average, running
+cumulative sum, percent rank — in ONE projection over a series frame.
+
+Scale shape: callers window over a PRE-AGGREGATED series (one row per
+(series key, time bucket) — the groupBy that builds it is an ordinary
+shuffle-partitioned aggregate), so each window partition holds only
+the series' bucket count, not its raw events. That is the difference
+between a window over 30 daily rows and a window funneling a billion
+raw events through one task: aggregate first, then window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def rolling_metrics(
+    series: DataFrame,
+    *,
+    part_col: str,
+    order_col: str,
+    value_col: str,
+    mavg_window: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-series rolling metric family in one pass.
+
+    Returns the series columns plus:
+
+    - ``value``  — the bucket's value, cast double
+    - ``lag1``   — previous bucket's value (NULL at each series head)
+    - ``mavg{w}``— trailing moving average over the last ``w`` observed
+                   buckets (ROWS, not RANGE: gaps shrink the window —
+                   densify the series upstream if calendar semantics
+                   are required)
+    - ``cume``   — running sum from the series head
+    - ``prank``  — percent_rank of the bucket's value within its series
+
+    Engine-exactness: inputs that are integer counts keep every sum
+    exact in binary64 (mavg's single division and percent_rank's exact
+    rational are each one deterministic rounding), so results hash-match
+    a SQL oracle computing the same window frames.
+    """
+    w = Window.partitionBy(part_col).orderBy(order_col)
+    wm = w.rowsBetween(-(mavg_window - 1), 0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wv = Window.partitionBy(part_col).orderBy(value_col)
+    v = F.col(value_col).cast("double")
+    return series.select(
+        F.col(part_col),
+        F.col(order_col),
+        v.alias("value"),
+        F.lag(v).over(w).alias("lag1"),
+        F.round(F.avg(v).over(wm), round_digits).alias(f"mavg{mavg_window}"),
+        F.sum(v).over(wc).alias("cume"),
+        F.round(F.percent_rank().over(wv), round_digits).alias("prank"),
+    )

@@ -173,14 +173,36 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.cross_join(region, nation).orderBy("r_name", "n_name")
 
 
-# --- as-of join (time-series lookup; absent in the reference) ----------
-# DuckDB has native ASOF JOIN — the strongest possible oracle for our
-# union-merge implementation. Purchases are pre-aggregated per
-# (user, ts) so the right side's (key, ts) is unique (both engines).
+# --- as-of + range join (non-equi lookups; absent in the reference) ----
+# Two branches under a mode column (the scan_fixed_multi merge pattern —
+# registry stays at 50):
+# 'asof'  — each click matched to the user's most recent purchase value
+#           (union-merge + running last()); DuckDB's native ASOF JOIN is
+#           the strongest possible oracle for it.
+# 'range' — each click's value matched to every OVERLAPPING literal
+#           value band via the BINNED range join (operators.joins.
+#           range_join: interval explodes across the bins it overlaps,
+#           equi-join on the bin key, exact predicate post-filter — an
+#           AQE-planned equi join where naive BETWEEN planning goes
+#           nested-loop); the oracle is the naive BETWEEN theta join,
+#           so the hash check proves the binning is invisible. Bands
+#           deliberately overlap (incl. a catch-all) so multi-match
+#           semantics are exercised; band_id rides in purchase_value.
 
-_ASOF_ORACLE = """
+_RANGE_BANDS = (
+    (0, 0.0, 60.0),
+    (1, 40.0, 120.0),
+    (2, 100.0, 240.0),
+    (3, 200.0, 400.0),
+    (4, 350.0, 500.0),
+    (5, 0.0, 500.0),
+)
+
+_BANDS_SQL = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _RANGE_BANDS)
+
+_ASOF_ORACLE = f"""
 WITH clicks AS (
-    SELECT user_id, event_id, ts::TIMESTAMP AS ts
+    SELECT user_id, event_id, ts::TIMESTAMP AS ts, value
     FROM events WHERE event_type = 'click'
 ),
 purchases AS (
@@ -188,31 +210,57 @@ purchases AS (
     FROM events WHERE event_type = 'purchase'
     GROUP BY user_id, pts
 )
-SELECT c.user_id, c.event_id, c.ts, p.purchase_value
-FROM clicks c
-ASOF LEFT JOIN purchases p
-    ON c.user_id = p.user_id AND c.ts >= p.pts
-ORDER BY c.user_id, c.event_id
+SELECT mode, user_id, event_id, ts, purchase_value FROM (
+    SELECT 'asof' AS mode, c.user_id, c.event_id, c.ts, p.purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts >= p.pts
+    UNION ALL
+    SELECT 'range', c.user_id, c.event_id, c.ts,
+           CAST(b.band_id AS DOUBLE)
+    FROM clicks c
+    JOIN (VALUES {_BANDS_SQL}) AS b(band_id, lo, hi)
+      ON c.value >= b.lo AND c.value < b.hi
+)
+ORDER BY mode, user_id, event_id
 """
 
 
 @register("join_asof", _ASOF_ORACLE, tags=("join", "time-series"),
-          doc="As-of join: each click matched to the user's most recent purchase value (union-merge + running last(); oracle is DuckDB's native ASOF JOIN).")
+          doc="Non-equi joins under a mode column: as-of join (union-merge + running last(); oracle is DuckDB's native ASOF JOIN) and binned range join (clicks to overlapping value bands; oracle is the naive BETWEEN theta join, proving the bin decomposition invisible).")
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hadoop_2_10_0_src_mapreduce_spark.operators.joins import asof_join
+    from hadoop_2_10_0_src_mapreduce_spark.operators.joins import (
+        asof_join,
+        range_join,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "event_id", "ts"
+        "user_id", "event_id", "ts", "value"
     )
     purchases = (
         ev.where(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")
         .agg(F.round(F.max("value"), 6).alias("purchase_value"))
     )
-    return asof_join(
-        clicks, purchases, ["user_id"], left_ts="ts", right_ts="ts"
-    ).orderBy("user_id", "event_id")
+    asof = asof_join(
+        clicks.drop("value"), purchases, ["user_id"], left_ts="ts", right_ts="ts"
+    ).select(
+        F.lit("asof").alias("mode"), "user_id", "event_id", "ts", "purchase_value"
+    )
+    bands = spark.createDataFrame(
+        list(_RANGE_BANDS), "band_id int, lo double, hi double"
+    )
+    ranged = range_join(
+        clicks, bands, "value", "lo", "hi", bin_width=60.0
+    ).select(
+        F.lit("range").alias("mode"),
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("band_id").cast("double").alias("purchase_value"),
+    )
+    return asof.unionByName(ranged).orderBy("mode", "user_id", "event_id")
 
 
 # --- skew-salted join (§2.4 scale helper) ------------------------------

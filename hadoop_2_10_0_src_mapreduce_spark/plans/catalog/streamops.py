@@ -18,22 +18,33 @@ from hadoop_2_10_0_src_mapreduce_spark.streaming.windows import (
     tumbling_window_counts,
 )
 
-# Tumbling 1-day + sliding 2-day/1-day windows in one query (merged to
-# fit the driver's 50-checked-query window; each branch is its own
-# window() aggregate). Sliding: every event belongs to exactly two
-# windows — the one starting at its day-bucket and the one a slide
-# earlier; the oracle expands each event into both.
+# Tumbling 1-day + sliding 2-day/1-day windows + the rolling-metric
+# family over the daily series, in one query (merged to fit the
+# driver's 50-checked-query window; each branch is its own window
+# aggregate/projection, unioned under a mode column with metric as
+# double). Sliding: every event belongs to exactly two windows — the
+# one starting at its day-bucket and the one a slide earlier; the
+# oracle expands each event into both. The metric branches (lag1 /
+# mavg3 / cume / prank — operators.timeseries.rolling_metrics) window
+# over the PRE-AGGREGATED daily series (≤ days rows per event_type
+# partition — aggregate first, then window; the secondary-sort
+# running-aggregate idiom of SURVEY §2.5 made declarative). Counts are
+# exact integers in binary64, mavg's division and prank's exact
+# rational are one deterministic rounding each, so every branch
+# hash-matches the SQL window twin. lag1's NULL series heads are kept
+# (both engines emit them).
 _TUMBLING_SLIDING_ORACLE = """
-SELECT mode, window_start, event_type, n_events FROM (
-    SELECT 'tumbling' AS mode,
-           time_bucket(INTERVAL '1 day', ts) AS window_start,
-           event_type,
-           COUNT(*) AS n_events
+WITH daily AS (
+    SELECT time_bucket(INTERVAL '1 day', ts) AS d, event_type,
+           CAST(COUNT(*) AS DOUBLE) AS n
     FROM events
-    GROUP BY window_start, event_type
+    GROUP BY d, event_type
+)
+SELECT mode, window_start, event_type, metric FROM (
+    SELECT 'tumbling' AS mode, d AS window_start, event_type, n AS metric
+    FROM daily
     UNION ALL
-    SELECT 'sliding' AS mode, wstart AS window_start, event_type,
-           COUNT(*) AS n_events
+    SELECT 'sliding', wstart, event_type, CAST(COUNT(*) AS DOUBLE)
     FROM (
         SELECT unnest([
                    time_bucket(INTERVAL '1 day', ts),
@@ -43,22 +54,68 @@ SELECT mode, window_start, event_type, n_events FROM (
         FROM events
     )
     GROUP BY wstart, event_type
+    UNION ALL
+    SELECT 'lag1', d, event_type,
+           LAG(n) OVER (PARTITION BY event_type ORDER BY d)
+    FROM daily
+    UNION ALL
+    SELECT 'mavg3', d, event_type,
+           round(AVG(n) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+    FROM daily
+    UNION ALL
+    SELECT 'cume', d, event_type,
+           SUM(n) OVER (PARTITION BY event_type ORDER BY d)
+    FROM daily
+    UNION ALL
+    SELECT 'prank', d, event_type,
+           round(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY n), 6)
+    FROM daily
 )
 ORDER BY mode, window_start, event_type
 """
 
 
 @register("window_tumbling_sliding", _TUMBLING_SLIDING_ORACLE, tags=("streaming", "window"),
-          doc="Tumbling 1-day and sliding 2-day/1-day windows per event_type (streaming-capable expressions, batch-checked), unioned under a mode column.")
+          doc="Tumbling 1-day and sliding 2-day/1-day windows per event_type (streaming-capable expressions, batch-checked) plus the rolling-metric family (lag / 3-day moving average / cumulative sum / percent rank) over the daily series, unioned under a mode column.")
 def window_tumbling_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_2_10_0_src_mapreduce_spark.operators.timeseries import (
+        rolling_metrics,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    tumbling = tumbling_window_counts(ev).select(
-        F.lit("tumbling").alias("mode"), "window_start", "event_type", "n_events"
+    daily = tumbling_window_counts(ev)
+    metric = F.col("n_events").cast("double").alias("metric")
+    tumbling = daily.select(
+        F.lit("tumbling").alias("mode"), "window_start", "event_type", metric
     )
     sliding = sliding_window_counts(ev).select(
-        F.lit("sliding").alias("mode"), "window_start", "event_type", "n_events"
+        F.lit("sliding").alias("mode"), "window_start", "event_type", metric
     )
-    return tumbling.unionByName(sliding).orderBy("mode", "window_start", "event_type")
+    rolled = rolling_metrics(
+        daily,
+        part_col="event_type",
+        order_col="window_start",
+        value_col="n_events",
+    )
+    metric_rows = [
+        rolled.select(
+            F.lit(mode).alias("mode"),
+            "window_start",
+            "event_type",
+            F.col(col).alias("metric"),
+        )
+        for mode, col in (
+            ("lag1", "lag1"),
+            ("mavg3", "mavg3"),
+            ("cume", "cume"),
+            ("prank", "prank"),
+        )
+    ]
+    out = tumbling.unionByName(sliding)
+    for branch in metric_rows:
+        out = out.unionByName(branch)
+    return out.orderBy("mode", "window_start", "event_type")
 
 
 # session_window(gap 12h) ≡ the sessionize_reduce oracle's gap logic;

@@ -332,3 +332,93 @@ def test_runtime_bloom_filter_prunes_join_probe_side(spark):
     )
     plan = joined._jdf.queryExecution().optimizedPlan().toString()
     assert "bloom_filter" in plan.lower() or "mightcontain" in plan.lower(), plan
+
+
+def test_range_join_matches_naive_theta_join(spark):
+    """The binned decomposition must be invisible: same pairs as the
+    naive non-equi predicate, including negative points, intervals
+    spanning many bins, overlapping intervals, and both closures."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.joins import range_join
+
+    facts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(
+            [-250, -10.5, -10, 0, 0.5, 9.99, 10, 59.9, 60, 123.4, 499, 500, 777]
+        )],
+        "fid long, p double",
+    )
+    ivals = spark.createDataFrame(
+        [
+            (0, -300.0, -5.0),   # negative span, many bins
+            (1, -10.0, 10.0),    # straddles zero
+            (2, 0.0, 60.0),
+            (3, 40.0, 500.0),    # wide, overlaps 2
+            (4, 500.0, 500.0),   # degenerate: empty under half-open
+            (5, 600.0, 100.0),   # inverted: must not fabricate bins
+        ],
+        "iid long, lo double, hi double",
+    )
+    for closed in ("left", "both"):
+        got = {
+            (r.fid, r.iid)
+            for r in range_join(
+                facts, ivals, "p", "lo", "hi", bin_width=25.0, closed=closed
+            ).collect()
+        }
+        upper = (
+            (F.col("p") <= F.col("hi"))
+            if closed == "both"
+            else (F.col("p") < F.col("hi"))
+        )
+        want = {
+            (r.fid, r.iid)
+            for r in facts.crossJoin(ivals)
+            .where((F.col("p") >= F.col("lo")) & upper)
+            .collect()
+        }
+        assert got == want and got
+
+
+def test_range_join_plans_an_equi_join_not_nested_loop(spark):
+    """The whole point at scale: the bin key turns the interval
+    predicate into an equi join Catalyst can shuffle-partition and AQE
+    can skew-split — no BroadcastNestedLoop / cartesian anywhere."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.joins import range_join
+
+    facts = spark.range(1000).select(
+        F.col("id").alias("fid"), (F.col("id") % 97).cast("double").alias("p")
+    )
+    ivals = spark.range(50).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 2.0).alias("lo"),
+        (F.col("id") * 2.0 + 5.0).alias("hi"),
+    )
+    plan = (
+        range_join(facts, ivals, "p", "lo", "hi", bin_width=8.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_rolling_metrics_family(spark):
+    """lag/mavg/cume/prank over a hand-checkable two-series frame."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.timeseries import (
+        rolling_metrics,
+    )
+
+    series = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 30), ("a", 3, 20), ("b", 1, 5)],
+        "k string, t int, n long",
+    )
+    rows = {
+        (r.k, r.t): r
+        for r in rolling_metrics(
+            series, part_col="k", order_col="t", value_col="n"
+        ).collect()
+    }
+    a2, a3, b1 = rows[("a", 2)], rows[("a", 3)], rows[("b", 1)]
+    assert rows[("a", 1)].lag1 is None and a2.lag1 == 10.0 and a3.lag1 == 30.0
+    assert a3.mavg3 == 20.0 and a2.mavg3 == 20.0  # (10+30+20)/3, (10+30)/2
+    assert a3.cume == 60.0 and b1.cume == 5.0
+    # prank within series by value: a→ 10<20<30 → 0, .5, 1
+    assert rows[("a", 1)].prank == 0.0 and a3.prank == 0.5 and a2.prank == 1.0
+    assert b1.prank == 0.0  # single-row series
