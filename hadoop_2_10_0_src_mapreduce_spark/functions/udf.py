@@ -126,6 +126,69 @@ def secondary_sort_reduce(
     return reduce_groups(df, group_keys, fn, schema, order_by=sort_keys)
 
 
+def cogroup_reduce(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    fn: Callable[[tuple, pd.DataFrame, pd.DataFrame], pd.DataFrame],
+    schema: str | StructType,
+    *,
+    left_order: Sequence[str] | None = None,
+    right_order: Sequence[str] | None = None,
+) -> DataFrame:
+    """DATAJOIN tagged-reduce parity: the reference's multi-input
+    reducer saw ALL values for a key from BOTH tagged sources in one
+    ``reduce(key, values)`` call (TOOLS/datajoin DataJoinReducerBase
+    [H] conventions per SURVEY §0) — the imperative escape hatch for
+    per-key merge logic no join expresses (asymmetric reconciliation,
+    ordered interleaving, custom conflict resolution).
+
+    ``fn(key_tuple, left_pdf, right_pdf)`` runs once per distinct key
+    with each side's full group (empty frame when the key is absent on
+    one side — why the key arrives as an explicit tuple), optionally
+    pre-sorted via ``left_order``/``right_order`` (the secondary-sort
+    contract, applied per side inside the group like reduce_groups).
+
+    Scale shape: one co-partitioning shuffle of each input on the
+    keys; group cost bounds memory exactly like any applyInPandas —
+    keep per-key groups bounded (pre-aggregate a hot side first) and
+    prefer a declarative join + agg whenever one expresses the logic.
+    """
+    lo = list(left_order) if left_order else None
+    ro = list(right_order) if right_order else None
+    lcols, rcols = list(left.columns), list(right.columns)
+    # Same-lineage guard: when both inputs derive from ONE scan (the
+    # common "split a table by predicate, cogroup the halves" shape),
+    # the two plans share attribute ids and FlatMapCoGroupsInPandas
+    # silently PRUNES the right side down to its grouping columns —
+    # fn would see the right frame missing its value columns entirely.
+    # Re-aliasing every right column mints fresh expression ids (a pure
+    # projection — no materialization, no extra exchange), which is
+    # the same dedup the analyzer applies to self-joins.
+    right = right.select([F.col(c).alias(c) for c in rcols])
+
+    def wrapped(key: tuple, lpdf: pd.DataFrame, rpdf: pd.DataFrame):
+        # a key absent on one side arrives as an empty frame missing
+        # that side's non-key columns — normalize so fn can index its
+        # declared columns unconditionally (reindex is a no-op when the
+        # columns already match)
+        if list(lpdf.columns) != lcols:
+            lpdf = lpdf.reindex(columns=lcols)
+        if list(rpdf.columns) != rcols:
+            rpdf = rpdf.reindex(columns=rcols)
+        if lo:
+            lpdf = lpdf.sort_values(lo, kind="mergesort")
+        if ro:
+            rpdf = rpdf.sort_values(ro, kind="mergesort")
+        return fn(key, lpdf, rpdf)
+
+    return (
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
+        .applyInPandas(wrapped, schema)
+    )
+
+
 def sessionize(
     events: DataFrame,
     *,

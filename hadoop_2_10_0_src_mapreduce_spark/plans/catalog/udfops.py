@@ -33,35 +33,109 @@ def pipe_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Sessionization (secondary-sort reducer, batch) ------------------
+# --- Sessionization + cogroup reduce (secondary-sort reducers) --------
+# Two branches under a branch column (the scan_fixed_multi merge
+# pattern — registry stays at 50):
+# 'session' — per-user time-ordered gap sessionization (the bounded-
+#             memory mapInPandas reducer).
+# 'cogroup' — DATAJOIN multi-input-reduce parity (udf.cogroup_reduce):
+#             clicks and errors cogrouped per user; the reducer counts
+#             the clicks STRICTLY after the user's last error (all
+#             clicks if the user never errored) — asymmetric per-key
+#             merge logic written imperatively, emitted one row per
+#             user present on EITHER side (session_id rides as -1;
+#             start_ts = last error, end_ts = last counted click).
+#             The oracle re-derives it declaratively (left join + full
+#             outer), so the hash check proves the imperative reducer
+#             equals the relational semantics.
 
 _GAP_MIN = 720  # 12h — events average ~10.7h apart per user, so this splits
 
 _SESSIONIZE_ORACLE = f"""
-SELECT user_id, session_id, COUNT(*) AS n_events,
-       MIN(ts) AS start_ts, MAX(ts) AS end_ts
-FROM (
-    SELECT user_id, ts,
-           CAST(SUM(CASE WHEN prev_ts IS NULL
-                      OR ts - prev_ts > INTERVAL {_GAP_MIN} MINUTE
-                    THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts) - 1 AS BIGINT) AS session_id
+WITH le AS (
+    SELECT user_id, MAX(ts) AS last_err
+    FROM events WHERE event_type = 'error' GROUP BY user_id
+),
+cl AS (
+    SELECT c.user_id, c.ts, le.last_err
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    LEFT JOIN le USING (user_id)
+),
+ca AS (
+    SELECT user_id,
+           COUNT(CASE WHEN last_err IS NULL OR ts > last_err THEN 1 END) AS n,
+           MAX(CASE WHEN last_err IS NULL OR ts > last_err THEN ts END) AS end_ts
+    FROM cl GROUP BY user_id
+)
+SELECT branch, user_id, session_id, n_events, start_ts, end_ts FROM (
+    SELECT 'session' AS branch, user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts
     FROM (
         SELECT user_id, ts,
-               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-        FROM events
+               CAST(SUM(CASE WHEN prev_ts IS NULL
+                          OR ts - prev_ts > INTERVAL {_GAP_MIN} MINUTE
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts) - 1 AS BIGINT) AS session_id
+        FROM (
+            SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events
+        )
     )
+    GROUP BY user_id, session_id
+    UNION ALL
+    SELECT 'cogroup', COALESCE(ca.user_id, le.user_id),
+           CAST(-1 AS BIGINT), COALESCE(ca.n, 0),
+           le.last_err, ca.end_ts
+    FROM ca FULL OUTER JOIN le ON ca.user_id = le.user_id
 )
-GROUP BY user_id, session_id
-ORDER BY user_id, session_id
+ORDER BY branch, user_id, session_id
 """
 
 
 @register("sessionize_reduce", _SESSIONIZE_ORACLE, tags=("udf", "secondary-sort"),
-          doc="SecondarySort reducer parity: per-user time-ordered gap sessionization via applyInPandas.")
+          doc="Secondary-sort reducers under a branch column: per-user gap sessionization (applyInPandas-style bounded reducer) and DATAJOIN cogroup-reduce parity (clicks-after-last-error per user; oracle re-derives the imperative merge relationally).")
 def sessionize_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return udfmod.sessionize(ev, gap_minutes=_GAP_MIN).orderBy("user_id", "session_id")
+    session = udfmod.sessionize(ev, gap_minutes=_GAP_MIN).select(
+        F.lit("session").alias("branch"),
+        "user_id",
+        "session_id",
+        "n_events",
+        "start_ts",
+        "end_ts",
+    )
+
+    def clicks_after_last_error(key, clicks: pd.DataFrame, errors: pd.DataFrame):
+        last_err = errors["ts"].max() if len(errors) else pd.NaT
+        if len(clicks):
+            kept = (
+                clicks[clicks["ts"] > last_err] if pd.notna(last_err) else clicks
+            )
+            n, end = len(kept), (kept["ts"].max() if len(kept) else pd.NaT)
+        else:
+            n, end = 0, pd.NaT
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_id": [-1],
+                "n_events": [n],
+                "start_ts": [last_err],
+                "end_ts": [end],
+            }
+        )
+
+    cogrouped = udfmod.cogroup_reduce(
+        ev.where(F.col("event_type") == "click").select("user_id", "ts"),
+        ev.where(F.col("event_type") == "error").select("user_id", "ts"),
+        ["user_id"],
+        clicks_after_last_error,
+        "user_id long, session_id long, n_events long, "
+        "start_ts timestamp, end_ts timestamp",
+    ).select(F.lit("cogroup").alias("branch"), "*")
+    return session.unionByName(cogrouped).orderBy(
+        "branch", "user_id", "session_id"
+    )
 
 
 # --- Custom UDAF via pandas_udf GROUPED_AGG --------------------------

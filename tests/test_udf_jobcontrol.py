@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from hadoop_2_10_0_src_mapreduce_spark.functions import udf as udfmod
 from hadoop_2_10_0_src_mapreduce_spark.plans.jobcontrol import JobControl, JobState
@@ -130,3 +131,64 @@ def test_cli_index_build_and_query(spark, tmp_path, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "query_id" in out and "neighbor_id" in out
+
+
+def test_cogroup_reduce_sees_both_sides_ordered_and_missing_keys(spark):
+    """DATAJOIN multi-input-reduce: fn gets (key, left, right) with a
+    key absent on one side arriving as an empty frame that still has
+    that side's columns; order_by applies per side."""
+    import pandas as pd
+
+    from hadoop_2_10_0_src_mapreduce_spark.functions.udf import cogroup_reduce
+
+    left = spark.createDataFrame(
+        [(1, 30), (1, 10), (2, 5)], "k long, v long"
+    )
+    right = spark.createDataFrame(
+        [(1, 100), (3, 7)], "k long, w long"
+    )
+
+    def fn(key, l, r):
+        assert list(l.columns) == ["k", "v"] and list(r.columns) == ["k", "w"]
+        assert list(l["v"]) == sorted(l["v"])  # left_order applied
+        return pd.DataFrame(
+            {"k": [key[0]], "lsum": [int(l["v"].sum())], "rsum": [int(r["w"].sum())]}
+        )
+
+    rows = {
+        r.k: (r.lsum, r.rsum)
+        for r in cogroup_reduce(
+            left, right, ["k"], fn, "k long, lsum long, rsum long",
+            left_order=["v"],
+        ).collect()
+    }
+    assert rows == {1: (40, 100), 2: (5, 0), 3: (0, 7)}
+
+
+def test_cogroup_reduce_same_lineage_keeps_right_columns(spark):
+    """Regression: when both cogroup inputs derive from ONE scan,
+    Spark's plan dedup silently pruned the right side's value columns
+    (fn saw only the grouping key). The alias lineage-break inside
+    cogroup_reduce must keep them intact."""
+    import pandas as pd
+
+    from hadoop_2_10_0_src_mapreduce_spark.functions.udf import cogroup_reduce
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "a", 5)], "k long, tag string, v long"
+    )
+    left = base.where(F.col("tag") == "a").select("k", "v")
+    right = base.where(F.col("tag") == "b").select("k", "v")
+
+    def fn(key, l, r):
+        return pd.DataFrame(
+            {"k": [key[0]], "rsum": [int(r["v"].sum()) if len(r) else -1]}
+        )
+
+    rows = {
+        r.k: r.rsum
+        for r in cogroup_reduce(
+            left, right, ["k"], fn, "k long, rsum long"
+        ).collect()
+    }
+    assert rows == {1: 20, 2: -1}
