@@ -195,6 +195,18 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     match the string-shingle oracle modulo a ~2^-64 collision. Tokens
     are materialized as a column first so the tokenizer regex runs once
     per document, not once per shingle position."""
+    return _shingle_hash_array(df, text_col, id_col, k).select(
+        "id", F.array_distinct("sh").alias("sh")
+    ).where(F.size("sh") > 0)
+
+
+def _shingle_hash_array(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, sh) with sh[i] = the hash of the k-gram STARTING at token
+    position i (1-based via array index) — positions preserved, no
+    dedup; the positional primitive _shingled and the repeated-n-gram
+    span detector share."""
     base = df.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
     )
@@ -203,8 +215,55 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     sh = F.transform(slices[0], lambda t: F.xxhash64(t))
     for s in slices[1:]:
         sh = F.zip_with(sh, s, lambda acc, t: F.xxhash64(acc, t))
-    return base.select("id", F.array_distinct(sh).alias("sh")).where(
-        F.size("sh") > 0
+    return base.select("id", sh.alias("sh"))
+
+
+def repeated_ngram_doc_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact CROSS-DOCUMENT repeated-n-gram detection — the n-gram-
+    granular form of exact-substring dedup (published recipe: find
+    spans repeated verbatim across the corpus; heavy repetition marks
+    boilerplate/templates worth cutting, and the spans themselves are
+    memorization risks). A position is flagged when its k-gram occurs
+    in ≥ ``min_docs`` DISTINCT documents; returns one row per document
+    with ≥1 flagged position:
+
+        (id, first_pos, n_repeated)
+
+    first_pos = the first flagged token position (1-based), n_repeated
+    = how many of the doc's k-gram positions are flagged — divide by
+    the doc's window count for a repetition-coverage fraction.
+
+    Scale shape: positional shingle hashes explode to (h, id, pos)
+    rows — 8-byte hashes and ids only, never text; the ≥min_docs
+    filter is a groupBy(h) distinct-count (map-side partial), and the
+    flag-back is a semi-join on h. Same inverted-index topology as the
+    Jaccard pipeline, one extra integer column. Within-doc-only
+    repeats (hash confined to one doc) are deliberately NOT flagged —
+    that signal is the quality row's Gopher dup-fractions; this
+    operator isolates cross-document duplication."""
+    pos = _shingle_hash_array(df, text_col, id_col, k).select(
+        "id", F.posexplode("sh").alias("pos0", "h")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "h")
+    hot = (
+        pos.groupBy("h")
+        .agg(F.countDistinct("id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    return (
+        pos.join(hot, "h", "left_semi")
+        .groupBy("id")
+        .agg(
+            F.min("pos").cast("long").alias("first_pos"),
+            F.count(F.lit(1)).alias("n_repeated"),
+        )
     )
 
 

@@ -117,12 +117,27 @@ incr AS (
     -- oracle IS the exact branch relabeled; the Spark side actually
     -- runs the index-merge path and must land on the same rows
     SELECT 'incr' AS branch, fp, keeper, n_copies FROM exact
+),
+xgram AS (
+    -- cross-document repeated n-grams (exact-substring dedup at
+    -- k-gram granularity): per doc, the first flagged position rides
+    -- in keeper and the flagged-position count in n_copies; the
+    -- oracle flags STRING shingles where Spark flags xxhash64 chains
+    -- (counts agree modulo ~2^-64 collisions, the Jaccard convention)
+    SELECT 'xgram' AS branch, CAST(doc_id AS VARCHAR) AS fp,
+           MIN(i) AS keeper, COUNT(*) AS n_copies
+    FROM pos
+    WHERE s IN (SELECT s FROM pos
+                GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2)
+    GROUP BY doc_id
 )
 SELECT * FROM exact
 UNION ALL
 SELECT * FROM winnow
 UNION ALL
 SELECT * FROM incr
+UNION ALL
+SELECT * FROM xgram
 ORDER BY branch, keeper, fp
 """
 
@@ -160,9 +175,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         dedup.exact_dedup(corpus.where(F.col("doc_id") < 10000), "text", "doc_id"),
     ).select(F.lit("incr").alias("branch"), "fp", "keeper", "n_copies")
+    # cross-document repeated-n-gram spans (exact-substring dedup
+    # signal): doc id in fp, first flagged position in keeper,
+    # flagged-position count in n_copies
+    xgram = dedup.repeated_ngram_doc_stats(
+        corpus, "text", "doc_id", k=3
+    ).select(
+        F.lit("xgram").alias("branch"),
+        F.col("id").cast("string").alias("fp"),
+        F.col("first_pos").alias("keeper"),
+        F.col("n_repeated").alias("n_copies"),
+    )
     return (
         exact.unionByName(winnow)
         .unionByName(incr)
+        .unionByName(xgram)
         .orderBy("branch", "keeper", "fp")
     )
 

@@ -1541,3 +1541,30 @@ def test_compact_table_cluster_with_partition_dirs(spark, tmp_path):
     # not n_files x |p|
     assert len(files) <= 2 * n
     assert spark.read.parquet(t).count() == 3200
+
+
+def test_repeated_ngram_doc_stats_flags_cross_doc_spans_only(spark):
+    """Exact-substring signal: a 3-gram shared across docs flags its
+    positions in every holder; a WITHIN-doc-only repeat does not flag
+    (that signal belongs to the quality row's dup fractions)."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.dedup import (
+        repeated_ngram_doc_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1 and 2 share the run "a b c d" → 3-grams (a b c) at
+            # pos 1 and (b c d) at pos 2 flagged in both
+            (1, "a b c d x y z"),
+            (2, "q q a b c d"),
+            # doc 3: internal repeat "u v w ... u v w" only — its
+            # 3-gram occurs twice in ONE doc, zero flagged rows
+            (3, "u v w t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.id: (r.first_pos, r.n_repeated)
+        for r in repeated_ngram_doc_stats(docs, "text", "doc_id", k=3).collect()
+    }
+    assert rows == {1: (1, 2), 2: (3, 2)}
