@@ -248,9 +248,13 @@ def repeated_ngram_doc_stats(
     repeats (hash confined to one doc) are deliberately NOT flagged —
     that signal is the quality row's Gopher dup-fractions; this
     operator isolates cross-document duplication."""
+    # persist: both the df-count and the flag-back semi-join read the
+    # positional index; without it the tokenizer + k-1 zip_with hash
+    # chain evaluates twice (same contract as the other dedup
+    # persist()s — evictable blocks, clearCache() at batch boundaries)
     pos = _shingle_hash_array(df, text_col, id_col, k).select(
         "id", F.posexplode("sh").alias("pos0", "h")
-    ).select("id", (F.col("pos0") + 1).alias("pos"), "h")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "h").persist()
     hot = (
         pos.groupBy("h")
         .agg(F.countDistinct("id").alias("_nd"))

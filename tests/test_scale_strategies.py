@@ -422,3 +422,45 @@ def test_rolling_metrics_family(spark):
     # prank within series by value: a→ 10<20<30 → 0, .5, 1
     assert rows[("a", 1)].prank == 0.0 and a3.prank == 0.5 and a2.prank == 1.0
     assert b1.prank == 0.0  # single-row series
+
+
+def test_no_registered_query_plans_a_scale_killer(spark):
+    """Executable form of the repo's scale audit: across ALL registered
+    catalog queries, (a) no row-at-a-time Python UDF ever appears
+    (BatchEvalPython — Arrow paths like ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas are the allowed Python surfaces), (b) no
+    unqualified CartesianProduct outside the cartesian operator itself,
+    and (c) the BroadcastNestedLoopJoin set is exactly the documented
+    allowlist (the cartesian slot, the by-design O(n·q) brute-force
+    anchor, and the scalar-attach pattern: a broadcast ONE-ROW
+    aggregate cross-joined onto a frame). A new query acquiring one of
+    these nodes must consciously extend the allowlist."""
+    from hadoop_2_10_0_src_mapreduce_spark.plans.registry import all_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    # scalar-attach BNLJ (one-row broadcast side) riders; join_cross is
+    # the cartesian operator itself; brute-force is the documented
+    # O(n·q) correctness anchor
+    bnlj_allowed = {
+        "join_cross",
+        "sim_topk_bruteforce",
+        "sort_validate",
+        "teragen_checksum",
+        "word_stats",
+        "text_fingerprint_rollup",
+        "text_token_quality",
+    }
+    cartesian_allowed = {"join_cross"}
+    bnlj_seen, offenders = set(), []
+    for name, fn in sorted(all_queries().items()):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().sparkPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders.append(f"{name}: row-wise Python UDF (BatchEvalPython)")
+        if "CartesianProduct" in plan and name not in cartesian_allowed:
+            offenders.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan:
+            bnlj_seen.add(name)
+    assert not offenders, offenders
+    assert bnlj_seen <= bnlj_allowed, (
+        f"unexpected BroadcastNestedLoopJoin in {sorted(bnlj_seen - bnlj_allowed)}"
+    )
