@@ -330,3 +330,45 @@ def test_contaminated_ids_monotone_in_eval_set(spark, seed_texts, extra):
         r.id for r in contaminated_ids(train, ev_big, "text", "doc_id", n=3).collect()
     }
     assert flagged_small <= flagged_big
+
+
+# range_join: adversarial points/intervals incl. negatives, empties,
+# inversions, boundary-exact values, and fractional bin widths
+_points = st.lists(
+    st.integers(-40, 40).map(lambda v: v / 2.0), min_size=1, max_size=15
+)
+_intervals = st.lists(
+    st.tuples(
+        st.integers(-40, 40).map(lambda v: v / 2.0),
+        st.integers(-40, 40).map(lambda v: v / 2.0),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_points, _intervals, st.sampled_from([0.75, 2.0, 9.0]), st.sampled_from(["left", "both"]))
+def test_range_join_equals_naive_reference(spark, points, intervals, bw, closed):
+    from hadoop_2_10_0_src_mapreduce_spark.operators.joins import range_join
+
+    facts = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "fid long, p double"
+    )
+    ivals = spark.createDataFrame(
+        [(j, lo, hi) for j, (lo, hi) in enumerate(intervals)],
+        "iid long, lo double, hi double",
+    )
+    got = {
+        (r.fid, r.iid)
+        for r in range_join(
+            facts, ivals, "p", "lo", "hi", bin_width=bw, closed=closed
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (lo, hi) in enumerate(intervals)
+        if (lo <= p <= hi if closed == "both" else lo <= p < hi)
+    }
+    assert got == want
