@@ -372,3 +372,60 @@ def test_range_join_equals_naive_reference(spark, points, intervals, bw, closed)
         if (lo <= p <= hi if closed == "both" else lo <= p < hi)
     }
     assert got == want
+
+
+# cogroup_reduce: random two-sided keyed data with heavy key collision
+# and one-sided keys — the reducer's view must reconstruct exactly the
+# naive per-key partition of both inputs, sorted where asked
+_coleft = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(-50, 50)), max_size=25
+)
+_coright = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(-50, 50)), max_size=25
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_coleft, _coright)
+def test_cogroup_reduce_reconstructs_naive_per_key_partition(
+    spark, left_rows, right_rows
+):
+    from hadoop_2_10_0_src_mapreduce_spark.functions.udf import cogroup_reduce
+
+    left = spark.createDataFrame(left_rows, "k long, v long") if left_rows \
+        else spark.createDataFrame([], "k long, v long")
+    right = spark.createDataFrame(right_rows, "k long, w long") if right_rows \
+        else spark.createDataFrame([], "k long, w long")
+
+    def fn(key, l, r):
+        # summarize each side's (sorted) values so equality proves both
+        # membership AND the secondary-sort contract
+        return pd.DataFrame(
+            {
+                "k": [key[0]],
+                "lsig": [",".join(map(str, l["v"]))],
+                "rsig": [",".join(map(str, sorted(r["w"])))],
+            }
+        )
+
+    got = {
+        r.k: (r.lsig, r.rsig)
+        for r in cogroup_reduce(
+            left, right, ["k"], fn, "k long, lsig string, rsig string",
+            left_order=["v"],
+        ).collect()
+    }
+    by_l: dict[int, list[int]] = {}
+    by_r: dict[int, list[int]] = {}
+    for k, v in left_rows:
+        by_l.setdefault(k, []).append(v)
+    for k, w in right_rows:
+        by_r.setdefault(k, []).append(w)
+    want = {
+        k: (
+            ",".join(map(str, sorted(by_l.get(k, [])))),
+            ",".join(map(str, sorted(by_r.get(k, [])))),
+        )
+        for k in set(by_l) | set(by_r)
+    }
+    assert got == want
