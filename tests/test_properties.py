@@ -429,3 +429,44 @@ def test_cogroup_reduce_reconstructs_naive_per_key_partition(
         for k in set(by_l) | set(by_r)
     }
     assert got == want
+
+
+# rolling_metrics: random per-series values vs a pandas reference
+_series_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 30), st.integers(0, 100)),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: (t[0], t[1]),  # one value per (series, bucket)
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_series_rows)
+def test_rolling_metrics_equal_pandas_reference(spark, rows):
+    from hadoop_2_10_0_src_mapreduce_spark.operators.timeseries import (
+        rolling_metrics,
+    )
+
+    df = spark.createDataFrame(rows, "k long, t long, n long")
+    got = {
+        (r.k, r.t): (r.lag1, r.mavg3, r.cume, r.prank)
+        for r in rolling_metrics(
+            df, part_col="k", order_col="t", value_col="n"
+        ).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "t", "n"]).sort_values(["k", "t"])
+    for k, g in pdf.groupby("k"):
+        v = g["n"].astype(float)
+        lag1 = v.shift(1)
+        mavg = v.rolling(3, min_periods=1).mean().round(6)
+        cume = v.cumsum()
+        # percent_rank = (rank-1)/(n-1), min-rank over value ties
+        rk = v.rank(method="min")
+        pr = ((rk - 1) / max(len(v) - 1, 1)).round(6)
+        for i, t in enumerate(g["t"]):
+            gl, gm, gc, gp = got[(k, t)]
+            assert (gl is None) == pd.isna(lag1.iloc[i])
+            if gl is not None:
+                assert gl == lag1.iloc[i]
+            assert gm == mavg.iloc[i] and gc == cume.iloc[i]
+            assert gp == pr.iloc[i]
