@@ -247,7 +247,12 @@ def repeated_ngram_doc_stats(
     Jaccard pipeline, one extra integer column. Within-doc-only
     repeats (hash confined to one doc) are deliberately NOT flagged —
     that signal is the quality row's Gopher dup-fractions; this
-    operator isolates cross-document duplication."""
+    operator isolates cross-document duplication.
+
+    Caching: the positional index is ``persist()``-ed and stays
+    referenced by the returned lazy frame (module caching contract);
+    callers done with the results release it via
+    ``spark.catalog.clearCache()`` at their batch boundary."""
     # persist: both the df-count and the flag-back semi-join read the
     # positional index; without it the tokenizer + k-1 zip_with hash
     # chain evaluates twice (same contract as the other dedup

@@ -240,6 +240,8 @@ def range_join(
     """
     if closed not in ("left", "both"):
         raise ValueError(f"range_join closed must be left|both, got {closed!r}")
+    if not bin_width > 0:
+        raise ValueError(f"range_join bin_width must be > 0, got {bin_width!r}")
     point = F.col(point_col)
     lo, hi = F.col(lo_col), F.col(hi_col)
     upper_ok = point <= hi if closed == "both" else point < hi

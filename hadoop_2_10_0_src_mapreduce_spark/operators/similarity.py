@@ -1029,7 +1029,12 @@ def semantic_dedup_pairs(
     lists stay bounded (E[list] ≈ n/c; SemDeDup at web scale runs
     c ~ √n or larger). Only (id, list_id) rows enter the self-join;
     vectors join back where they live via the Arrow scorer, so a hot
-    cell costs shuffle rows, never executor memory."""
+    cell costs shuffle rows, never executor memory.
+
+    Caching: the home-list assignment is ``persist()``-ed and stays
+    referenced by the returned lazy frame (module caching contract) —
+    long-lived sessions done with the results should
+    ``spark.catalog.clearCache()`` at their batch boundary."""
     vecs = emb.select(id_col, vec_col)
     cents = train_ivf_centroids(
         vecs, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
@@ -1299,7 +1304,13 @@ def query_lsh_index(
     Results match the in-session self-ANN (``ann_lsh_topk``) whenever
     no bucket hits the storage cap (pinned by test); for capped buckets
     the served results can only differ on the capped tail, where LSH
-    had stopped discriminating."""
+    had stopped discriminating.
+
+    Caching: the query-signature frame is ``persist()``-ed (read by
+    the probed-partition collect AND the returned candidate join) and
+    stays referenced by the returned lazy frame (module caching
+    contract); a serving loop should ``spark.catalog.clearCache()``
+    between batches it is done with."""
     spark = queries.sparkSession
     conf = spark.read.parquet(f"{path}/conf").collect()[0]
     planes = md5_planes(conf.n_tables, conf.n_planes, conf.dim)

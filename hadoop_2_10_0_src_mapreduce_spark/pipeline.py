@@ -73,8 +73,9 @@ def prepare_training_corpus(
     6. SPLIT — when ``split_weights`` is given, attach the
        deterministic md5-bucket train/val/test label as ``split``.
 
-    Returns (id, text, pred_lang, quality, n_tokens, dup_3gram_frac
-    [, split]) for the surviving documents. Deterministic end to end:
+    Returns (id, text, pred_lang, quality, [model_quality,] n_tokens,
+    dup_3gram_frac [, split]) for the surviving documents —
+    ``model_quality`` rides through only when ``model_weights`` is set. Deterministic end to end:
     every keeper is a min-id choice, hashing is fixed-seed, and the
     quality/language scores are pure expressions — rerunning yields
     the identical corpus.

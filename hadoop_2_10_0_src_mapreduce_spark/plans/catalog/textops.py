@@ -190,7 +190,7 @@ _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 _DECON_N = 5
 
 _Q5 = (
-    f"(SELECT array_to_string(({_Q_TOKS})[1:5], ' ') FROM documents WHERE doc_id = 0)"
+    f"(SELECT array_to_string(({_Q_TOKS})[1:{_DECON_N}], ' ') FROM documents WHERE doc_id = 0)"
 )
 
 _FINGERPRINT_ORACLE = f"""
