@@ -218,6 +218,39 @@ def _shingle_hash_array(
     return base.select("id", sh.alias("sh"))
 
 
+def repeated_ngram_flagged_positions(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(id, pos) for every 1-based token position whose k-gram occurs
+    in ≥ ``min_docs`` DISTINCT documents — the shared positional
+    primitive under ``repeated_ngram_doc_stats`` (per-doc coverage
+    stats) and ``repeated_ngram_spans`` (maximal repeated spans).
+    Build it once and pass it to both via their ``flagged=`` parameter
+    when you need more than one view; the frame is ``persist()``-ed
+    (module caching contract) because every consumer reads it at least
+    twice (the hot-hash count and the flag-back semi-join share the
+    underlying positional index)."""
+    # persist: both the df-count and the flag-back semi-join read the
+    # positional index; without it the tokenizer + k-1 zip_with hash
+    # chain evaluates twice (same contract as the other dedup
+    # persist()s — evictable blocks, clearCache() at batch boundaries)
+    pos = _shingle_hash_array(df, text_col, id_col, k).select(
+        "id", F.posexplode("sh").alias("pos0", "h")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "h").persist()
+    hot = (
+        pos.groupBy("h")
+        .agg(F.countDistinct("id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    return pos.join(hot, "h", "left_semi").select("id", "pos")
+
+
 def repeated_ngram_doc_stats(
     df: DataFrame,
     text_col: str,
@@ -225,6 +258,7 @@ def repeated_ngram_doc_stats(
     *,
     k: int = 3,
     min_docs: int = 2,
+    flagged: DataFrame | None = None,
 ) -> DataFrame:
     """Exact CROSS-DOCUMENT repeated-n-gram detection — the n-gram-
     granular form of exact-substring dedup (published recipe: find
@@ -252,27 +286,67 @@ def repeated_ngram_doc_stats(
     Caching: the positional index is ``persist()``-ed and stays
     referenced by the returned lazy frame (module caching contract);
     callers done with the results release it via
-    ``spark.catalog.clearCache()`` at their batch boundary."""
-    # persist: both the df-count and the flag-back semi-join read the
-    # positional index; without it the tokenizer + k-1 zip_with hash
-    # chain evaluates twice (same contract as the other dedup
-    # persist()s — evictable blocks, clearCache() at batch boundaries)
-    pos = _shingle_hash_array(df, text_col, id_col, k).select(
-        "id", F.posexplode("sh").alias("pos0", "h")
-    ).select("id", (F.col("pos0") + 1).alias("pos"), "h").persist()
-    hot = (
-        pos.groupBy("h")
-        .agg(F.countDistinct("id").alias("_nd"))
-        .where(F.col("_nd") >= min_docs)
-        .select("h")
-    )
+    ``spark.catalog.clearCache()`` at their batch boundary. Pass a
+    pre-built ``flagged`` frame (``repeated_ngram_flagged_positions``)
+    to share the index with ``repeated_ngram_spans``."""
+    if flagged is None:
+        flagged = repeated_ngram_flagged_positions(
+            df, text_col, id_col, k=k, min_docs=min_docs
+        )
     return (
-        pos.join(hot, "h", "left_semi")
+        flagged
         .groupBy("id")
         .agg(
             F.min("pos").cast("long").alias("first_pos"),
             F.count(F.lit(1)).alias("n_repeated"),
         )
+    )
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    min_docs: int = 2,
+    flagged: DataFrame | None = None,
+) -> DataFrame:
+    """MAXIMAL cross-document repeated spans — the published
+    exact-substring dedup recipe's actionable output: merge adjacent
+    flagged k-gram positions into runs, so a pipeline can CUT the span
+    instead of scoring the doc. Returns one row per maximal span:
+
+        (id, span_start, span_len, n_positions)
+
+    span_start = first token position of the run (1-based); span_len =
+    its length in TOKENS (last flagged position + k − 1 − span_start
+    + 1 = n_positions + k − 1 for a gap-free run, which islands are by
+    construction); n_positions = flagged k-gram positions merged.
+    Remove ``[span_start, span_start + span_len)`` from the token
+    stream to cut every ≥k-token cross-document repeat.
+
+    Scale shape: islands-and-gaps is ONE window pass over the flagged
+    positions — ``pos − row_number()`` is constant within a
+    consecutive run — partitioned by doc id, so partition size is
+    bounded by document length, never corpus size. Everything upstream
+    is the same inverted-index topology as ``repeated_ngram_doc_stats``
+    (hashes, ids, and one int shuffle); pass ``flagged=`` to share one
+    positional index between both views."""
+    if flagged is None:
+        flagged = repeated_ngram_flagged_positions(
+            df, text_col, id_col, k=k, min_docs=min_docs
+        )
+    w = Window.partitionBy("id").orderBy("pos")
+    return (
+        flagged.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("id", "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).cast("long").alias("span_len"),
+            F.count(F.lit(1)).alias("n_positions"),
+        )
+        .drop("_grp")
     )
 
 

@@ -61,6 +61,8 @@ _CORPUS_SQL = f"""
 # the same positional lists.
 
 _W = 4  # winnowing window (guarantee: shared runs of w+k−1 tokens collide)
+_XGRAM_K = 3  # k-gram size of the positional (xgram/xspan) branches —
+# must match shingles_sql's default k so the oracle's pos CTE lines up
 
 _HEX2INT_HI = " + ".join(
     f"(instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
@@ -118,18 +120,37 @@ incr AS (
     -- runs the index-merge path and must land on the same rows
     SELECT 'incr' AS branch, fp, keeper, n_copies FROM exact
 ),
-xgram AS (
+flagged AS (
     -- cross-document repeated n-grams (exact-substring dedup at
-    -- k-gram granularity): per doc, the first flagged position rides
-    -- in keeper and the flagged-position count in n_copies; the
-    -- oracle flags STRING shingles where Spark flags xxhash64 chains
-    -- (counts agree modulo ~2^-64 collisions, the Jaccard convention)
-    SELECT 'xgram' AS branch, CAST(doc_id AS VARCHAR) AS fp,
-           MIN(i) AS keeper, COUNT(*) AS n_copies
-    FROM pos
+    -- k-gram granularity): every position whose k-gram occurs in ≥2
+    -- distinct docs; the oracle flags STRING shingles where Spark
+    -- flags xxhash64 chains (they agree modulo ~2^-64 collisions, the
+    -- Jaccard convention)
+    SELECT doc_id, i FROM pos
     WHERE s IN (SELECT s FROM pos
                 GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2)
+),
+xgram AS (
+    -- per-doc view: first flagged position in keeper, flagged-position
+    -- count in n_copies
+    SELECT 'xgram' AS branch, CAST(doc_id AS VARCHAR) AS fp,
+           MIN(i) AS keeper, COUNT(*) AS n_copies
+    FROM flagged
     GROUP BY doc_id
+),
+islands AS (
+    -- maximal-span view: adjacent flagged positions merge into runs
+    -- (pos − row_number is constant within a run)
+    SELECT doc_id, i,
+           i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+    FROM flagged
+),
+xspan AS (
+    -- one row per maximal repeated span: start position in keeper,
+    -- token length (= positions + k − 1) in n_copies
+    SELECT 'xspan' AS branch, CAST(doc_id AS VARCHAR) AS fp,
+           MIN(i) AS keeper, MAX(i) - MIN(i) + {_XGRAM_K} AS n_copies
+    FROM islands GROUP BY doc_id, grp
 )
 SELECT * FROM exact
 UNION ALL
@@ -138,6 +159,8 @@ UNION ALL
 SELECT * FROM incr
 UNION ALL
 SELECT * FROM xgram
+UNION ALL
+SELECT * FROM xspan
 ORDER BY branch, keeper, fp
 """
 
@@ -175,21 +198,36 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         dedup.exact_dedup(corpus.where(F.col("doc_id") < 10000), "text", "doc_id"),
     ).select(F.lit("incr").alias("branch"), "fp", "keeper", "n_copies")
-    # cross-document repeated-n-gram spans (exact-substring dedup
-    # signal): doc id in fp, first flagged position in keeper,
-    # flagged-position count in n_copies
+    # cross-document repeated-n-gram views over ONE shared flagged-
+    # position index: 'xgram' = per-doc stats (doc id in fp, first
+    # flagged position in keeper, flagged-position count in n_copies);
+    # 'xspan' = maximal repeated spans (doc id in fp, span start in
+    # keeper, token length in n_copies) — the actionable cut-this-span
+    # output of the exact-substring recipe
+    flagged = dedup.repeated_ngram_flagged_positions(
+        corpus, "text", "doc_id", k=_XGRAM_K
+    )
     xgram = dedup.repeated_ngram_doc_stats(
-        corpus, "text", "doc_id", k=3
+        corpus, "text", "doc_id", k=_XGRAM_K, flagged=flagged
     ).select(
         F.lit("xgram").alias("branch"),
         F.col("id").cast("string").alias("fp"),
         F.col("first_pos").alias("keeper"),
         F.col("n_repeated").alias("n_copies"),
     )
+    xspan = dedup.repeated_ngram_spans(
+        corpus, "text", "doc_id", k=_XGRAM_K, flagged=flagged
+    ).select(
+        F.lit("xspan").alias("branch"),
+        F.col("id").cast("string").alias("fp"),
+        F.col("span_start").alias("keeper"),
+        F.col("span_len").alias("n_copies"),
+    )
     return (
         exact.unionByName(winnow)
         .unionByName(incr)
         .unionByName(xgram)
+        .unionByName(xspan)
         .orderBy("branch", "keeper", "fp")
     )
 

@@ -1568,3 +1568,43 @@ def test_repeated_ngram_doc_stats_flags_cross_doc_spans_only(spark):
         for r in repeated_ngram_doc_stats(docs, "text", "doc_id", k=3).collect()
     }
     assert rows == {1: (1, 2), 2: (3, 2)}
+
+
+def test_repeated_ngram_spans_merge_islands(spark):
+    # Doc 1 and 2 share two DISJOINT verbatim runs ("alpha beta gamma
+    # delta" and "omega psi chi"); doc 3 is unrelated filler. With k=3:
+    # run 1 flags 2 adjacent positions -> ONE span of 4 tokens; run 2
+    # flags 1 position -> one span of 3 tokens. Span algebra:
+    # span_len = n_positions + k - 1 for every island.
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta xx omega psi chi"),
+            (2, "yy zz alpha beta gamma delta ww omega psi chi"),
+            (3, "unrelated words only here nothing shared at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = dedup.repeated_ngram_spans(docs, "text", "doc_id", k=3)
+    got = {
+        (r.id, r.span_start): (r.span_len, r.n_positions)
+        for r in spans.collect()
+    }
+    assert got == {
+        # doc 1: "alpha beta gamma delta" at tokens 1-4, "omega psi chi" at 6-8
+        (1, 1): (4, 2),
+        (1, 6): (3, 1),
+        # doc 2: same runs at tokens 3-6 and 8-10
+        (2, 3): (4, 2),
+        (2, 8): (3, 1),
+    }
+    # invariant on every row: token length == positions + k - 1
+    assert all(sl == np + 2 for (sl, np) in got.values())
+    # the doc-stats view derives from the same flagged positions
+    flagged = dedup.repeated_ngram_flagged_positions(docs, "text", "doc_id", k=3)
+    stats = {
+        r.id: (r.first_pos, r.n_repeated)
+        for r in dedup.repeated_ngram_doc_stats(
+            docs, "text", "doc_id", k=3, flagged=flagged
+        ).collect()
+    }
+    assert stats == {1: (1, 3), 2: (3, 3)}
