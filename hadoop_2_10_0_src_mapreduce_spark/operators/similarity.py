@@ -60,7 +60,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1098,6 +1098,7 @@ def save_ivf_index(
     n_iters: int = 5,
     max_train: int = 4096,
     quantize: bool = False,
+    train_df: DataFrame | None = None,
 ) -> None:
     """Build and PERSIST an IVF index — the offline half of the
     serving lifecycle (build once on the 100 TB corpus, answer query
@@ -1120,10 +1121,18 @@ def save_ivf_index(
     100 TB is the difference in what the probed-partition scan reads;
     the server dequantizes transparently and scores the approximation
     (per-component error ≤ scale/2; recall floor pinned by test).
-    Centroids always stay float — they are kilobytes."""
+    Centroids always stay float — they are kilobytes.
+
+    ``train_df`` trains the centroids on a DIFFERENT frame than the
+    one being filed — the rebuild-after-append shape: centroids fixed
+    to the original training corpus, the grown corpus filed under
+    them. ``append_to_ivf_index`` is the incremental equivalent (same
+    result, no full rewrite); this parameter exists so that
+    equivalence is testable and so periodic rebuilds can pin training
+    data explicitly."""
     vecs = emb.select(id_col, vec_col)
     cents = train_ivf_centroids(
-        vecs,
+        train_df.select(id_col, vec_col) if train_df is not None else vecs,
         id_col=id_col,
         vec_col=vec_col,
         n_centroids=n_centroids,
@@ -1190,8 +1199,12 @@ def query_ivf_index(
     probed = sorted(
         r.list_id for r in fan.select("list_id").distinct().collect()
     )
-    stored = spark.read.parquet(f"{path}/lists").where(
-        F.col("list_id").isin(probed)
+    stored = _apply_tombstones(
+        spark.read.parquet(f"{path}/lists").where(
+            F.col("list_id").isin(probed)
+        ),
+        path,
+        id_col,
     )
     quantized = "qvec" in stored.columns
     if quantized:  # int8 index: dequantize in the scan projection
@@ -1338,7 +1351,9 @@ def query_lsh_index(
     for t, buckets in sorted(probed.items()):
         term = (F.col("table_idx") == t) & F.col("bucket").isin(sorted(buckets))
         pred = term if pred is None else pred | term
-    stored = spark.read.parquet(f"{path}/buckets").where(pred)
+    stored = _apply_tombstones(
+        spark.read.parquet(f"{path}/buckets").where(pred), path, id_col
+    )
     if "qvec" in stored.columns:  # int8 index: dequantize in the scan
         stored = stored.select(
             F.col(id_col),
@@ -1372,3 +1387,234 @@ def query_lsh_index(
         emb_right=emb_right,
     )
     return _global_topk(scored, k)
+
+
+# --- index maintenance: append / delete / compact ----------------------
+# The serving lifecycle past build-once: fold new vector batches into an
+# existing index WITHOUT retraining or rewriting it, tombstone deletes
+# so queries stop returning removed ids immediately, and compact to
+# physically drop tombstoned rows (and, for LSH, re-apply the global
+# bucket cap) off the ingest path. All paths are local/NFS table dirs,
+# the same documented scope as sources.writers.compact_table.
+
+
+def _load_ivf_centroids(spark: SparkSession, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    return np.stack([np.asarray(r.centroid, dtype=np.float64) for r in rows])
+
+
+def _tombstone_df(spark: SparkSession, path: str):
+    """The tombstoned-id frame, or None when no deletes exist."""
+    import pathlib
+
+    tomb = pathlib.Path(path) / "tombstones"
+    if not tomb.exists():
+        return None
+    return spark.read.parquet(str(tomb)).select("id").distinct()
+
+
+def _apply_tombstones(stored: DataFrame, path: str, id_col: str) -> DataFrame:
+    tomb = _tombstone_df(stored.sparkSession, path)
+    if tomb is None:
+        return stored
+    return stored.join(
+        tomb.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+
+
+def append_to_ivf_index(
+    new_emb: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold a NEW vector batch into an existing ``save_ivf_index``
+    directory WITHOUT retraining: load the kilobyte centroid table,
+    assign each new vector to its home list with the same stable
+    argmax as the original build, and APPEND the filed rows to the
+    list partitions (quantizing iff the stored index is quantized —
+    detected from the stored schema, so callers can't fork the
+    layout).
+
+    Centroids stay FIXED — that is the IVF contract under growth: the
+    partition function must not move, or every stored vector's home
+    list is stale. Appending therefore equals a full rebuild that
+    trains on the ORIGINAL corpus and files the union
+    (``save_ivf_index(union, train_df=original)``) — pinned
+    bit-for-bit by test. Under real distribution drift the quality
+    answer is a periodic retrain-and-rebuild (new index dir + swap),
+    not incremental centroid updates, which would silently invalidate
+    the existing lists.
+
+    Scale shape: one assignment pass over the BATCH only (the stored
+    corpus is never read or rewritten), appended as new parquet files
+    per touched list partition. Many small appends accumulate small
+    files — run ``compact_ivf_index`` from the maintenance schedule,
+    exactly like the streaming dedup index."""
+    spark = new_emb.sparkSession
+    cents = _load_ivf_centroids(spark, path)
+    home = (
+        ivf_assign(
+            new_emb.select(id_col, vec_col), cents, vec_col=vec_col,
+            n_probe=1, keep_vec=True,
+        )
+        .where(F.col("probe_rank") == 0)
+        .drop("probe_rank")
+    )
+    stored_schema = spark.read.parquet(f"{path}/lists").schema.fieldNames()
+    if "qvec" in stored_schema:
+        home = quantize_embeddings(
+            home, id_col=id_col, vec_col=vec_col, keep_cols=("list_id",)
+        )
+    home.write.mode("append").partitionBy("list_id").parquet(f"{path}/lists")
+
+
+def append_to_lsh_index(
+    new_emb: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold a NEW vector batch into an existing ``save_lsh_index``
+    directory: re-derive the md5 hyperplanes from the stored conf
+    (planes are never stored — same conf, bit-identical planes),
+    bucket the batch with the hot-bucket cap applied to the BATCH
+    alone, and append the memberships to the (table_idx, bucket)
+    partitions, quantizing iff the stored index is quantized.
+
+    Because each append caps only its own batch, a bucket hot across
+    many appends can exceed ``max_bucket`` rows on disk;
+    ``compact_lsh_index`` re-applies the GLOBAL md5-order cap, and the
+    two-step result provably equals the build-once index on the union:
+    the global top-``max_bucket`` of (md5(id), id) in any bucket is a
+    subset of every batch's own top-``max_bucket`` (fewer competitors
+    per batch), so no final survivor is ever dropped by a batch cap —
+    the same keeper-set argument as the two-level salted cap."""
+    spark = new_emb.sparkSession
+    conf = spark.read.parquet(f"{path}/conf").collect()[0]
+    capped = capped_lsh_buckets(
+        new_emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=conf.n_planes,
+        n_tables=conf.n_tables,
+        dim=conf.dim,
+        max_bucket=conf.max_bucket,
+    )
+    stored = capped.join(new_emb.select(id_col, vec_col), id_col)
+    if "qvec" in spark.read.parquet(f"{path}/buckets").schema.fieldNames():
+        stored = quantize_embeddings(
+            stored, id_col=id_col, vec_col=vec_col,
+            keep_cols=("table_idx", "bucket"),
+        )
+    stored.write.mode("append").partitionBy("table_idx", "bucket").parquet(
+        f"{path}/buckets"
+    )
+
+
+def delete_from_index(
+    spark: SparkSession,
+    path: str,
+    ids,
+    *,
+    id_col: str = "vec_id",
+) -> None:
+    """TOMBSTONE ids out of an IVF or LSH index directory: append the
+    ids to ``<path>/tombstones``; ``query_ivf_index`` /
+    ``query_lsh_index`` anti-join the stored rows against it, so
+    deleted vectors stop appearing in results IMMEDIATELY, without
+    locating or rewriting their list/bucket files (an id lives in 1
+    IVF partition but up to n_tables LSH partitions — the tombstone
+    covers both layouts with one mechanism). Physical removal happens
+    at ``compact_ivf_index`` / ``compact_lsh_index``.
+
+    ``ids`` is a DataFrame carrying ``id_col`` (corpus-scale deletes
+    stay distributed) or a plain Python iterable for the small case.
+    Tombstones accumulate as (id) parquet appends — ids only, bounded
+    by the delete volume, and the serving anti-join is a broadcast-
+    sized build side until deletes grow corpus-scale, at which point
+    compaction is overdue anyway."""
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col(id_col).alias("id")).distinct()
+    else:
+        df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    df.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def _swap_rewrite(df: DataFrame, live: str, partition_cols: list[str]) -> None:
+    """Atomic-swap rewrite of one index subdirectory (the
+    compact_table swap pattern: write beside, rename old away, rename
+    new in, drop old)."""
+    import shutil
+
+    tmp, old = f"{live}.__compact__", f"{live}.__old__"
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(tmp)
+    shutil.move(live, old)
+    shutil.move(tmp, live)
+    shutil.rmtree(old)
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> None:
+    """Physically apply an IVF index's tombstones: rewrite ``lists``
+    without the deleted ids (atomic directory swap — readers see the
+    old file set or the new one, never a mix), then drop the tombstone
+    dir. Also the small-files maintenance pass for append-heavy
+    indexes (each ``append_to_ivf_index`` adds a file set per touched
+    partition). After compaction the directory equals an index built
+    fresh over the surviving corpus with the same centroids."""
+    import pathlib
+    import shutil
+
+    live = f"{path}/lists"
+    tomb = _tombstone_df(spark, path)
+    df = spark.read.parquet(live)
+    if tomb is not None:
+        id_col = next(c for c in df.columns if c not in
+                      ("list_id", "qvec", "scale")
+                      and not c.startswith("_"))
+        df = df.join(tomb.withColumnRenamed("id", id_col), id_col, "left_anti")
+    _swap_rewrite(df, live, ["list_id"])
+    t = pathlib.Path(path) / "tombstones"
+    if t.exists():
+        shutil.rmtree(t)
+
+
+def compact_lsh_index(spark: SparkSession, path: str) -> None:
+    """Physically apply an LSH index's tombstones AND re-apply the
+    GLOBAL hot-bucket cap across everything the appends accumulated
+    (batch-local caps can overfill a bucket; the global md5-order cap
+    restores exactly the build-once membership — see
+    ``append_to_lsh_index`` for the keeper-set argument), then drop
+    the tombstone dir. Atomic directory swap, same as the IVF twin."""
+    import pathlib
+    import shutil
+
+    conf = spark.read.parquet(f"{path}/conf").collect()[0]
+    live = f"{path}/buckets"
+    df = spark.read.parquet(live)
+    id_col = next(c for c in df.columns if c not in
+                  ("table_idx", "bucket", "qvec", "scale")
+                  and not c.startswith("_"))
+    tomb = _tombstone_df(spark, path)
+    if tomb is not None:
+        df = df.join(tomb.withColumnRenamed("id", id_col), id_col, "left_anti")
+    # global re-cap: smallest (md5(id), id) per (table, bucket), the
+    # identical rule capped_lsh_buckets applies at build time (the
+    # input here is ≤ appends·max_bucket rows per bucket — already
+    # capped per batch — so a one-level window is not a skew funnel)
+    w = Window.partitionBy("table_idx", "bucket").orderBy("_capkey", id_col)
+    df = (
+        df.withColumn("_capkey", F.md5(F.col(id_col).cast("string")))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= conf.max_bucket)
+        .drop("_rn", "_capkey")
+    )
+    _swap_rewrite(df, live, ["table_idx", "bucket"])
+    t = pathlib.Path(path) / "tombstones"
+    if t.exists():
+        shutil.rmtree(t)

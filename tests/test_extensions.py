@@ -1608,3 +1608,97 @@ def test_repeated_ngram_spans_merge_islands(spark):
         ).collect()
     }
     assert stats == {1: (1, 3), 2: (3, 3)}
+
+
+def test_ivf_index_append_equals_rebuild_and_deletes(spark, tmp_path):
+    """The maintenance lifecycle: (a) append_to_ivf_index folds a new
+    batch in WITHOUT retraining — served results equal a rebuild that
+    trains on the ORIGINAL corpus and files the union (train_df=);
+    (b) delete_from_index tombstones ids out of results immediately;
+    (c) compact_ivf_index physically applies tombstones (dir removed,
+    results unchanged)."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    original = emb.where(F.col("vec_id") % 3 != 0)
+    batch = emb.where(F.col("vec_id") % 3 == 0)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    as_rows = lambda df: sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.sim) for r in df.collect()
+    )
+
+    p_incr = str(tmp_path / "ivf_incr")
+    similarity.save_ivf_index(original, p_incr, n_centroids=8)
+    similarity.append_to_ivf_index(batch, p_incr)
+    p_rebuild = str(tmp_path / "ivf_rebuild")
+    similarity.save_ivf_index(
+        emb, p_rebuild, n_centroids=8, train_df=original
+    )
+    served_incr = as_rows(similarity.query_ivf_index(queries, p_incr, k=5, n_probe=2))
+    served_rebuild = as_rows(similarity.query_ivf_index(queries, p_rebuild, k=5, n_probe=2))
+    assert served_incr and served_incr == served_rebuild
+
+    # delete: tombstoned ids vanish from results without a rewrite
+    victims = [r.neighbor_id for r in
+               similarity.query_ivf_index(queries, p_incr, k=5, n_probe=2)
+               .select("neighbor_id").distinct().limit(3).collect()]
+    similarity.delete_from_index(spark, p_incr, victims)
+    after_del = similarity.query_ivf_index(queries, p_incr, k=5, n_probe=2)
+    got_ids = {r.neighbor_id for r in after_del.collect()}
+    assert got_ids and not (got_ids & set(victims))
+
+    # compact: tombstones physically applied, results identical
+    import pathlib
+    before = as_rows(after_del)
+    similarity.compact_ivf_index(spark, p_incr)
+    assert not (pathlib.Path(p_incr) / "tombstones").exists()
+    assert as_rows(similarity.query_ivf_index(queries, p_incr, k=5, n_probe=2)) == before
+
+
+def test_lsh_index_append_compact_equals_build_once(spark, tmp_path):
+    """LSH twin: per-batch caps on append can only overfill buckets;
+    compact_lsh_index's global md5-order re-cap restores EXACTLY the
+    build-once index on the union (keeper-set argument), and
+    tombstoned ids drop out of served results then disappear
+    physically at compaction."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    original = emb.where(F.col("vec_id") % 3 != 0)
+    batch = emb.where(F.col("vec_id") % 3 == 0)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    as_rows = lambda df: sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.sim) for r in df.collect()
+    )
+    # tiny max_bucket so batch-local caps really overfill buckets and
+    # the global re-cap has work to do
+    p_incr = str(tmp_path / "lsh_incr")
+    similarity.save_lsh_index(original, p_incr, n_planes=4, n_tables=4, max_bucket=12)
+    similarity.append_to_lsh_index(batch, p_incr)
+    similarity.compact_lsh_index(spark, p_incr)
+    p_once = str(tmp_path / "lsh_once")
+    similarity.save_lsh_index(emb, p_once, n_planes=4, n_tables=4, max_bucket=12)
+    a, b = as_rows(similarity.query_lsh_index(queries, p_incr, k=5)), as_rows(
+        similarity.query_lsh_index(queries, p_once, k=5)
+    )
+    assert a and a == b
+    # stored memberships match row-for-row too (the stronger claim)
+    key = lambda p: sorted(
+        (r.table_idx, r.bucket, r.vec_id)
+        for r in spark.read.parquet(f"{p}/buckets").collect()
+    )
+    assert key(p_incr) == key(p_once)
+
+    # delete + compact on the LSH layout
+    victims = [r.neighbor_id for r in
+               similarity.query_lsh_index(queries, p_incr, k=5)
+               .select("neighbor_id").distinct().limit(3).collect()]
+    similarity.delete_from_index(spark, p_incr, victims)
+    after = similarity.query_lsh_index(queries, p_incr, k=5)
+    got_ids = {r.neighbor_id for r in after.collect()}
+    assert got_ids and not (got_ids & set(victims))
+    import pathlib
+    before = as_rows(after)
+    similarity.compact_lsh_index(spark, p_incr)
+    assert not (pathlib.Path(p_incr) / "tombstones").exists()
+    assert as_rows(similarity.query_lsh_index(queries, p_incr, k=5)) == before
