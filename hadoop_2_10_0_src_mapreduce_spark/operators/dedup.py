@@ -104,20 +104,54 @@ def incremental_exact_dedup(
     )
 
 
+def filter_novel_fps(
+    batch: DataFrame, index_df: DataFrame, fp_col: str = "fp"
+) -> DataFrame:
+    """Rows of ``batch`` whose ``fp_col`` does NOT appear in
+    ``index_df``, planned so the INDEX SIDE NEVER SHUFFLES — the
+    membership test every incremental-ingest step runs, shaped for an
+    index that is corpus-sized while the batch is micro-batch-sized:
+
+    1. semi-join the index against a BROADCAST of the batch's
+       fingerprints — one map-side pass over the index, no exchange,
+       no sort; with the index written fp-sorted + parquet-bloom
+       (``stream_incremental_corpus_dedup`` does both) the scan skips
+       row groups whose statistics exclude every batch fp, so the
+       per-batch cost is index METADATA plus touched row groups;
+    2. anti-join the batch against the broadcast of those hits —
+       bounded by the batch's own fingerprint count (the dedup index
+       holds each fp once), never by index size.
+
+    A naive ``batch.join(index, anti)`` instead shuffles (or at best
+    per-bucket-sorts) the ENTIRE index every micro-batch, because the
+    anti-join's build side must be the index and Spark cannot
+    broadcast the probe side of an anti-join. The rewrite is exactly
+    equivalent: fp ∉ index ⟺ fp ∉ (index ∩ batch-fps). No distinct on
+    either the probe or the hits — a broadcast hash build dedupes keys
+    internally and duplicates cannot change semi/anti semantics, while
+    a distinct would re-introduce a (batch-side) shuffle; skipping
+    both keeps the ENTIRE plan exchange-free except the two broadcasts
+    (asserted by plan test)."""
+    probe = F.broadcast(batch.select(fp_col))
+    hits = index_df.select(fp_col).join(probe, fp_col, "left_semi")
+    return batch.join(F.broadcast(hits), fp_col, "left_anti")
+
+
 def novel_docs(
     new_df: DataFrame, text_col: str, id_col: str, index_df: DataFrame
 ) -> DataFrame:
     """The filter step of incremental ingestion: batch rows whose
     normalized-text fingerprint is NOT in the existing index, one
     representative (min id) per batch fingerprint — exactly the
-    documents worth adding to the corpus. Anti-join shuffles only
-    (fp, id); at scale a bucketed-by-fp index makes it co-located."""
+    documents worth adding to the corpus. The membership test is the
+    index-shuffle-free ``filter_novel_fps`` plan: only the (fp, id)
+    batch aggregates — never the index — enter an exchange."""
     batch = (
         new_df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col))
     )
-    return batch.join(index_df.select("fp"), "fp", "left_anti")
+    return filter_novel_fps(batch, index_df)
 
 
 def contaminated_ids(

@@ -335,11 +335,18 @@ def stream_incremental_corpus_dedup(
     shared with the batch pipeline (``novel_docs`` reads the same
     layout).
 
-    At scale: the per-batch anti-join reads the index table — keep it
-    bucketed by fp (or add a bloom-filter pre-filter) so the join
-    co-locates rather than shuffling the corpus-wide index every
-    micro-batch, and run sources/writers.compact_table on it from the
-    maintenance schedule (each batch appends one small file set).
+    At scale: the per-batch membership test is
+    ``dedup.filter_novel_fps`` — the index side NEVER enters an
+    exchange (semi-join against a broadcast of the batch's
+    fingerprints, then anti-join against the broadcast hits; plan test
+    asserts the whole filter is shuffle-free). The index is written
+    fp-SORTED with a parquet bloom filter on fp, so that scan skips
+    row groups whose min/max+bloom exclude every batch fingerprint —
+    per-batch cost is index metadata plus touched row groups, not a
+    corpus-wide shuffle. Run sources/writers.compact_table on the
+    index from the maintenance schedule (each batch appends one small
+    file set; compaction also merges the per-append sort runs into
+    wide disjoint fp ranges, which tightens the skipping).
     foreachBatch batches run sequentially, so read-index → append-index
     has no write race. On failure replay the batch re-runs
     (at-least-once): if the index append committed, the replayed batch
@@ -368,9 +375,13 @@ def stream_incremental_corpus_dedup(
             )
             .select("fp", "_r.*")
         )
+        from hadoop_2_10_0_src_mapreduce_spark.operators.dedup import (
+            filter_novel_fps,
+        )
+
         try:
             seen = s.read.parquet(index_dir).select("fp")
-            fresh = batch.join(seen, "fp", "left_anti")
+            fresh = filter_novel_fps(batch, seen)
         except AnalysisException:  # first batch: no index yet
             fresh = batch
         # localCheckpoint (eager), not persist: the plan READS the index
@@ -379,7 +390,16 @@ def stream_incremental_corpus_dedup(
         # the just-updated index and emit nothing. Checkpointing pins
         # the rows and severs the lineage before either write runs.
         fresh = fresh.localCheckpoint()
-        fresh.select("fp").write.mode("append").parquet(index_dir)
+        # fp-sorted append + parquet bloom on fp: row-group min/max
+        # stay narrow and the bloom catches the in-range misses, so
+        # the next batch's membership scan skips most of the index
+        (
+            fresh.select("fp")
+            .sortWithinPartitions("fp")
+            .write.mode("append")
+            .option("parquet.bloom.filter.enabled#fp", "true")
+            .parquet(index_dir)
+        )
         fresh.select(id_col, text_col).write.mode("append").parquet(out_dir)
 
     src = spark.readStream.schema(schema).json(source_dir)

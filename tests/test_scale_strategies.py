@@ -464,3 +464,35 @@ def test_no_registered_query_plans_a_scale_killer(spark):
     assert bnlj_seen <= bnlj_allowed, (
         f"unexpected BroadcastNestedLoopJoin in {sorted(bnlj_seen - bnlj_allowed)}"
     )
+
+
+def test_filter_novel_fps_never_shuffles_the_index(spark, tmp_path):
+    """The incremental-dedup membership test must not re-shuffle the
+    corpus-wide fingerprint index every micro-batch: the
+    filter_novel_fps plan semi-joins the index against a BROADCAST of
+    the batch fps and anti-joins the batch against the broadcast hits,
+    so the only exchanges anywhere in the plan are BroadcastExchange —
+    zero shuffle, zero sort of the index — while the output equals the
+    naive anti-join exactly."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators import dedup
+
+    idx_path = str(tmp_path / "fp_index")
+    spark.range(0, 5000).selectExpr("md5(cast(id AS string)) AS fp").write.parquet(idx_path)
+    index = spark.read.parquet(idx_path).select("fp")
+    batch = spark.range(4990, 5010).selectExpr(
+        "md5(cast(id AS string)) AS fp", "id AS doc_id"
+    )
+
+    out = dedup.filter_novel_fps(batch, index)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    for shuffle_marker in ("Exchange hashpartitioning",
+                           "Exchange rangepartitioning",
+                           "Exchange SinglePartition"):
+        assert shuffle_marker not in plan, f"index path shuffles:\n{plan}"
+    assert "Sort" not in plan.replace("SortMergeJoin", ""), plan
+
+    naive = batch.join(index, "fp", "left_anti")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in naive.collect()
+    ) == list(range(5000, 5010))
