@@ -154,7 +154,7 @@ def sample_by_token_budget(
     text_col: str = "text",
     source_col: str = "source",
     seed: int = 7,
-    id_col: str | None = None,
+    id_col: str | None = "auto",
 ) -> DataFrame:
     """Data MIXING: downsample each source to ~its token budget — the
     step that turns per-source corpora into a training mixture with
@@ -165,14 +165,21 @@ def sample_by_token_budget(
     exact) budgets, the standard trade: an exact cut needs a global
     sort; Bernoulli is one pass and unbiased.
 
-    Pass ``id_col`` for LAYOUT-INDEPENDENT determinism: a row is kept
+    ``id_col`` selects LAYOUT-INDEPENDENT determinism: a row is kept
     iff uint32(md5(seed:id)[:8])/2³² < fraction — a pure function of
     (seed, id), so the sample is identical whatever the partitioning,
-    file order, or cluster size (the ``split_assign`` property).
-    Without it the sampling falls back to ``sampleBy``, whose rand(
-    seed) stream is seeded PER PARTITION — deterministic only while
-    the physical layout is; a repartitioned rerun samples different
-    rows. At corpus scale prefer ``id_col``."""
+    file order, or cluster size (the ``split_assign`` property). The
+    default ``"auto"`` infers the id column (``doc_id`` or ``id``
+    when present) so the safe path is the DEFAULT path; only when no
+    id column exists — or on an explicit ``id_col=None`` — does
+    sampling fall back to ``sampleBy``, whose rand(seed) stream is
+    seeded PER PARTITION: deterministic only while the physical
+    layout is, so a repartitioned rerun samples different rows. At
+    corpus scale always carry an id."""
+    if id_col == "auto":
+        id_col = next(
+            (c for c in ("doc_id", "id") if c in docs.columns), None
+        )
     totals = {
         r[source_col]: r.total
         for r in docs.groupBy(source_col)
@@ -211,6 +218,8 @@ def assign_packing_bins(
     text_col: str = "text",
     target_tokens: int = 2048,
     shard_col: str | None = None,
+    auto_shards: int | None = None,
+    max_global_window_rows: int = 1_000_000,
 ) -> DataFrame:
     """Sequence PACKING assignment: group documents into bins of
     ~``target_tokens`` so a downstream step can concatenate each bin
@@ -220,8 +229,14 @@ def assign_packing_bins(
     packing is NP-hard and unnecessary. The running total is a window
     cumsum over ``id_col`` order (per ``shard_col`` when given, so
     window partitions are bounded at corpus scale — shard first, e.g.
-    by source or by pmod(hash(id), k); without a shard the cumsum is
-    one global window partition, fine for small corpora only). Each
+    by source or by pmod(hash(id), k); ``auto_shards=k`` does the
+    pmod(xxhash64(id), k) shard for you, emitted as ``_shard``).
+    Without any shard the cumsum is ONE GLOBAL window partition — the
+    whole corpus through a single task — so the unsharded path is
+    GUARDED: it counts the input and raises above
+    ``max_global_window_rows`` rather than silently funneling (a
+    count is one cheap aggregate; the window it guards against is a
+    full-corpus single-task sort). Each
     document lands in the bin its START position falls in:
     bin = floor((cumsum − n) / target) — so every bin holds at most
     ``target_tokens`` plus the overshoot of its one boundary-crossing
@@ -233,7 +248,20 @@ def assign_packing_bins(
     is pinned by test."""
     from pyspark.sql.window import Window
 
+    if shard_col is None and auto_shards is not None:
+        shard_col = "_shard"
+        docs = docs.withColumn(
+            "_shard",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(auto_shards)).cast("int"),
+        )
     part = [shard_col] if shard_col else []
+    if not part and docs.count() > max_global_window_rows:
+        raise ValueError(
+            "assign_packing_bins without a shard runs ONE global window "
+            f"partition and the input exceeds {max_global_window_rows} "
+            "rows; pass shard_col= (e.g. source) or auto_shards=k to "
+            "bound window partitions"
+        )
     w = Window.partitionBy(*part).orderBy(id_col) if part else (
         Window.orderBy(id_col)
     )

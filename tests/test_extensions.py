@@ -1702,3 +1702,54 @@ def test_lsh_index_append_compact_equals_build_once(spark, tmp_path):
     similarity.compact_lsh_index(spark, p_incr)
     assert not (pathlib.Path(p_incr) / "tombstones").exists()
     assert as_rows(similarity.query_lsh_index(queries, p_incr, k=5)) == before
+
+
+def test_assign_packing_bins_guard_and_auto_shard(spark):
+    """Round-5 footgun fixes: the unsharded packing path refuses to
+    funnel a large corpus through one window task (size guard), and
+    auto_shards=k shards by pmod(xxhash64(id), k) with the packing
+    bound holding per shard."""
+    from hadoop_2_10_0_src_mapreduce_spark import pipeline as P
+
+    big = spark.range(0, 5000).selectExpr(
+        "id AS doc_id", "'alpha beta gamma' AS text"
+    )
+    with pytest.raises(ValueError, match="global window"):
+        P.assign_packing_bins(big, target_tokens=64, max_global_window_rows=1000)
+
+    auto = P.assign_packing_bins(
+        big, target_tokens=64, auto_shards=8, max_global_window_rows=1000
+    )
+    rows = auto.collect()
+    assert {r._shard for r in rows} == set(range(8))
+    assert len(rows) == 5000
+    # the packing bound holds within every (shard, bin): bin_tokens ≤
+    # target + the boundary doc's overshoot (docs are 3 tokens, so
+    # bin_tokens ≤ 64 + 2)
+    assert all(r.bin_tokens <= 64 + 2 for r in rows)
+
+
+def test_sample_by_token_budget_auto_infers_id_column(spark):
+    """The layout-independent md5 path is now the DEFAULT whenever an
+    id column exists: default-call results equal explicit id_col
+    results and survive repartitioning; id_col=None still forces the
+    sampleBy fallback."""
+    from hadoop_2_10_0_src_mapreduce_spark import pipeline as P
+
+    docs = spark.range(0, 2000).selectExpr(
+        "id AS doc_id",
+        "concat('tok', cast(id AS string), ' words here') AS text",
+        "CASE WHEN id % 2 = 0 THEN 'web' ELSE 'code' END AS source",
+    )
+    budgets = {"web": 1500, "code": 1500}
+    auto_ids = sorted(r.doc_id for r in P.sample_by_token_budget(docs, budgets).collect())
+    explicit_ids = sorted(
+        r.doc_id
+        for r in P.sample_by_token_budget(docs, budgets, id_col="doc_id").collect()
+    )
+    shuffled_ids = sorted(
+        r.doc_id
+        for r in P.sample_by_token_budget(docs.repartition(17), budgets).collect()
+    )
+    assert auto_ids == explicit_ids == shuffled_ids
+    assert 0 < len(auto_ids) < 2000
