@@ -496,3 +496,27 @@ def test_filter_novel_fps_never_shuffles_the_index(spark, tmp_path):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in naive.collect()
     ) == list(range(5000, 5010))
+
+
+def test_planted_skew_guards_bound_partitions(spark):
+    """The skew posture as a measured fact (tools/skew_stress.py at
+    10× bench sf records the full numbers in SURVEY §8; this is the
+    same harness CI-sized): on a corpus with a 30%-hot join key and a
+    degenerate LSH bucket, the guarded shuffle shapes keep every
+    partition ≤ ~2× the mean row count while the naive shapes
+    concentrate the hot key, and the bucket cap leaves no over-full
+    bucket."""
+    import tools.skew_stress as S
+
+    join = S.run_join_stress(spark, 200_000)
+    assert join["naive_ratio"] > 5, join
+    assert join["salted_ratio"] <= 2.5, join
+    assert join["join_rows"] == 200_000
+
+    lsh = S.run_lsh_stress(spark, 20_000, max_bucket=256)
+    assert lsh["naive_ratio"] > 3, lsh
+    assert lsh["salted_ratio"] <= 2.0, lsh
+    assert lsh["overfull_buckets_after_cap"] == 0
+
+    cg = S.run_cogroup_stress(spark, 200_000)
+    assert cg["bucketed_ratio"] <= 2.5, cg
