@@ -384,6 +384,62 @@ def repeated_ngram_spans(
     )
 
 
+def cut_repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    min_docs: int = 2,
+    min_span_tokens: int = 20,
+    flagged: DataFrame | None = None,
+) -> DataFrame:
+    """The CUT step of exact-substring dedup: remove every maximal
+    cross-document repeated span of ≥ ``min_span_tokens`` tokens from
+    each document's token stream and return (id, text) with the
+    cleaned, single-space-joined text (tokenizer-normalized — the
+    published recipe operates on the token stream, so original
+    whitespace/punctuation inside cut regions is gone by
+    construction). Short repeats stay: common phrases under the
+    threshold are language, not boilerplate — the length floor is the
+    recipe's precision knob.
+
+    Scale shape: spans per doc collect into ONE array column (bounded
+    by doc length / min_span_tokens — dozens, not thousands), joined
+    back to the documents on id (docs without a qualifying span keep
+    their text untouched via the null branch), and the removal is a
+    single JVM ``filter`` lambda over the token array testing each
+    position against the doc's own spans — no Python, no second
+    shuffle of the corpus beyond the one id-join. Cost is
+    O(tokens · spans) per row with spans small by the length floor.
+    Pass ``flagged=`` to reuse the positional index across the
+    stats/spans/cut views."""
+    spans = repeated_ngram_spans(
+        df, text_col, id_col, k=k, min_docs=min_docs, flagged=flagged
+    ).where(F.col("span_len") >= min_span_tokens)
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("_spans")
+    )
+    toks = tokens(text_col)
+    # position i is 0-based in the filter lambda; spans are 1-based
+    cut = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            "_spans",
+            lambda s: (i + 1 >= s.span_start)
+            & (i + 1 < s.span_start + s.span_len),
+        ),
+    )
+    return df.join(
+        per_doc.withColumnRenamed("id", id_col), id_col, "left"
+    ).select(
+        F.col(id_col).alias("id"),
+        F.when(F.col("_spans").isNull(), F.array_join(toks, " "))
+        .otherwise(F.array_join(cut, " "))
+        .alias("text"),
+    )
+
+
 def _jaccard_from_counts(counted: DataFrame, sizes: DataFrame,
                          threshold: float) -> DataFrame:
     """(id_a, id_b, c=shared-shingle count) + (id, n=set size) → exact

@@ -1753,3 +1753,31 @@ def test_sample_by_token_budget_auto_infers_id_column(spark):
     )
     assert auto_ids == explicit_ids == shuffled_ids
     assert 0 < len(auto_ids) < 2000
+
+
+def test_cut_repeated_spans_removes_only_long_cross_doc_repeats(spark):
+    """cut_repeated_spans removes exactly the maximal cross-document
+    repeated run when it meets the length floor, keeps sub-threshold
+    repeats (common phrases are language, not boilerplate), and leaves
+    unrelated documents byte-identical modulo tokenizer
+    normalization."""
+    shared = "one two three four five six seven eight nine ten eleven twelve"
+    short = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro text here {shared} outro words and {short} tail"),
+            (2, f"different opening {shared} different closing {short} end"),
+            (3, "totally unrelated content nothing shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.id: r.text
+        for r in dedup.cut_repeated_spans(
+            docs, "text", "doc_id", k=3, min_span_tokens=10
+        ).collect()
+    }
+    # the 12-token shared run is cut; the 4-token shared run survives
+    assert out[1] == f"intro text here outro words and {short} tail"
+    assert out[2] == f"different opening different closing {short} end"
+    assert out[3] == "totally unrelated content nothing shared"
