@@ -57,6 +57,10 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--min-tokens", type=int, default=5)
     pl.add_argument("--near-dup-threshold", type=float, default=0.8)
     pl.add_argument("--max-dup-3gram-frac", type=float, default=0.5)
+    pl.add_argument("--cut-spans", type=int, metavar="MIN_TOKENS",
+                    help="remove maximal cross-document repeated runs "
+                    "of at least MIN_TOKENS tokens (exact-substring "
+                    "dedup's cut step)")
     pl.add_argument("--no-redact", action="store_true")
     pl.add_argument("--split", help="comma-separated name=weight list "
                     "(e.g. train=0.98,val=0.01,test=0.01) — attach the "
@@ -71,7 +75,9 @@ def main(argv: list[str] | None = None) -> int:
     ix = sub.add_parser(
         "index", help="build / query a persisted ANN index (IVF or LSH)"
     )
-    ix.add_argument("action", choices=("build", "query"))
+    ix.add_argument(
+        "action", choices=("build", "query", "append", "delete", "compact")
+    )
     ix.add_argument("--family", choices=("ivf", "lsh"), default="ivf")
     ix.add_argument("--path", required=True, help="index directory")
     ix.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -80,6 +86,9 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--k", type=int, default=5)
     ix.add_argument("--n-queries", type=int, default=10,
                     help="query: serve the first N embedding rows")
+    ix.add_argument("--where", help="append: SQL predicate selecting the "
+                    "embedding rows to fold in (e.g. 'vec_id >= 500')")
+    ix.add_argument("--ids", help="delete: comma-separated vec_ids to tombstone")
     ix.add_argument("--limit", type=int, default=20, help="rows to print")
     ix.add_argument("-D", dest="conf", action="append", default=[],
                     metavar="key=value", help="Spark conf override")
@@ -120,6 +129,7 @@ def main(argv: list[str] | None = None) -> int:
             max_dup_3gram_frac=args.max_dup_3gram_frac,
             redact=not args.no_redact,
             split_weights=split_weights,
+            cut_spans_min_tokens=args.cut_spans,
         )
         if args.output:
             write_jsonl_shards(
@@ -147,6 +157,26 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 similarity.save_lsh_index(emb, args.path, quantize=args.quantize)
             print(f"built {args.family} index at {args.path}")
+        elif args.action == "append":
+            batch = emb.where(args.where) if args.where else emb
+            if args.family == "ivf":
+                similarity.append_to_ivf_index(batch, args.path)
+            else:
+                similarity.append_to_lsh_index(batch, args.path)
+            print(f"appended to {args.family} index at {args.path}")
+        elif args.action == "delete":
+            if not args.ids:
+                raise SystemExit("delete requires --ids")
+            similarity.delete_from_index(
+                spark, args.path, [int(i) for i in args.ids.split(",")]
+            )
+            print(f"tombstoned {args.ids} in {args.path}")
+        elif args.action == "compact":
+            if args.family == "ivf":
+                similarity.compact_ivf_index(spark, args.path)
+            else:
+                similarity.compact_lsh_index(spark, args.path)
+            print(f"compacted {args.family} index at {args.path}")
         else:
             queries = emb.where(F.col("vec_id") < args.n_queries)
             serve = (

@@ -46,6 +46,7 @@ def prepare_training_corpus(
     split_weights: dict[str, float] | None = None,
     model_weights: dict[str, float] | None = None,
     min_model_quality: float = 0.5,
+    cut_spans_min_tokens: int | None = None,
 ) -> DataFrame:
     """The standard corpus-cleaning chain, one call.
 
@@ -55,6 +56,13 @@ def prepare_training_corpus(
        verified at ``near_dup_threshold``, connected components over
        the pair graph; only each cluster's min-id representative
        survives.
+    2b. SPAN CUTTING — when ``cut_spans_min_tokens`` is set, maximal
+       cross-document repeated runs of at least that many tokens are
+       REMOVED from the surviving documents
+       (dedup.cut_repeated_spans — the exact-substring recipe's cut
+       step; note it tokenizer-normalizes the text), so boilerplate
+       that survives document-level dedup still leaves the token
+       stream, and the gates below score the cleaned text.
     3. DECONTAMINATION — when ``eval_df`` is given, drop every doc
        sharing a ``decontam_ngram``-token shingle with the benchmark
        set (dedup.decontaminate) BEFORE the gates, so no eval text
@@ -100,6 +108,13 @@ def prepare_training_corpus(
         .select("id")
     )
     survivors = uniq.join(losers, "id", "left_anti")
+
+    # 2b. exact-substring span cutting over the deduped survivors
+    if cut_spans_min_tokens is not None:
+        survivors = dedup.cut_repeated_spans(
+            survivors, "text", "id",
+            min_span_tokens=cut_spans_min_tokens,
+        )
 
     # 3. decontamination: no benchmark text leaks into the corpus
     # (eval_df shares the corpus column names — same text_col/id_col)

@@ -1781,3 +1781,30 @@ def test_cut_repeated_spans_removes_only_long_cross_doc_repeats(spark):
     assert out[1] == f"intro text here outro words and {short} tail"
     assert out[2] == f"different opening different closing {short} end"
     assert out[3] == "totally unrelated content nothing shared"
+
+
+def test_prepare_training_corpus_cut_spans_stage(spark):
+    """cut_spans_min_tokens wires the exact-substring cut step into
+    the recipe: the long run shared by two surviving docs is gone from
+    BOTH published texts, and docs remain otherwise intact."""
+    from hadoop_2_10_0_src_mapreduce_spark import pipeline as P
+
+    run = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique opening here {run} and a unique ending indeed"),
+            (2, f"another document begins {run} then finishes differently here"),
+            (3, "completely unrelated third document with enough tokens here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.id: r.text
+        for r in P.prepare_training_corpus(
+            docs, min_quality=0.0, min_tokens=3, max_dup_3gram_frac=None,
+            redact=False, cut_spans_min_tokens=10,
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert run not in out[1] and run not in out[2]
+    assert "unique opening here" in out[1] and "unique ending indeed" in out[1]
