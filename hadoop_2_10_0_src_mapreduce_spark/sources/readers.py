@@ -281,6 +281,30 @@ def read_sequence_file(
     return spark.createDataFrame(rdd, [key_name, value_name])
 
 
+def convert_sequence_file_to_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    *,
+    key_name: str = "key",
+    value_name: str = "value",
+    mode: str = "error",
+) -> None:
+    """The convert-once step ``read_sequence_file`` prescribes, as one
+    call: SequenceFile → parquet, after which every query runs against
+    a columnar, pruning/pushdown-capable, splittable container and the
+    row-oriented legacy path is never paid again. The conversion
+    itself necessarily crosses the Writable→Python boundary once per
+    record (SequenceFile deserialization is JVM-object-based; there is
+    no columnar fast path to skip to) — which is exactly why it should
+    run ONCE at ingest, distributed over the input splits, not per
+    query. A 100 TB SequenceFile estate converts as a one-shot batch
+    job and amortizes forever."""
+    read_sequence_file(
+        spark, src, key_name=key_name, value_name=value_name
+    ).write.mode(mode).parquet(dst)
+
+
 def read_csv_skip_bad_records(
     spark: SparkSession,
     path: str,

@@ -145,6 +145,21 @@ def test_sequence_file_roundtrip(spark, tmp_path):
     back = read_sequence_file(spark, path, key_name="id", value_name="name")
     assert sorted((r.id, r.name) for r in back.collect()) == [(1, "alice"), (2, "bob")]
 
+    # the prescribed convert-once step: seqfile → parquet in one call,
+    # after which the columnar path serves every query
+    from hadoop_2_10_0_src_mapreduce_spark.sources.readers import (
+        convert_sequence_file_to_parquet,
+    )
+
+    pq = str(tmp_path / "seq_pq")
+    convert_sequence_file_to_parquet(
+        spark, path, pq, key_name="id", value_name="name"
+    )
+    again = spark.read.parquet(pq)
+    assert sorted((r.id, r.name) for r in again.collect()) == [
+        (1, "alice"), (2, "bob"),
+    ]
+
 
 def test_mapfile_point_lookup_prunes_to_one_bucket(spark, tmp_path):
     """MapFile.Reader.get parity: an equality lookup on the bucket key
