@@ -197,6 +197,57 @@ def contaminated_ids(
     )
 
 
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 13,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """The AUDIT face of decontamination: instead of a boolean flag,
+    quantify HOW contaminated each flagged training document is and BY
+    WHAT — per (train doc, eval doc) pair with ≥1 shared n-gram:
+
+        (id, eval_id, n_shared, overlap_frac)
+
+    n_shared = distinct shared n-gram shingles; overlap_frac =
+    n_shared / the train doc's distinct shingle count — the severity
+    knob a pipeline owner reads before choosing n or arguing a flag is
+    a false positive (a 0.01 overlap on a long doc is a quoted
+    sentence; 0.9 is a copied benchmark). ``contaminated_ids`` stays
+    the cheap gate: it stops at the semi-join, while the report joins
+    eval ids back and aggregates per pair.
+
+    Scale shape: same exploded-shingle topology; the eval side
+    (distinct (h, eval_id), benchmark-sized) broadcasts into the join
+    against the train shingles — the corpus still never shuffles; only
+    the MATCHED (id, eval_id, h) rows, bounded by actual contamination,
+    enter the pair aggregation. ``broadcast_eval=False`` for
+    corpus-vs-corpus audits, as in ``contaminated_ids``."""
+    ev = (
+        _shingled(eval_df, text_col, id_col, n)
+        .select(F.col("id").alias("eval_id"), F.explode("sh").alias("h"))
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = _shingled(train, text_col, id_col, n).select(
+        "id", F.size("sh").alias("_n_sh"), F.explode("sh").alias("h")
+    )
+    return (
+        tr.join(ev, "h")
+        .groupBy("id", "eval_id")
+        .agg(
+            F.countDistinct("h").alias("n_shared"),
+            F.round(F.countDistinct("h") / F.first("_n_sh"), 6).alias(
+                "overlap_frac"
+            ),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
@@ -402,7 +453,10 @@ def cut_repeated_spans(
     whitespace/punctuation inside cut regions is gone by
     construction). Short repeats stay: common phrases under the
     threshold are language, not boilerplate — the length floor is the
-    recipe's precision knob.
+    recipe's precision knob. Cutting splices the text AROUND each
+    span, which can create new token adjacencies; if those matter,
+    iterate (cut → re-detect) to a fixed point — in practice one
+    extra round, since a spliced seam is k−1 positions wide.
 
     Scale shape: spans per doc collect into ONE array column (bounded
     by doc length / min_span_tokens — dozens, not thousands), joined

@@ -1808,3 +1808,31 @@ def test_prepare_training_corpus_cut_spans_stage(spark):
     assert set(out) == {1, 2, 3}
     assert run not in out[1] and run not in out[2]
     assert "unique opening here" in out[1] and "unique ending indeed" in out[1]
+
+
+def test_contamination_report_quantifies_overlap(spark):
+    """contamination_report: per (train, eval) pair, distinct shared
+    n-grams and the train-side overlap fraction — exact on a planted
+    quote."""
+    # train doc 1 = 10 tokens, of which tokens 4-8 quote eval doc 100
+    quote = "alpha beta gamma delta epsilon"
+    train = spark.createDataFrame(
+        [
+            (1, f"own words here {quote} tail bits"),
+            (2, "completely clean document with no quoted material at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, f"benchmark prompt {quote} benchmark answer")],
+        ["doc_id", "text"],
+    )
+    rep = {
+        (r.id, r.eval_id): (r.n_shared, r.overlap_frac)
+        for r in dedup.contamination_report(
+            train, ev, "text", "doc_id", n=3
+        ).collect()
+    }
+    # doc 1 has 10 tokens -> 8 distinct 3-gram shingles; the 5-token
+    # quote contributes 3 shared shingles
+    assert rep == {(1, 100): (3, round(3 / 8, 6))}
