@@ -772,6 +772,9 @@ def ngram_jaccard_pairs_prefix(
     oracle-mirrored catalog query.
     """
     sh = _shingled(df, text_col, id_col, k)
+    # persist: the prefix ranking, the candidate join, and the verify
+    # re-join all read the index (module caching contract; referenced
+    # by the returned lazy frame)
     inv = _df_capped(_hashed_index(sh), max_doc_freq).persist()
     return prefix_pairs_from_index(inv, threshold)
 
@@ -998,6 +1001,9 @@ def minhash_lsh_pairs_incremental(
     of re-shuffling the corpus-wide band rows every batch — the same
     make-state-durable move as the fingerprint index."""
     rows_per_band = num_hashes // bands
+    # persist: the batch index feeds both the signature pass and the
+    # pair verify (module caching contract; referenced by the returned
+    # lazy frame)
     new_inv = _hashed_index(_shingled(new_df, text_col, id_col, k)).persist()
     new_sigs = _minhash_from_index(new_inv, num_hashes)
     banded_new = _banded(new_sigs, bands, rows_per_band)
@@ -1189,6 +1195,8 @@ def winnow_jaccard_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
+    # persist: both per-doc set rebuilds in the verify read the full
+    # index (module caching contract; referenced by the returned frame)
     inv = _df_capped(
         _hashed_index(_shingled(df, text_col, id_col, k)), max_doc_freq
     ).persist()

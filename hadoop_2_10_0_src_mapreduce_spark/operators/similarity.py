@@ -1176,7 +1176,13 @@ def query_ivf_index(
     the partition column, so the scan prunes unprobed directories
     outright rather than filtering rows after reading them. Scoring is
     the same bounded-block grid as ``ann_ivf_topk``; results equal
-    external-query mode on the same corpus bit for bit."""
+    external-query mode on the same corpus bit for bit.
+
+    Caching: the probe fan-out and the union of stored+query rows are
+    ``persist()``-ed (each is read by the probed-list collect and/or
+    both grid sides) and stay referenced by the returned lazy frame
+    (module caching contract); a serving loop should
+    ``spark.catalog.clearCache()`` between batches it is done with."""
     spark = queries.sparkSession
     cent_rows = (
         spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
