@@ -470,3 +470,63 @@ def test_rolling_metrics_equal_pandas_reference(spark, rows):
                 assert gl == lag1.iloc[i]
             assert gm == mavg.iloc[i] and gc == cume.iloc[i]
             assert gp == pr.iloc[i]
+
+
+# --- cut_repeated_spans: subsequence + removal properties --------------
+# random per-doc unique prefixes/suffixes around a shared run whose
+# length hypothesis controls; the cutter must (a) emit a SUBSEQUENCE of
+# each input token stream (it only deletes, never reorders/invents),
+# (b) remove every occurrence of a shared run meeting the length floor,
+# (c) leave docs untouched when the run is below the floor.
+
+_span_words = st.integers(0, 8)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    run_len=st.integers(4, 24),
+    floor=st.integers(6, 18),
+    pre_a=_span_words, post_a=_span_words,
+    pre_b=_span_words, post_b=_span_words,
+)
+def test_cut_spans_subsequence_and_removal(
+    spark, run_len, floor, pre_a, post_a, pre_b, post_b
+):
+    from hadoop_2_10_0_src_mapreduce_spark.operators.dedup import (
+        cut_repeated_spans,
+    )
+
+    k = 3
+    run = " ".join(f"shared{i}" for i in range(run_len))
+    mk = lambda tag, pre, post: " ".join(
+        [f"{tag}pre{i}" for i in range(pre)]
+        + [run]
+        + [f"{tag}post{i}" for i in range(post)]
+    )
+    texts = {1: mk("a", pre_a, post_a), 2: mk("b", pre_b, post_b)}
+    docs = spark.createDataFrame(
+        list(texts.items()), ["doc_id", "text"]
+    )
+    out = {
+        r.id: r.text.split() if r.text else []
+        for r in cut_repeated_spans(
+            docs, "text", "doc_id", k=k, min_span_tokens=floor
+        ).collect()
+    }
+    for i, text in texts.items():
+        toks = text.split()
+        got = out[i]
+        # (a) subsequence of the input tokens
+        it = iter(toks)
+        assert all(any(t == u for u in it) for t in got), (toks, got)
+        # a fully-shared run of L tokens yields one maximal span of
+        # exactly L tokens (L−k+1 flagged positions, +k−1), so the cut
+        # fires iff L ≥ max(floor, k)
+        if run_len >= max(floor, k):
+            # (b) the shared run is gone entirely, and ONLY the run:
+            # unique pre/post tokens all survive
+            assert sum(1 for t in got if t.startswith("shared")) == 0
+            assert len(got) == len(toks) - run_len
+        else:
+            # (c) below the floor: untouched
+            assert got == toks
