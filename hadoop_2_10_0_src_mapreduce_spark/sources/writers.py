@@ -271,6 +271,7 @@ def compact_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_cols: tuple[str, ...] = (),
     cluster_by: tuple[str, ...] = (),
+    zorder: bool = False,
 ) -> int:
     """Compact a small-files parquet table in place — the maintenance
     pass every append-heavy table needs (streaming foreachBatch sinks
@@ -293,6 +294,15 @@ def compact_table(
     range scans on an append-heavy table go from full-scan to
     touching O(result) files; pinned by a footer-statistics test.
 
+    ``zorder=True`` with ≥2 ``cluster_by`` columns clusters on the
+    interleaved ``morton_code`` instead of the lexicographic sort: a
+    lexicographic (a, b) sort gives PERFECT skipping on a but leaves
+    every file spanning b's whole range, while the Z-order key keeps
+    each file's min/max box narrow in EVERY clustered dimension, so
+    conjunctive predicates (a BETWEEN … AND b BETWEEN …) skip
+    multiplicatively (pinned by test against the lexicographic
+    layout). Column ranges come from one min/max aggregate.
+
     Scale shape: one distributed read + repartition + write; nothing
     driver-side but directory renames. Run it from the maintenance
     schedule, not the ingest path — the ingest keeps appending small
@@ -310,7 +320,22 @@ def compact_table(
     )
     n_files = max(1, -(-size // target_file_bytes))
     tmp, old = f"{path}.__compact__", f"{path}.__old__"
-    if cluster_by:
+    if zorder and len(cluster_by) >= 2:
+        mm = df.agg(
+            *[F.min(c).alias(f"_mn_{c}") for c in cluster_by],
+            *[F.max(c).alias(f"_mx_{c}") for c in cluster_by],
+        ).collect()[0]
+        ranges = [(mm[f"_mn_{c}"], mm[f"_mx_{c}"]) for c in cluster_by]
+        zkeys = (*partition_cols, "_z")
+        writer = (
+            df.withColumn(
+                "_z", morton_code(list(cluster_by), ranges)
+            )
+            .repartitionByRange(n_files, *zkeys)
+            .sortWithinPartitions(*zkeys)
+            .drop("_z")
+        )
+    elif cluster_by:
         # partition_cols lead the range key so each task holds few
         # directory values — ranging on cluster_by alone would make
         # every task span all partitions and the partitionBy write
@@ -331,3 +356,45 @@ def compact_table(
     shutil.move(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def morton_code(cols, ranges, *, bits: int = 16) -> "Column":
+    """Z-ORDER (Morton) key as a pure JVM expression: each column
+    scales to a ``bits``-bit integer over its ``(min, max)`` range and
+    the bits INTERLEAVE, so rows close in the code are close in EVERY
+    clustered dimension at once — the multi-column generalization of
+    a sort key. ``ranges`` pairs each column with its (min, max)
+    (one agg computes them; ``compact_table(zorder=True)`` does).
+
+    Min/max linear scaling keeps the key a pure expression — no
+    sampling job, no window; heavily skewed columns trade some bit
+    utilization for that (outliers compress the live range), which for
+    a LAYOUT key costs only file-skipping selectivity, never
+    correctness. ``bits · len(cols)`` must fit a signed long (≤ 63);
+    a constant column contributes nothing and is skipped."""
+    from pyspark.sql import Column  # noqa: F401 (annotation)
+
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError(f"morton_code: bits({bits})·cols({n}) exceeds 63")
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for ci, (c, (mn, mx)) in enumerate(zip(cols, ranges)):
+        col = F.col(c) if isinstance(c, str) else c
+        span = float(mx) - float(mn)
+        if span <= 0:  # constant column: no information to interleave
+            continue
+        scaled = F.least(
+            F.lit(top),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (col.cast("double") - F.lit(float(mn))) / F.lit(span)
+                    * F.lit(float(top))
+                ).cast("long"),
+            ),
+        )
+        for j in range(bits):
+            bit = F.shiftright(scaled, j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * n + (n - 1 - ci)))
+    return z

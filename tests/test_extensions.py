@@ -1836,3 +1836,70 @@ def test_contamination_report_quantifies_overlap(spark):
     # doc 1 has 10 tokens -> 8 distinct 3-gram shingles; the 5-token
     # quote contributes 3 shared shingles
     assert rep == {(1, 100): (3, round(3 / 8, 6))}
+
+
+def test_compact_table_zorder_skips_multiplicatively(spark, tmp_path):
+    """Z-order compaction: with two independent uniform columns, a
+    conjunctive box predicate must touch far fewer files than the
+    lexicographic (x, y) sort layout — lexicographic gives perfect
+    x-skipping but every file spans all of y, so its candidate count
+    is ~files·(x-selectivity), while the Morton layout's boxes are
+    narrow in BOTH dimensions and skip multiplicatively. Rows are
+    preserved."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import compact_table
+
+    def mk(path):
+        # x, y independent and uniform on [0, 1024)
+        spark.range(0, 40_000).select(
+            F.pmod(F.xxhash64("id"), F.lit(1024)).alias("x"),
+            F.pmod(F.xxhash64(F.col("id") + 1_000_000), F.lit(1024)).alias("y"),
+        ).write.mode("overwrite").parquet(path)
+
+    def boxes(p):
+        out = []
+        for f in pathlib.Path(p).rglob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            lo = {"x": [], "y": []}
+            hi = {"x": [], "y": []}
+            for rg in range(md.num_row_groups):
+                for c in range(md.num_columns):
+                    col = md.row_group(rg).column(c)
+                    if col.path_in_schema in lo and col.statistics:
+                        lo[col.path_in_schema].append(col.statistics.min)
+                        hi[col.path_in_schema].append(col.statistics.max)
+            if lo["x"]:
+                out.append(
+                    (min(lo["x"]), max(hi["x"]), min(lo["y"]), max(hi["y"]))
+                )
+        return out
+
+    def candidates(bxs, x0, x1, y0, y1):
+        return sum(
+            1 for (xl, xh, yl, yh) in bxs
+            if xl <= x1 and xh >= x0 and yl <= y1 and yh >= y0
+        )
+
+    lex, zed = str(tmp_path / "lex"), str(tmp_path / "zed")
+    mk(lex)
+    mk(zed)
+    compact_table(spark, lex, target_file_bytes=8 * 1024, cluster_by=("x", "y"))
+    compact_table(
+        spark, zed, target_file_bytes=8 * 1024, cluster_by=("x", "y"),
+        zorder=True,
+    )
+    assert spark.read.parquet(zed).count() == 40_000
+    lex_b, zed_b = boxes(lex), boxes(zed)
+    assert len(lex_b) >= 8 and len(zed_b) >= 8
+
+    # a ~1/4 × 1/4 box in the middle of both ranges
+    q = (256, 511, 256, 511)
+    lex_c, zed_c = candidates(lex_b, *q), candidates(zed_b, *q)
+    # lexicographic: every file spans all of y -> candidates ≈ files/4;
+    # z-order: boxes narrow in both dims -> well under half of that
+    assert zed_c * 2 <= lex_c, (lex_c, zed_c, len(lex_b), len(zed_b))
+    # and the z layout actually skips: most files are excluded
+    assert zed_c * 3 <= len(zed_b), (zed_c, len(zed_b))
