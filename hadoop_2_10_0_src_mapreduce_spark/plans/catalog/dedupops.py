@@ -63,6 +63,7 @@ _CORPUS_SQL = f"""
 _W = 4  # winnowing window (guarantee: shared runs of w+k−1 tokens collide)
 _XGRAM_K = 3  # k-gram size of the positional (xgram/xspan) branches —
 # must match shingles_sql's default k so the oracle's pos CTE lines up
+_XCUT_MIN = 20  # xcut branch: only spans of ≥ this many tokens are cut
 
 _HEX2INT_HI = " + ".join(
     f"(instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
@@ -145,12 +146,40 @@ islands AS (
            i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
     FROM flagged
 ),
+spans AS (
+    SELECT doc_id, MIN(i) AS s,
+           MAX(i) - MIN(i) + {_XGRAM_K} AS len
+    FROM islands GROUP BY doc_id, grp
+),
 xspan AS (
     -- one row per maximal repeated span: start position in keeper,
     -- token length (= positions + k − 1) in n_copies
     SELECT 'xspan' AS branch, CAST(doc_id AS VARCHAR) AS fp,
-           MIN(i) AS keeper, MAX(i) - MIN(i) + {_XGRAM_K} AS n_copies
-    FROM islands GROUP BY doc_id, grp
+           s AS keeper, len AS n_copies
+    FROM spans
+),
+tokpos AS (
+    SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS p
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM corpus)
+),
+cutkept AS (
+    -- the CUT replayed: keep every token position not inside a
+    -- qualifying (≥ {_XCUT_MIN}-token) span of its own document
+    SELECT t.doc_id, t.tok, t.p FROM tokpos t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM spans q
+        WHERE q.doc_id = t.doc_id AND q.len >= {_XCUT_MIN}
+          AND t.p >= q.s AND t.p < q.s + q.len
+    )
+),
+xcut AS (
+    -- md5 of the cleaned text in fp = a byte-exact text comparison;
+    -- kept-token count in n_copies; one row per corpus document
+    SELECT 'xcut' AS branch,
+           md5(COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '')) AS fp,
+           c.doc_id AS keeper, COUNT(k.tok) AS n_copies
+    FROM corpus c LEFT JOIN cutkept k ON c.doc_id = k.doc_id
+    GROUP BY c.doc_id
 )
 SELECT * FROM exact
 UNION ALL
@@ -161,12 +190,14 @@ UNION ALL
 SELECT * FROM xgram
 UNION ALL
 SELECT * FROM xspan
+UNION ALL
+SELECT * FROM xcut
 ORDER BY branch, keeper, fp
 """
 
 
 @register("dedup_exact", _EXACT_ORACLE, tags=("dedup",),
-          doc="Exact dedup (normalized-text md5 groups) + winnowing branch (shared MOSS rolling-min fingerprints over md5 shingle hashes; catches the truncated near-dups exact dedup can't) + incremental branch (fold the planted batch into the originals' index; must equal the one-shot recompute) — all three hash-checked.")
+          doc="Exact dedup (normalized-text md5 groups) + winnowing branch (shared MOSS rolling-min fingerprints; catches the truncated near-dups exact dedup can't) + incremental branch (fold the planted batch into the originals' index; must equal the one-shot recompute) + cross-document repeated-n-gram branches: per-doc stats (xgram), maximal spans via islands-and-gaps (xspan), and the applied CUT with the cleaned text byte-checked by md5 (xcut) — all six hash-checked.")
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three branches scan the corpus (fingerprints ×2, shingles ×1) —
     # persist the small constructed frame once
@@ -223,11 +254,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_start").alias("keeper"),
         F.col("span_len").alias("n_copies"),
     )
+    # 'xcut' = the CUT applied: md5 of each doc's cleaned text (≥
+    # _XCUT_MIN-token repeated spans removed) in fp — a byte-exact
+    # comparison of the published text against the oracle's replay —
+    # plus the kept-token count
+    xcut = dedup.cut_repeated_spans(
+        corpus, "text", "doc_id",
+        k=_XGRAM_K, min_span_tokens=_XCUT_MIN, flagged=flagged,
+    ).select(
+        F.lit("xcut").alias("branch"),
+        F.md5("text").alias("fp"),
+        F.col("id").alias("keeper"),
+        F.size(T.tokens("text")).cast("long").alias("n_copies"),
+    )
     return (
         exact.unionByName(winnow)
         .unionByName(incr)
         .unionByName(xgram)
         .unionByName(xspan)
+        .unionByName(xcut)
         .orderBy("branch", "keeper", "fp")
     )
 
