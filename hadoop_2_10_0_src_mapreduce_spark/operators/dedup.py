@@ -494,6 +494,73 @@ def cut_repeated_spans(
     )
 
 
+def drop_boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_docs: int = 5,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """LINE-granular boilerplate removal — the web-corpus hygiene rule
+    between document dedup and span cutting: a LINE occurring verbatim
+    in ≥ ``min_docs`` distinct documents is template chrome (nav bars,
+    cookie banners, footers, license headers), not content, and is
+    dropped from every document it appears in. Returns (id, text) with
+    surviving lines rejoined by newline in original order.
+
+    Lines shorter than ``min_line_chars`` (after trim) are NEVER
+    flagged — blank lines and one-word separators occur everywhere by
+    nature and dropping them would mangle formatting, not remove
+    boilerplate. Matching is on the trimmed line's fingerprint
+    (whitespace-normalized, case-preserved: boilerplate repeats
+    byte-exactly; lowercasing would merge legitimately distinct
+    headings).
+
+    Scale shape: same inverted-index topology as the other dedup
+    paths — (line-hash, id, pos) rows shuffle, never text except the
+    per-doc reassembly; the hot-line test is a groupBy distinct-count
+    and the drop a left_anti on the hash; reassembly groups by doc
+    (bounded by document size) and array_sorts on position."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "h",
+        F.when(
+            F.length(F.trim("line")) >= min_line_chars,
+            F.xxhash64(F.regexp_replace(F.trim("line"), r"\s+", " ")),
+        ),  # short lines: null hash — joins below never match them
+    ).persist()
+    # persist: the hot-line count and the anti-join both read the
+    # exploded lines (module caching contract; referenced by the
+    # returned lazy frame)
+    hot = (
+        lines.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.countDistinct("id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    kept = lines.join(hot, "h", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            "\n",
+        ).alias("text")
+    )
+    # a document whose every line was boilerplate still emits a row
+    # (empty text), so downstream counts/joins see the full corpus
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select("id", F.coalesce("text", F.lit("")).alias("text"))
+    )
+
+
 def _jaccard_from_counts(counted: DataFrame, sizes: DataFrame,
                          threshold: float) -> DataFrame:
     """(id_a, id_b, c=shared-shingle count) + (id, n=set size) → exact

@@ -47,9 +47,17 @@ def prepare_training_corpus(
     model_weights: dict[str, float] | None = None,
     min_model_quality: float = 0.5,
     cut_spans_min_tokens: int | None = None,
+    drop_boilerplate_min_docs: int | None = None,
 ) -> DataFrame:
     """The standard corpus-cleaning chain, one call.
 
+    0. LINE BOILERPLATE — when ``drop_boilerplate_min_docs`` is set,
+       lines verbatim-repeated across that many documents (cookie
+       banners, nav chrome, license headers) are removed FIRST
+       (dedup.drop_boilerplate_lines), so template chrome neither
+       defeats exact dedup (two distinct articles sharing a footer
+       stay distinct either way, but two identical articles with
+       different footers now deduplicate) nor skews quality scores.
     1. EXACT dedup — keep the min-id representative per normalized-text
        fingerprint (byte-duplicates are the bulk of web-scale dups).
     2. NEAR-dup clustering — MinHash+LSH candidate pairs, exact-Jaccard
@@ -89,6 +97,12 @@ def prepare_training_corpus(
     the identical corpus.
     """
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+
+    # 0. line-level boilerplate removal ahead of every fingerprint
+    if drop_boilerplate_min_docs is not None:
+        base = dedup.drop_boilerplate_lines(
+            base, "text", "id", min_docs=drop_boilerplate_min_docs
+        )
 
     # 1. exact dedup: anti-join away everything but the keeper
     keepers = dedup.exact_dedup(base, "text", "id").select(

@@ -1903,3 +1903,37 @@ def test_compact_table_zorder_skips_multiplicatively(spark, tmp_path):
     assert zed_c * 2 <= lex_c, (lex_c, zed_c, len(lex_b), len(zed_b))
     # and the z layout actually skips: most files are excluded
     assert zed_c * 3 <= len(zed_b), (zed_c, len(zed_b))
+
+
+def test_drop_boilerplate_lines(spark):
+    """Lines verbatim-repeated across ≥min_docs documents drop; unique
+    lines, short shared separators, and line order survive; a doc that
+    was ALL boilerplate still emits an (id, empty-text) row."""
+    banner = "This website uses cookies to improve your experience today"
+    footer = "Copyright 2024 Example Corporation All Rights Reserved Worldwide"
+    sep = "---"  # short: never flagged however often it repeats
+    docs = spark.createDataFrame(
+        [
+            (i, f"unique opener {i}\n{banner}\n{sep}\nreal content {i}\n{footer}")
+            for i in range(5)
+        ]
+        + [(99, f"{banner}\n{footer}")],  # all-boilerplate doc
+        ["doc_id", "text"],
+    )
+    out = {
+        r.id: r.text
+        for r in dedup.drop_boilerplate_lines(
+            docs, "text", "doc_id", min_docs=5
+        ).collect()
+    }
+    for i in range(5):
+        assert out[i] == f"unique opener {i}\n{sep}\nreal content {i}"
+    assert out[99] == ""
+    # below the threshold nothing drops
+    out4 = {
+        r.id: r.text
+        for r in dedup.drop_boilerplate_lines(
+            docs, "text", "doc_id", min_docs=10
+        ).collect()
+    }
+    assert out4[0].count("\n") == 4
