@@ -520,3 +520,43 @@ def test_planted_skew_guards_bound_partitions(spark):
 
     cg = S.run_cogroup_stress(spark, 200_000)
     assert cg["bucketed_ratio"] <= 2.5, cg
+
+
+def test_no_library_composition_plans_a_scale_killer(spark, tmp_path):
+    """The same scale audit for the library entry points that do NOT
+    ride a registered query: line-boilerplate removal, the
+    contamination report, the span cutter, and the ANN maintenance
+    append paths must never plan a row-wise Python UDF, a cartesian,
+    or a nested-loop join."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators import dedup, similarity
+
+    docs = spark.createDataFrame(
+        [(i, f"line one of {i}\nshared cookie banner text\nbody {i}")
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    ev = docs.where(F.col("doc_id") == 0)
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    path = str(tmp_path / "ivf_m")
+    similarity.save_ivf_index(emb.where(F.col("vec_id") % 2 == 0), path, n_centroids=4)
+
+    plans = {
+        "boilerplate": dedup.drop_boilerplate_lines(docs, "text", "doc_id"),
+        "contamination_report": dedup.contamination_report(
+            docs, ev, "text", "doc_id", n=3
+        ),
+        "cut_spans": dedup.cut_repeated_spans(docs, "text", "doc_id", k=3),
+        "ivf_append_filing": similarity.ivf_assign(
+            emb.select("vec_id", "embedding"),
+            similarity._load_ivf_centroids(spark, path),
+            n_probe=1, keep_vec=True,
+        ),
+    }
+    offenders = []
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        for marker in ("BatchEvalPython", "CartesianProduct",
+                       "BroadcastNestedLoopJoin"):
+            if marker in plan:
+                offenders.append(f"{name}: {marker}")
+    assert not offenders, offenders
