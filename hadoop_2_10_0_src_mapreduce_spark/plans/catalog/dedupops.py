@@ -235,9 +235,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 'xspan' = maximal repeated spans (doc id in fp, span start in
     # keeper, token length in n_copies) — the actionable cut-this-span
     # output of the exact-substring recipe
+    # persist: xgram's doc-stats agg, xspan's islands window, and
+    # xcut's position filter all read the flagged positions — without
+    # it the hot-hash agg + flag-back semi-join re-run per branch
     flagged = dedup.repeated_ngram_flagged_positions(
         corpus, "text", "doc_id", k=_XGRAM_K
-    )
+    ).persist()
     xgram = dedup.repeated_ngram_doc_stats(
         corpus, "text", "doc_id", k=_XGRAM_K, flagged=flagged
     ).select(
