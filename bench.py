@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BRANCHED: dict[str, tuple[str, dict[str, bool]]] = {
     "dedup_exact": ("branch", {
         "exact": True, "winnow": False, "incr": False,
-        "xgram": False, "xspan": False, "xcut": False,
+        "xgram": False, "xspan": False, "xcut": False, "lines": False,
     }),
     "dedup_ngram_jaccard": ("branch", {"plain": True, "prefix": False}),
     "dedup_minhash_lsh": ("branch", {"pairs": True, "clusters": False}),

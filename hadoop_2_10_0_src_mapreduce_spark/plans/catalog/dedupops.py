@@ -65,6 +65,15 @@ _XGRAM_K = 3  # k-gram size of the positional (xgram/xspan) branches —
 # must match shingles_sql's default k so the oracle's pos CTE lines up
 _XCUT_MIN = 20  # xcut branch: only spans of ≥ this many tokens are cut
 
+# 'lines' branch: every corpus doc gets a planted boilerplate line (in
+# ALL docs — far over the min_docs=5 bar) and three docs get a RARE
+# shared line (3 < 5 — must survive); line-dedup must strip exactly
+# the banner and preserve everything else byte-for-byte, which the
+# oracle states as md5 of the expected cleaned text
+_BANNER = "this website uses cookies accept to continue reading"
+_RARE = "rare shared footnote only three documents carry this line"
+_RARE_IDS = (1, 3, 7)
+
 _HEX2INT_HI = " + ".join(
     f"(instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
     for j in range(8)
@@ -180,6 +189,18 @@ xcut AS (
            c.doc_id AS keeper, COUNT(k.tok) AS n_copies
     FROM corpus c LEFT JOIN cutkept k ON c.doc_id = k.doc_id
     GROUP BY c.doc_id
+),
+lines AS (
+    -- line-boilerplate branch: the planted everywhere-banner must be
+    -- stripped, the 3-doc rare line kept, all other bytes preserved —
+    -- stated as md5 of the expected cleaned text + kept-line count
+    SELECT 'lines' AS branch,
+           md5(text || CASE WHEN doc_id IN {_RARE_IDS}
+                            THEN chr(10) || '{_RARE}' ELSE '' END) AS fp,
+           doc_id AS keeper,
+           CAST(CASE WHEN doc_id IN {_RARE_IDS} THEN 2 ELSE 1 END
+                AS BIGINT) AS n_copies
+    FROM corpus
 )
 SELECT * FROM exact
 UNION ALL
@@ -192,6 +213,8 @@ UNION ALL
 SELECT * FROM xspan
 UNION ALL
 SELECT * FROM xcut
+UNION ALL
+SELECT * FROM lines
 ORDER BY branch, keeper, fp
 """
 
@@ -270,12 +293,35 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("keeper"),
         F.size(T.tokens("text")).cast("long").alias("n_copies"),
     )
+    # 'lines' = line-granular boilerplate removal over a multiline
+    # reconstruction of the corpus (banner planted in every doc, rare
+    # line in three): the machinery must strip exactly the banner and
+    # keep everything else byte-identical (md5 of the cleaned text)
+    ml = corpus.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n" + _BANNER),
+            F.when(
+                F.col("doc_id").isin(*_RARE_IDS), F.lit("\n" + _RARE)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    lines = dedup.drop_boilerplate_lines(
+        ml, "text", "doc_id", min_docs=5
+    ).select(
+        F.lit("lines").alias("branch"),
+        F.md5("text").alias("fp"),
+        F.col("id").alias("keeper"),
+        F.size(F.split("text", "\n")).cast("long").alias("n_copies"),
+    )
     return (
         exact.unionByName(winnow)
         .unionByName(incr)
         .unionByName(xgram)
         .unionByName(xspan)
         .unionByName(xcut)
+        .unionByName(lines)
         .orderBy("branch", "keeper", "fp")
     )
 
