@@ -1937,3 +1937,35 @@ def test_drop_boilerplate_lines(spark):
         ).collect()
     }
     assert out4[0].count("\n") == 4
+
+
+def test_index_append_detects_quantized_layout(spark, tmp_path):
+    """Appending to a QUANTIZED index must quantize the batch (layout
+    detected from the stored schema, not caller flags): stored rows
+    keep the qvec/scale shape and serving still works across the
+    append for both families."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    original = emb.where(F.col("vec_id") % 3 != 0)
+    batch = emb.where(F.col("vec_id") % 3 == 0)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+
+    p_ivf = str(tmp_path / "ivf_q")
+    similarity.save_ivf_index(original, p_ivf, n_centroids=8, quantize=True)
+    similarity.append_to_ivf_index(batch, p_ivf)
+    stored = spark.read.parquet(f"{p_ivf}/lists")
+    assert {"qvec", "scale"} <= set(stored.columns)
+    assert stored.count() == emb.count()
+    got = similarity.query_ivf_index(queries, p_ivf, k=3, n_probe=2).collect()
+    assert got and all(r.sim <= 1.000001 for r in got)
+
+    p_lsh = str(tmp_path / "lsh_q")
+    similarity.save_lsh_index(
+        original, p_lsh, n_planes=4, n_tables=4, quantize=True
+    )
+    similarity.append_to_lsh_index(batch, p_lsh)
+    bstored = spark.read.parquet(f"{p_lsh}/buckets")
+    assert {"qvec", "scale"} <= set(bstored.columns)
+    got = similarity.query_lsh_index(queries, p_lsh, k=3).collect()
+    assert got and all(r.sim <= 1.000001 for r in got)
