@@ -1409,6 +1409,19 @@ def _load_ivf_centroids(spark: SparkSession, path: str) -> np.ndarray:
     return np.stack([np.asarray(r.centroid, dtype=np.float64) for r in rows])
 
 
+def _index_id_col(df: DataFrame, layout_cols: tuple[str, ...]) -> str:
+    """The id column of a stored index frame: the first SCALAR column
+    that is not part of the layout (vector payloads are arrays, so
+    excluding array types makes this independent of column order)."""
+    return next(
+        f.name
+        for f in df.schema.fields
+        if f.name not in layout_cols
+        and not f.name.startswith("_")
+        and not f.dataType.simpleString().startswith("array")
+    )
+
+
 def _tombstone_df(spark: SparkSession, path: str):
     """The tombstoned-id frame, or None when no deletes exist."""
     import pathlib
@@ -1580,9 +1593,7 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     tomb = _tombstone_df(spark, path)
     df = spark.read.parquet(live)
     if tomb is not None:
-        id_col = next(c for c in df.columns if c not in
-                      ("list_id", "qvec", "scale")
-                      and not c.startswith("_"))
+        id_col = _index_id_col(df, ("list_id", "qvec", "scale"))
         df = df.join(tomb.withColumnRenamed("id", id_col), id_col, "left_anti")
     _swap_rewrite(df, live, ["list_id"])
     t = pathlib.Path(path) / "tombstones"
@@ -1603,9 +1614,7 @@ def compact_lsh_index(spark: SparkSession, path: str) -> None:
     conf = spark.read.parquet(f"{path}/conf").collect()[0]
     live = f"{path}/buckets"
     df = spark.read.parquet(live)
-    id_col = next(c for c in df.columns if c not in
-                  ("table_idx", "bucket", "qvec", "scale")
-                  and not c.startswith("_"))
+    id_col = _index_id_col(df, ("table_idx", "bucket", "qvec", "scale"))
     tomb = _tombstone_df(spark, path)
     if tomb is not None:
         df = df.join(tomb.withColumnRenamed("id", id_col), id_col, "left_anti")
