@@ -1969,3 +1969,50 @@ def test_index_append_detects_quantized_layout(spark, tmp_path):
     assert {"qvec", "scale"} <= set(bstored.columns)
     got = similarity.query_lsh_index(queries, p_lsh, k=3).collect()
     assert got and all(r.sim <= 1.000001 for r in got)
+
+
+def test_round5_ops_empty_and_boundary_edges(spark, tmp_path):
+    """Boundary edges of the round-5 additions: no-overlap
+    contamination report is empty; boilerplate removal on a single doc
+    is identity; span cut with nothing flagged is tokenizer-normalized
+    identity; deleting ids absent from an index is a no-op for
+    serving."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators import dedup, similarity
+
+    clean = spark.createDataFrame(
+        [(1, "totally unique words in this document")], ["doc_id", "text"]
+    )
+    other = spark.createDataFrame(
+        [(2, "no shared phrases appear here at all")], ["doc_id", "text"]
+    )
+    assert dedup.contamination_report(clean, other, "text", "doc_id", n=3).count() == 0
+
+    alone = dedup.drop_boilerplate_lines(clean, "text", "doc_id", min_docs=2).collect()
+    assert alone == [(1, "totally unique words in this document")] or (
+        alone[0].id == 1 and alone[0].text == "totally unique words in this document"
+    )
+
+    uncut = dedup.cut_repeated_spans(
+        clean.unionByName(other), "text", "doc_id", k=3, min_span_tokens=5
+    ).collect()
+    assert {r.id: r.text for r in uncut} == {
+        1: "totally unique words in this document",
+        2: "no shared phrases appear here at all",
+    }
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    p = str(tmp_path / "ivf_noop_del")
+    similarity.save_ivf_index(emb, p, n_centroids=4)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    before = sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.sim)
+        for r in similarity.query_ivf_index(queries, p, k=3, n_probe=2).collect()
+    )
+    similarity.delete_from_index(spark, p, [987654321, 987654322])
+    after = sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.sim)
+        for r in similarity.query_ivf_index(queries, p, k=3, n_probe=2).collect()
+    )
+    assert before == after
