@@ -336,3 +336,55 @@ def test_stream_stream_join_matches_batch(spark, stream_source, tmp_path_factory
         ).drop("_rk").collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_stream_dedup_survives_index_compaction(spark, tmp_path_factory):
+    """The prescribed maintenance is safe OFF the ingest path:
+    compacting the fingerprint index between availableNow passes
+    (small appended files → few sorted files) changes nothing about
+    dedup semantics — duplicates of pre-compaction waves still drop,
+    novel docs still land — because the dedup state is the table's
+    CONTENT, not its file layout."""
+    import json
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import compact_table
+
+    base = tmp_path_factory.mktemp("corpus_dedup_compact")
+    src = base / "docs"
+    src.mkdir()
+    idx, out, ckpt = (str(base / d) for d in ("index", "corpus", "ckpt"))
+    schema = "doc_id long, text string"
+
+    (src / "w1.json").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": f"document number {i}"})
+            for i in range(6)
+        )
+    )
+    q = sw.stream_incremental_corpus_dedup(
+        spark, str(src), schema, idx, out, checkpoint_dir=ckpt
+    )
+    q.awaitTermination(120)
+
+    compact_table(spark, idx, target_file_bytes=64 * 1024 * 1024)
+
+    # wave 2: 3 dups of wave 1 (one case-normalized), 2 novel
+    (src / "w2.json").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t})
+            for i, t in [
+                (10, "document number 0"),
+                (11, "DOCUMENT  number 1"),
+                (12, "document number 2"),
+                (13, "fresh content thirteen"),
+                (14, "fresh content fourteen"),
+            ]
+        )
+    )
+    q2 = sw.stream_incremental_corpus_dedup(
+        spark, str(src), schema, idx, out, checkpoint_dir=ckpt
+    )
+    q2.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == set(range(6)) | {13, 14}
+    assert spark.read.parquet(idx).distinct().count() == 8
