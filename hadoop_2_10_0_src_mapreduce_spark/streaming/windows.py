@@ -407,3 +407,137 @@ def stream_incremental_corpus_dedup(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_sessionize_stateful(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    out_dir: str,
+    *,
+    user_col: str = "user_id",
+    ts_ms_col: str = "ts_ms",
+    gap_minutes: int = 30,
+    watermark: str = "1 minute",
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """CUSTOM stateful streaming operator on Spark 4's
+    ``transformWithStateInPandas`` — the arbitrary-state API with
+    TIMERS, one step past ``applyInPandasWithState``'s single
+    state-and-timeout: a streaming sessionizer that emits one row per
+    CLOSED session (user, session_start, session_end, n_events; epoch
+    ms). A session closes two ways, and the operator exercises both:
+
+    - IN-BATCH GAP: a user's new events arriving ``gap_minutes`` past
+      their session's last event close it inside ``handleInputRows``
+      (the batch sessionize split applied against state);
+    - TIMER: a user who goes quiet has an event-time timer registered
+      at ``last + gap``; when the WATERMARK (driven by other users'
+      events) passes it, ``handleExpiredTimer`` emits the session and
+      clears the state — no new event for that user needed, which is
+      exactly what session_window/applyInPandasWithState cannot
+      express per-key this directly.
+
+    Stale timers are ignored by re-deriving the expiry from state
+    (an extended session deletes its old timer AND survives a missed
+    delete). State per user is one (start, last, n) triple — bounded,
+    keyed, store-managed; emission is append-mode so downstream sinks
+    see each closed session exactly once per the foreachBatch
+    contract. ``ts_ms_col`` is epoch milliseconds (a long), the
+    watermark clock derives from it.
+
+    ENVIRONMENT GATE: transformWithStateInPandas's driver worker
+    speaks protobuf to the JVM; on hosts without a working
+    ``google.protobuf`` this raises ImportError up front (the same
+    explicit-boundary convention as the multimodal codec stub) — the
+    applyInPandasWithState operator (``stream_running_user_totals``)
+    covers custom state without that dependency, minus per-key
+    timers."""
+    import pandas as pd
+
+    try:
+        from google.protobuf import descriptor as _descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "stream_sessionize_stateful needs google.protobuf (the "
+            "transformWithStateInPandas driver-worker wire format); "
+            "install protobuf or use stream_running_user_totals"
+        ) from e
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = gap_minutes * 60_000
+    out_schema = (
+        f"{user_col} long, session_start long, session_end long, n_events long"
+    )
+
+    class _Sessionizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.state = handle.getValueState(
+                "sess", "start long, last long, n long"
+            )
+
+        def _row(self, key, start, last, n):
+            return pd.DataFrame(
+                {
+                    user_col: [int(key[0])],
+                    "session_start": [int(start)],
+                    "session_end": [int(last)],
+                    "n_events": [int(n)],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            ts: list[int] = []
+            for pdf in rows:
+                ts.extend(int(v) for v in pdf[ts_ms_col])
+            ts.sort()
+            cur = self.state.get()
+            start, last, n = cur if cur is not None else (None, None, 0)
+            closed = []
+            for t in ts:
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_ms:
+                    closed.append(self._row(key, start, last, n))
+                    start, last, n = t, t, 1
+                else:  # extension; late-but-in-watermark events fold in
+                    last, n = max(last, t), n + 1
+            if cur is not None and cur[1] + gap_ms != last + gap_ms:
+                self.handle.deleteTimer(cur[1] + gap_ms)
+            self.state.update((start, last, n))
+            self.handle.registerTimer(last + gap_ms)
+            return iter(closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            cur = self.state.get()
+            # stale timer (session was extended; delete raced): ignore
+            if cur is None or expiredTimerInfo.getExpiryTimeInMs() < cur[1] + gap_ms:
+                return iter([])
+            start, last, n = cur
+            self.state.clear()
+            return iter([self._row(key, start, last, n)])
+
+        def close(self) -> None:
+            pass
+
+    src = (
+        spark.readStream.schema(schema)
+        .json(source_dir)
+        .withColumn(
+            "_event_time",
+            (F.col(ts_ms_col) / 1000).cast("timestamp"),
+        )
+        .withWatermark("_event_time", watermark)
+    )
+    sessions = src.groupBy(user_col).transformWithStateInPandas(
+        statefulProcessor=_Sessionizer(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="EventTime",
+    )
+    return _start_sink(sessions, "append", None, checkpoint_dir, out_dir)

@@ -388,3 +388,76 @@ def test_stream_dedup_survives_index_compaction(spark, tmp_path_factory):
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == set(range(6)) | {13, 14}
     assert spark.read.parquet(idx).distinct().count() == 8
+
+
+def test_stream_sessionize_stateful_timers_and_gap_closure(
+    spark, tmp_path_factory
+):
+    """transformWithStateInPandas sessionizer: sessions close BOTH by
+    an in-batch gap (same user's new events arrive past the gap) and
+    by an event-time TIMER (a quiet user's session closes when OTHER
+    users' events advance the watermark past last+gap) — across an
+    availableNow restart. Open sessions are never emitted.
+
+    On hosts without google.protobuf (this container) the operator
+    must fail FAST with the documented ImportError instead of
+    crashing the streaming runtime mid-query; the full semantics run
+    wherever protobuf exists."""
+    import json
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            sw.stream_sessionize_stateful(
+                spark, "/nonexistent", "user_id long, ts_ms long", "/tmp/x"
+            )
+        pytest.skip("google.protobuf unavailable: TWS driver worker cannot run")
+
+    base = tmp_path_factory.mktemp("tws_sessions")
+    src = base / "events"
+    src.mkdir()
+    out, ckpt = str(base / "sessions"), str(base / "ckpt")
+    schema = "user_id long, ts_ms long"
+    t0 = 1_700_000_000_000  # fixed epoch anchor
+    m = 60_000
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps({"user_id": u, "ts_ms": t}) for u, t in rows)
+        )
+
+    # wave 1: user 1 two events 2min apart; user 2 one event
+    write("w1.json", [(1, t0), (1, t0 + 2 * m), (2, t0 + 1 * m)])
+    q = sw.stream_sessionize_stateful(
+        spark, str(src), schema, out,
+        gap_minutes=10, watermark="1 minute", checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    import pathlib
+
+    got1 = (
+        {tuple(r) for r in spark.read.parquet(out).collect()}
+        if any(pathlib.Path(out).rglob("*.parquet"))
+        else set()
+    )
+    assert got1 == set()  # nothing closed: watermark hasn't passed any expiry
+
+    # wave 2 after restart: user 1 returns PAST the gap (in-batch
+    # closure of session 1, new session opens); user 3's far-future
+    # event advances the watermark past user 2's timer (timer closure)
+    write("w2.json", [(1, t0 + 30 * m), (3, t0 + 40 * m)])
+    q2 = sw.stream_sessionize_stateful(
+        spark, str(src), schema, out,
+        gap_minutes=10, watermark="1 minute", checkpoint_dir=ckpt,
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (1, t0, t0 + 2 * m, 2) in got2, got2        # gap closure
+    assert (2, t0 + 1 * m, t0 + 1 * m, 1) in got2, got2  # timer closure
+    # user 1's second session and user 3's session are still open
+    assert all(u not in (3,) and s <= t0 + 2 * m for u, s, _, _ in got2), got2
+    assert len(got2) == 2
