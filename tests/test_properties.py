@@ -530,3 +530,64 @@ def test_cut_spans_subsequence_and_removal(
         else:
             # (c) below the floor: untouched
             assert got == toks
+
+
+# --- drop_boilerplate_lines vs a naive reference -----------------------
+# random docs assembled from a small line pool (heavy collision);
+# the operator must equal the single-process reference exactly: count
+# line occurrences by distinct doc over the trimmed/ws-normalized
+# form, drop lines at/over the threshold (unless under the length
+# floor), preserve everything else byte-for-byte in order.
+
+_line_pool = st.sampled_from([
+    "shared cookie banner line alpha",
+    "shared cookie banner line beta",
+    "an uncommon sentence about topic %d",
+    "short",
+    "  padded   whitespace   line  ",
+])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.tuples(_line_pool, st.integers(0, 9)), min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    min_docs=st.integers(2, 4),
+)
+def test_drop_boilerplate_lines_matches_naive(spark, docs, min_docs):
+    import re
+
+    from hadoop_2_10_0_src_mapreduce_spark.operators.dedup import (
+        drop_boilerplate_lines,
+    )
+
+    rendered = [
+        "\n".join(tpl % n if "%d" in tpl else tpl for tpl, n in lines)
+        for lines in docs
+    ]
+    norm = lambda line: re.sub(r"\s+", " ", line.strip())
+    counts: dict[str, set[int]] = {}
+    for i, text in enumerate(rendered):
+        for line in text.split("\n"):
+            if len(line.strip()) >= 10:
+                counts.setdefault(norm(line), set()).add(i)
+    hot = {k for k, v in counts.items() if len(v) >= min_docs}
+    expected = {
+        i: "\n".join(
+            line for line in text.split("\n")
+            if not (len(line.strip()) >= 10 and norm(line) in hot)
+        )
+        for i, text in enumerate(rendered)
+    }
+
+    df = spark.createDataFrame(list(enumerate(rendered)), ["doc_id", "text"])
+    got = {
+        r.id: r.text
+        for r in drop_boilerplate_lines(
+            df, "text", "doc_id", min_docs=min_docs
+        ).collect()
+    }
+    assert got == expected
