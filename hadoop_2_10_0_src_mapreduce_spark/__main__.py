@@ -46,6 +46,8 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--limit", type=int, default=20, help="rows to print")
     run.add_argument("--explain", action="store_true",
                      help="print the formatted physical plan instead of executing")
+    run.add_argument("--lint", action="store_true",
+                     help="print scale findings for the plan instead of executing")
 
     pl = sub.add_parser(
         "pipeline", help="run the corpus-cleaning recipe over documents"
@@ -198,7 +200,15 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(f"cli:{args.query}", extra_conf=_conf_pairs(args.conf))
     spark.sparkContext.setLogLevel("ERROR")
     df = qs[args.query](spark, args.sf_dir)
-    if args.explain:
+    if args.lint:
+        from hadoop_2_10_0_src_mapreduce_spark.plans.lint import lint_plan
+
+        findings = lint_plan(df)
+        for f in findings:
+            print(f)
+        if not findings:
+            print("clean: no scale findings")
+    elif args.explain:
         # the plan-inspection loop the engine is tuned with: check for
         # PushedFilters / ReadSchema pruning / broadcast vs shuffle
         # joins / WholeStageCodegen spans before running at scale

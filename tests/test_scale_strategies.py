@@ -560,3 +560,39 @@ def test_no_library_composition_plans_a_scale_killer(spark, tmp_path):
             if marker in plan:
                 offenders.append(f"{name}: {marker}")
     assert not offenders, offenders
+
+
+def test_lint_plan_flags_killers_and_passes_clean_plans(spark, tmp_path):
+    """The user-facing linter applies the same judgment as the
+    registered-query invariant: row-wise Python UDFs and cartesians are
+    FATAL, nested loops WARN, a filter that never reached the scan
+    WARNs, and an engine-shaped plan comes back clean."""
+    from pyspark.sql.functions import udf
+
+    from hadoop_2_10_0_src_mapreduce_spark.plans.lint import lint_plan
+
+    pq = str(tmp_path / "t")
+    spark.range(0, 1000).selectExpr("id", "id % 7 AS k").write.parquet(pq)
+    t = spark.read.parquet(pq)
+
+    slow = udf(lambda x: x + 1, "long")
+    bad = t.select(slow("id").alias("y"))
+    assert any(f.startswith("FATAL") and "BatchEvalPython" in f
+               for f in lint_plan(bad))
+
+    cart = t.crossJoin(t.selectExpr("id AS id2")).where("id * id2 > 100")
+    assert any("CartesianProduct" in f or "BroadcastNestedLoopJoin" in f
+               for f in lint_plan(cart))
+
+    # UDF predicate blocks pushdown -> unpushed-filter warning
+    pred = udf(lambda x: x > 10, "boolean")
+    unpushed = t.where(pred("id"))
+    assert any("unpushed-filter" in f or "BatchEvalPython" in f
+               for f in lint_plan(unpushed))
+
+    clean = (
+        t.where("k = 3")
+        .groupBy("k")
+        .count()
+    )
+    assert lint_plan(clean) == []
