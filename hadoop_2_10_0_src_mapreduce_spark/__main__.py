@@ -95,6 +95,20 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("-D", dest="conf", action="append", default=[],
                     metavar="key=value", help="Spark conf override")
 
+    mt = sub.add_parser(
+        "maintain", help="compact a parquet table (optionally sort- or Z-order-clustered)"
+    )
+    mt.add_argument("--path", required=True, help="parquet table directory")
+    mt.add_argument("--target-mb", type=int, default=128,
+                    help="target output file size in MB")
+    mt.add_argument("--partition-cols", help="comma-separated partition columns")
+    mt.add_argument("--cluster-by", help="comma-separated clustering columns")
+    mt.add_argument("--zorder", action="store_true",
+                    help="interleave >=2 cluster-by columns (Morton key) "
+                    "so conjunctive predicates skip multiplicatively")
+    mt.add_argument("-D", dest="conf", action="append", default=[],
+                    metavar="key=value", help="Spark conf override")
+
     args = ap.parse_args(argv)
 
     from hadoop_2_10_0_src_mapreduce_spark.plans.registry import REGISTRY, all_queries
@@ -139,6 +153,25 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             out.show(args.limit, truncate=60)
+        return 0
+
+    if args.cmd == "maintain":
+        from hadoop_2_10_0_src_mapreduce_spark.session import get_spark
+        from hadoop_2_10_0_src_mapreduce_spark.sources.writers import compact_table
+
+        spark = get_spark("cli:maintain", extra_conf=_conf_pairs(args.conf))
+        spark.sparkContext.setLogLevel("ERROR")
+        n = compact_table(
+            spark,
+            args.path,
+            target_file_bytes=args.target_mb * 1024 * 1024,
+            partition_cols=tuple(args.partition_cols.split(","))
+            if args.partition_cols else (),
+            cluster_by=tuple(args.cluster_by.split(","))
+            if args.cluster_by else (),
+            zorder=args.zorder,
+        )
+        print(f"compacted {args.path} into ~{n} files per partition")
         return 0
 
     if args.cmd == "index":

@@ -1558,7 +1558,10 @@ def delete_from_index(
     if isinstance(ids, DataFrame):
         df = ids.select(F.col(id_col).alias("id")).distinct()
     else:
-        df = spark.createDataFrame([(i,) for i in ids], ["id"])
+        rows = [(i,) for i in ids]
+        if not rows:  # empty delete: no tombstone file, no-op
+            return
+        df = spark.createDataFrame(rows, ["id"])
     df.write.mode("append").parquet(f"{path}/tombstones")
 
 
