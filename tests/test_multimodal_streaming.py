@@ -461,3 +461,62 @@ def test_stream_sessionize_stateful_timers_and_gap_closure(
     # user 1's second session and user 3's session are still open
     assert all(u not in (3,) and s <= t0 + 2 * m for u, s, _, _ in got2), got2
     assert len(got2) == 2
+
+
+def test_windowed_agg_drops_events_beyond_watermark(spark, tmp_path_factory):
+    """The watermark's defining semantic, pinned: in append mode a
+    tumbling window emits once the watermark passes its end, and an
+    event arriving LATER with an event time behind the watermark is
+    DROPPED — it neither updates the emitted window nor spawns a
+    duplicate window row. (In-watermark late data still folds in; this
+    pins the beyond-watermark drop.)"""
+    import json
+
+    base = tmp_path_factory.mktemp("late_events")
+    src = base / "ev"
+    src.mkdir()
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+
+    def ev(i, day, hour, typ="A"):
+        return json.dumps({
+            "event_id": i, "ts": f"2024-03-{day:02d}T{hour:02d}:00:00",
+            "user_id": 1, "event_type": typ, "value": 1.0,
+        })
+
+    # pass 1: three day-1 events + a day-3 event that advances the
+    # watermark (delay 1h) far past day-1's window end
+    (src / "w1.json").write_text("\n".join([
+        ev(1, 1, 1), ev(2, 1, 5), ev(3, 1, 9), ev(4, 3, 12),
+    ]))
+
+    def run():
+        s = (
+            spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+            .withWatermark("ts", "1 hour")
+        )
+        q = sw._start_sink(
+            sw.tumbling_window_counts(s), "append", None, ckpt, out
+        )
+        q.awaitTermination(120)
+
+    run()
+    rows1 = {
+        (str(r.window_start)[:10], r.event_type): r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows1.get(("2024-03-01", "A")) == 3  # day-1 window finalized
+
+    # pass 2: a LATE day-1 event (behind the watermark) + a day-4
+    # event advancing the watermark further
+    (src / "w2.json").write_text("\n".join([ev(5, 1, 6), ev(6, 4, 12)]))
+    run()
+    rows2 = [
+        (str(r.window_start)[:10], r.event_type, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    ]
+    day1 = [r for r in rows2 if r[0] == "2024-03-01"]
+    # exactly one day-1 row, still 3 — the late event was dropped,
+    # not re-windowed
+    assert day1 == [("2024-03-01", "A", 3)], rows2
+    # day-3 finalized in pass 2 (watermark passed its end)
+    assert ("2024-03-03", "A", 1) in rows2
