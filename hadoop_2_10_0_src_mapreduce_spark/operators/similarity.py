@@ -1470,7 +1470,13 @@ def append_to_ivf_index(
     corpus is never read or rewritten), appended as new parquet files
     per touched list partition. Many small appends accumulate small
     files — run ``compact_ivf_index`` from the maintenance schedule,
-    exactly like the streaming dedup index."""
+    exactly like the streaming dedup index.
+
+    Append assumes NOVEL ids: re-appending an existing id stores a
+    second copy (compaction does not merge copies — it cannot know
+    which vector is current). To UPDATE a vector,
+    ``delete_from_index`` the id first, then append; the tombstone
+    hides the old copy immediately and compaction removes it."""
     spark = new_emb.sparkSession
     cents = _load_ivf_centroids(spark, path)
     home = (
@@ -1510,7 +1516,12 @@ def append_to_lsh_index(
     the global top-``max_bucket`` of (md5(id), id) in any bucket is a
     subset of every batch's own top-``max_bucket`` (fewer competitors
     per batch), so no final survivor is ever dropped by a batch cap —
-    the same keeper-set argument as the two-level salted cap."""
+    the same keeper-set argument as the two-level salted cap.
+
+    Append assumes NOVEL ids (same contract as the IVF twin): serving
+    stays correct with duplicate memberships (candidates and vectors
+    dedupe by id at query time) but storage grows; for updates,
+    tombstone the id first, then append."""
     spark = new_emb.sparkSession
     conf = spark.read.parquet(f"{path}/conf").collect()[0]
     capped = capped_lsh_buckets(
