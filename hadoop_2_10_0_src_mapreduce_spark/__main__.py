@@ -159,6 +159,12 @@ def main(argv: list[str] | None = None) -> int:
         from hadoop_2_10_0_src_mapreduce_spark.session import get_spark
         from hadoop_2_10_0_src_mapreduce_spark.sources.writers import compact_table
 
+        cluster = args.cluster_by.split(",") if args.cluster_by else []
+        if args.zorder and len(cluster) < 2:
+            raise SystemExit(
+                "--zorder needs >= 2 --cluster-by columns (a single "
+                "column's optimal layout is the plain sort)"
+            )
         spark = get_spark("cli:maintain", extra_conf=_conf_pairs(args.conf))
         spark.sparkContext.setLogLevel("ERROR")
         n = compact_table(

@@ -1577,19 +1577,15 @@ def delete_from_index(
 
 
 def _swap_rewrite(df: DataFrame, live: str, partition_cols: list[str]) -> None:
-    """Atomic-swap rewrite of one index subdirectory (the
-    compact_table swap pattern: write beside, rename old away, rename
-    new in, drop old)."""
-    import shutil
+    """Atomic-swap rewrite of one index subdirectory — delegates to the
+    shared ``sources.writers.atomic_swap_write`` (leftover-dir guards,
+    refuse-empty-rewrite: compacting away the LAST vector would brick
+    the index; delete the directory instead)."""
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        atomic_swap_write,
+    )
 
-    tmp, old = f"{live}.__compact__", f"{live}.__old__"
-    w = df.write.mode("overwrite")
-    if partition_cols:
-        w = w.partitionBy(*partition_cols)
-    w.parquet(tmp)
-    shutil.move(live, old)
-    shutil.move(tmp, live)
-    shutil.rmtree(old)
+    atomic_swap_write(df, live, partition_cols)
 
 
 def compact_ivf_index(spark: SparkSession, path: str) -> None:

@@ -284,7 +284,14 @@ def assign_packing_bins(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(auto_shards)).cast("int"),
         )
     part = [shard_col] if shard_col else []
-    if not part and docs.count() > max_global_window_rows:
+    # guard cost is bounded: limit(N+1).count() stops scanning at the
+    # threshold instead of fully evaluating an arbitrarily expensive
+    # upstream lineage just to learn it is huge
+    if (
+        not part
+        and docs.limit(max_global_window_rows + 1).count()
+        > max_global_window_rows
+    ):
         raise ValueError(
             "assign_packing_bins without a shard runs ONE global window "
             f"partition and the input exceeds {max_global_window_rows} "

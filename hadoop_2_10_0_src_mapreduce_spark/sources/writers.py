@@ -311,16 +311,18 @@ def compact_table(
     LOCAL/NFS table dirs; on an object store the same read→rewrite
     plan applies but the swap must go through the store's rename or a
     table format's atomic commit."""
-    import shutil
-
+    if zorder and len(cluster_by) < 2:
+        raise ValueError(
+            "zorder=True needs >= 2 cluster_by columns (one column's "
+            "optimal layout is the plain sort — drop zorder)"
+        )
     df = spark.read.parquet(path)
     size = sum(
         f.stat().st_size
         for f in __import__("pathlib").Path(path).rglob("*.parquet")
     )
     n_files = max(1, -(-size // target_file_bytes))
-    tmp, old = f"{path}.__compact__", f"{path}.__old__"
-    if zorder and len(cluster_by) >= 2:
+    if zorder:
         mm = df.agg(
             *[F.min(c).alias(f"_mn_{c}") for c in cluster_by],
             *[F.max(c).alias(f"_mx_{c}") for c in cluster_by],
@@ -348,14 +350,47 @@ def compact_table(
         writer = df.repartition(n_files, *partition_cols)
     else:
         writer = df.repartition(n_files)
-    w = writer.write.mode("overwrite")
+    atomic_swap_write(writer, path, partition_cols)
+    return n_files
+
+
+def atomic_swap_write(
+    df: "DataFrame", path: str, partition_cols: tuple[str, ...] | list[str]
+) -> None:
+    """Rewrite a LIVE parquet directory atomically: write to
+    `<path>.__compact__`, rename old → `.__old__`, new → path, delete
+    old — readers see the old file set or the new one, never a mix.
+    Shared by ``compact_table`` and the ANN index compactors.
+
+    Guards the two states a crashed prior run can leave behind: a
+    leftover `.__old__`/`.__compact__` is removed up front (the live
+    dir is intact whenever they exist, so they are garbage — and
+    moving onto an existing `.__old__` would otherwise NEST the live
+    dir inside it). Refuses to swap in an EMPTY result: a partitioned
+    write of zero rows emits no part files, so the swapped-in
+    directory would be unreadable (no schema) and the table bricked —
+    an empty rewrite means the caller is deleting the table, which
+    deserves an explicit rm, not a compaction."""
+    import pathlib
+    import shutil
+
+    tmp, old = f"{path}.__compact__", f"{path}.__old__"
+    for leftover in (tmp, old):
+        if pathlib.Path(leftover).exists():
+            shutil.rmtree(leftover)
+    if not df.take(1):
+        raise ValueError(
+            f"atomic_swap_write: rewrite of {path} would be EMPTY "
+            "(everything deleted/tombstoned); remove the directory "
+            "explicitly instead of compacting it away"
+        )
+    w = df.write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(tmp)
     shutil.move(path, old)
     shutil.move(tmp, path)
     shutil.rmtree(old)
-    return n_files
 
 
 def morton_code(cols, ranges, *, bits: int = 16) -> "Column":
@@ -377,9 +412,20 @@ def morton_code(cols, ranges, *, bits: int = 16) -> "Column":
     n = len(cols)
     if bits * n > 63:
         raise ValueError(f"morton_code: bits({bits})·cols({n}) exceeds 63")
+    for c, (mn, mx) in zip(cols, ranges):
+        for v in (mn, mx):
+            if v is not None and not isinstance(v, (int, float)):
+                raise ValueError(
+                    f"morton_code: column {c!r} has a non-numeric range "
+                    f"bound {v!r} ({type(v).__name__}) — Z-order needs "
+                    "numeric columns (cast timestamps to epoch, or use "
+                    "plain lexicographic cluster_by for strings)"
+                )
     top = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for ci, (c, (mn, mx)) in enumerate(zip(cols, ranges)):
+        if mn is None or mx is None:  # all-null column: nothing to interleave
+            continue
         col = F.col(c) if isinstance(c, str) else c
         span = float(mx) - float(mn)
         if span <= 0:  # constant column: no information to interleave

@@ -507,7 +507,9 @@ def stream_sessionize_stateful(
                     start, last, n = t, t, 1
                 else:  # extension; late-but-in-watermark events fold in
                     last, n = max(last, t), n + 1
-            if cur is not None and cur[1] + gap_ms != last + gap_ms:
+            # delete the old timer iff the session's last-event time
+            # moved (its expiry was old_last + gap)
+            if cur is not None and cur[1] != last:
                 self.handle.deleteTimer(cur[1] + gap_ms)
             self.state.update((start, last, n))
             self.handle.registerTimer(last + gap_ms)

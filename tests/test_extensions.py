@@ -2016,3 +2016,20 @@ def test_round5_ops_empty_and_boundary_edges(spark, tmp_path):
         for r in similarity.query_ivf_index(queries, p, k=3, n_probe=2).collect()
     )
     assert before == after
+
+
+def test_compact_refuses_to_brick_a_fully_tombstoned_index(spark, tmp_path):
+    """Regression (round-5 review): compacting an index whose every id
+    is tombstoned must raise — a partitioned write of zero rows emits
+    no part files, so swapping it in would leave an unreadable
+    directory. The index must remain readable after the refusal."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(20)
+    p = str(tmp_path / "ivf_all_del")
+    similarity.save_ivf_index(emb, p, n_centroids=2)
+    similarity.delete_from_index(
+        spark, p, [r.vec_id for r in emb.select("vec_id").collect()]
+    )
+    with pytest.raises(ValueError, match="EMPTY"):
+        similarity.compact_ivf_index(spark, p)
+    # refusal left the live directory intact and readable
+    assert spark.read.parquet(f"{p}/lists").count() == 20

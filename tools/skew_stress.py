@@ -197,9 +197,12 @@ def run_cogroup_stress(spark: SparkSession, n_rows: int, buckets: int = 1024) ->
 
 def main() -> None:
     n_rows = 2_000_000
-    for a in sys.argv[1:]:
-        if a.startswith("--rows"):
-            n_rows = int(a.split("=")[1])
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--rows" and i + 1 < len(argv):
+            n_rows = int(argv[i + 1])
+        elif a.startswith("--rows="):
+            n_rows = int(a.split("=", 1)[1])
     from hadoop_2_10_0_src_mapreduce_spark.session import get_spark
 
     spark = get_spark("skew-stress")
