@@ -52,6 +52,8 @@ batch boundary.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -501,6 +503,7 @@ def drop_boilerplate_lines(
     *,
     min_docs: int = 5,
     min_line_chars: int = 10,
+    line_sep: str = "\n",
 ) -> DataFrame:
     """LINE-granular boilerplate removal — the web-corpus hygiene rule
     between document dedup and span cutting: a LINE occurring verbatim
@@ -521,10 +524,15 @@ def drop_boilerplate_lines(
     paths — (line-hash, id, pos) rows shuffle, never text except the
     per-doc reassembly; the hot-line test is a groupBy distinct-count
     and the drop a left_anti on the hash; reassembly groups by doc
-    (bounded by document size) and array_sorts on position."""
+    (bounded by document size) and array_sorts on position.
+
+    ``line_sep`` picks the unit: the default "\\n" is the C4-style
+    line rule; "\\n\\n" gives PARAGRAPH-level dedup (the Dolma-style
+    variant) with identical machinery."""
+    sep_re = re.escape(line_sep)
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), sep_re)).alias("pos", "line"),
     ).withColumn(
         "h",
         F.when(
@@ -549,7 +557,7 @@ def drop_boilerplate_lines(
                 F.array_sort(F.collect_list(F.struct("pos", "line"))),
                 lambda s: s.line,
             ),
-            "\n",
+            line_sep,
         ).alias("text")
     )
     # a document whose every line was boilerplate still emits a row

@@ -2033,3 +2033,25 @@ def test_compact_refuses_to_brick_a_fully_tombstoned_index(spark, tmp_path):
         similarity.compact_ivf_index(spark, p)
     # refusal left the live directory intact and readable
     assert spark.read.parquet(f"{p}/lists").count() == 20
+
+
+def test_drop_boilerplate_paragraph_unit(spark):
+    """line_sep='\\n\\n' switches the same machinery to PARAGRAPH
+    granularity: a paragraph repeated across docs drops whole, and
+    newlines WITHIN surviving paragraphs are untouched."""
+    legal = "standard legal disclaimer paragraph\nsecond line of the disclaimer"
+    docs = spark.createDataFrame(
+        [
+            (i, f"unique intro {i}\nwith its own second line\n\n{legal}")
+            for i in range(4)
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.id: r.text
+        for r in dedup.drop_boilerplate_lines(
+            docs, "text", "doc_id", min_docs=4, line_sep="\n\n"
+        ).collect()
+    }
+    for i in range(4):
+        assert out[i] == f"unique intro {i}\nwith its own second line"
