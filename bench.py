@@ -39,6 +39,7 @@ BRANCHED: dict[str, tuple[str, dict[str, bool]]] = {
     "sim_near_dup_embeddings": ("branch", {"pairs": True, "semdedup": False}),
     "text_fingerprint_rollup": ("branch", {
         "rollup": True, "decontam": False, "split": False,
+        "gsplit": False, "chunk": False,
     }),
     "sessionize_reduce": ("branch", {"session": True, "cogroup": False}),
     "join_asof": ("mode", {"asof": True, "range": False}),

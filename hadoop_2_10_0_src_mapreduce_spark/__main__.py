@@ -59,6 +59,11 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--min-tokens", type=int, default=5)
     pl.add_argument("--near-dup-threshold", type=float, default=0.8)
     pl.add_argument("--max-dup-3gram-frac", type=float, default=0.5)
+    pl.add_argument("--chunk", metavar="MAX[,OVERLAP]",
+                    help="after cleaning, cut long documents into "
+                         "training chunks of at most MAX tokens "
+                         "(optional OVERLAP tokens of shared context); "
+                         "rows become one-per-chunk with id 'docid#k'")
     pl.add_argument("--cut-spans", type=int, metavar="MIN_TOKENS",
                     help="remove maximal cross-document repeated runs "
                     "of at least MIN_TOKENS tokens (exact-substring "
@@ -147,6 +152,32 @@ def main(argv: list[str] | None = None) -> int:
             split_weights=split_weights,
             cut_spans_min_tokens=args.cut_spans,
         )
+        if args.chunk:
+            from pyspark.sql import functions as F
+
+            from hadoop_2_10_0_src_mapreduce_spark.pipeline import (
+                chunk_documents,
+            )
+
+            parts = args.chunk.split(",")
+            max_t = int(parts[0])
+            over = int(parts[1]) if len(parts) > 1 else 0
+            # doc-level n_tokens is superseded by the chunk-level count
+            keep = tuple(
+                c for c in out.columns if c not in ("id", "text", "n_tokens")
+            )
+            out = (
+                chunk_documents(
+                    out, text_col="text", id_col="id",
+                    max_tokens=max_t, overlap=over, keep_cols=keep,
+                )
+                .select(
+                    F.concat_ws("#", "id", "chunk_idx").alias("id"),
+                    F.col("chunk_text").alias("text"),
+                    F.col("n_tokens"),
+                    *keep,
+                )
+            )
         if args.output:
             write_jsonl_shards(
                 out, args.output, id_col="id", shuffle=args.shuffle

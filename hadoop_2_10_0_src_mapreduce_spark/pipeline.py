@@ -240,6 +240,126 @@ def sample_by_token_budget(
     return sampled
 
 
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int,
+    overlap: int = 0,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Token-budget CHUNKING — the training-prep stage that cuts long
+    documents down to a model's sequence length (packing handles the
+    short side; chunking handles the long side, and the two compose:
+    chunk to ``max_tokens`` = seq_len, then pack the chunks).
+
+    Each document's token stream (``text.tokens`` — the engine's
+    shared tokenizer, identical in the DuckDB oracle) is cut into
+    windows of at most ``max_tokens`` tokens whose starts advance by
+    ``stride = max_tokens - overlap``, so consecutive chunks share
+    exactly ``overlap`` tokens of context and every token position is
+    covered. Chunk count is closed-form — 1 if n ≤ max_tokens else
+    ceil((n − max_tokens)/stride) + 1 — which makes the whole operator
+    ONE projection + ``posexplode``: no shuffle, no UDF, linear in
+    corpus bytes, embarrassingly parallel at 100 TB. The final chunk
+    lands wherever the stream ends; by the closed form its length is
+    always in (overlap, max_tokens], so no degenerate tail chunks are
+    emitted. Documents with zero tokens emit NO rows (nothing to
+    train on).
+
+    Returns ``(id_col, *keep_cols, chunk_idx, n_chunks, chunk_text,
+    n_tokens, start_token)`` where ``chunk_text`` is the tokens
+    rejoined with single spaces — chunking operates on the token
+    stream, so original inter-token whitespace/case/punctuation is
+    NOT preserved (the same normalization every other token-level
+    operator here applies).
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be > 0, got {max_tokens}")
+    if not (0 <= overlap < max_tokens):
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < max_tokens, got {overlap}"
+        )
+    _out_names = {"chunk_idx", "n_chunks", "chunk_text", "n_tokens",
+                  "start_token"}
+    clash = _out_names.intersection(keep_cols) | ({id_col} & _out_names)
+    if clash:
+        raise ValueError(
+            f"keep_cols/id_col collide with chunk output columns: {sorted(clash)}"
+        )
+    stride = max_tokens - overlap
+    toks = T.tokens(text_col)
+    n = F.size(toks)
+    n_chunks = (
+        F.when(n <= max_tokens, F.lit(1))
+        .otherwise(
+            F.ceil((n - max_tokens) / F.lit(float(stride))).cast("int") + 1
+        )
+    )
+    base = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        toks.alias("_toks"),
+        n_chunks.alias("n_chunks"),
+    ).where(F.size("_toks") > 0)
+    start = F.col("chunk_idx") * stride
+    chunk = F.slice("_toks", start + 1, max_tokens)
+    return (
+        base.select(
+            id_col,
+            *keep_cols,
+            "n_chunks",
+            "_toks",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            id_col,
+            *keep_cols,
+            "chunk_idx",
+            "n_chunks",
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).alias("n_tokens"),
+            start.alias("start_token"),
+        )
+    )
+
+
+def chunk_sql(
+    table: str,
+    text_expr: str,
+    id_expr: str,
+    *,
+    max_tokens: int,
+    overlap: int = 0,
+) -> str:
+    """DuckDB twin of ``chunk_documents`` (same tokenizer, same
+    closed-form chunk count, same 1-based inclusive slicing) — a
+    SELECT producing (id, chunk_idx, chunk_text) for oracle checks."""
+    stride = max_tokens - overlap
+    toks = f"regexp_extract_all(lower({text_expr}), '{T.TOKEN_PATTERN}')"
+    return f"""
+SELECT id, ci AS chunk_idx,
+       array_to_string(toks[ci*{stride}+1 : ci*{stride}+{max_tokens}], ' ')
+           AS chunk_text
+FROM (
+    SELECT id, toks,
+           unnest(generate_series(0, nc - 1)) AS ci
+    FROM (
+        SELECT {id_expr} AS id, toks,
+               CASE WHEN len(toks) <= {max_tokens} THEN 1
+                    ELSE CAST(ceil((len(toks) - {max_tokens})
+                              / CAST({stride} AS DOUBLE)) AS INT) + 1
+               END AS nc
+        FROM (SELECT *, {toks} AS toks FROM {table})
+        WHERE len(toks) > 0
+    )
+)
+"""
+
+
 def assign_packing_bins(
     docs: DataFrame,
     *,
@@ -407,10 +527,22 @@ def split_corpus(
     *,
     id_col: str = "doc_id",
     split_col: str = "split",
+    key_col: str | None = None,
 ) -> DataFrame:
     """Attach the deterministic split label (see ``split_assign``) as
-    ``split_col``. One projection — no shuffle, no sampling state."""
-    return docs.withColumn(split_col, split_assign(id_col, weights))
+    ``split_col``. One projection — no shuffle, no sampling state.
+
+    ``key_col`` selects the hashing granularity. Default (None) hashes
+    ``id_col`` — per-document assignment. Passing a GROUP column
+    (e.g. ``source`` or a domain) makes the split LEAKAGE-SAFE at that
+    granularity: every row of a group lands in the same split because
+    the assignment is a pure function of the group value, so near-
+    duplicate documents from one crawl domain (or one benchmark
+    family) can never straddle train and test. The cost of the
+    guarantee is granularity — realized proportions converge to
+    ``weights`` over the number of GROUPS, not rows, so with few large
+    groups expect lumpy sizes (that is the semantics, not a bug)."""
+    return docs.withColumn(split_col, split_assign(key_col or id_col, weights))
 
 
 def write_jsonl_shards(

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_2_10_0_src_mapreduce_spark.functions import text as T
-from hadoop_2_10_0_src_mapreduce_spark.pipeline import split_sql
+from hadoop_2_10_0_src_mapreduce_spark.pipeline import chunk_sql, split_sql
 from hadoop_2_10_0_src_mapreduce_spark.plans.registry import register
 from hadoop_2_10_0_src_mapreduce_spark.sources.readers import load_table
 
@@ -184,6 +184,17 @@ def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   u = uint32(md5(id)[:8])/2³² into cumulative-weight intervals —
 #   engine-replayable, stable under corpus growth). Per split:
 #   n_docs, n_distinct_fp = distinct sources seen, total_chars.
+# - 'gsplit': the LEAKAGE-SAFE variant — same intervals, hashed on
+#   source instead of doc_id, so whole sources are held out and no
+#   near-dup pair can straddle train/test. Per split: n_docs,
+#   n_distinct_fp = distinct sources (sums to 20 across splits — the
+#   disjointness is visible in the checked rows), total_chars.
+# - 'chunk': token-budget chunking (max_tokens=32, overlap=8 — the
+#   long-document half of sequence preparation; see
+#   pipeline.chunk_documents). Per source: n_docs = chunks emitted,
+#   n_distinct_fp = DISTINCT md5(chunk_text) — every chunk's exact
+#   token content is hash-checked, not just counted — total_chars =
+#   sum of chunk text lengths.
 
 _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
@@ -233,15 +244,33 @@ SELECT 'split' AS branch, {split_sql('doc_id', _SPLIT_WEIGHTS)} AS grp,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY grp
+UNION ALL
+SELECT 'gsplit' AS branch, {split_sql('source', _SPLIT_WEIGHTS)} AS grp,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_distinct_fp,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY grp
+UNION ALL
+SELECT 'chunk' AS branch, d.source AS grp,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(c.chunk_text)) AS n_distinct_fp,
+       CAST(SUM(length(c.chunk_text)) AS BIGINT) AS total_chars
+FROM ({chunk_sql('documents', 'text', 'doc_id', max_tokens=32, overlap=8)}) c
+JOIN documents d ON c.id = d.doc_id
+GROUP BY grp
 ORDER BY branch, grp
 """
 
 
 @register("text_fingerprint_rollup", _FINGERPRINT_ORACLE, tags=("text",),
-          doc="Three corpus-hygiene branches in one slot: per-source fingerprint rollup (normalized md5), train-eval DECONTAMINATION audit (5-token shingle overlap vs a planted-quote eval set; GPT-3 n-gram recipe), and deterministic md5-bucket train/val/test SPLIT counts — all hash-checked.")
+          doc="Five corpus-hygiene branches in one slot: per-source fingerprint rollup (normalized md5), train-eval DECONTAMINATION audit (5-token shingle overlap vs a planted-quote eval set; GPT-3 n-gram recipe), deterministic md5-bucket train/val/test SPLIT counts, the LEAKAGE-SAFE group split holding out whole sources (gsplit), and token-budget document CHUNKING with every chunk's content md5-checked — all hash-checked.")
 def text_fingerprint_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_2_10_0_src_mapreduce_spark.operators import dedup
-    from hadoop_2_10_0_src_mapreduce_spark.pipeline import split_corpus
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import (
+        chunk_documents,
+        split_corpus,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
 
@@ -306,8 +335,34 @@ def text_fingerprint_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_distinct_fp", "total_chars")
     )
 
+    gsplit = (
+        split_corpus(docs, _SPLIT_WEIGHTS, id_col="doc_id", key_col="source")
+        .groupBy(F.col("split").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_distinct_fp"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(F.lit("gsplit").alias("branch"), "grp", "n_docs",
+                "n_distinct_fp", "total_chars")
+    )
+
+    chunk = (
+        chunk_documents(docs, max_tokens=32, overlap=8, keep_cols=("source",))
+        .groupBy(F.col("source").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5("chunk_text")).alias("n_distinct_fp"),
+            F.sum(F.length("chunk_text")).alias("total_chars"),
+        )
+        .select(F.lit("chunk").alias("branch"), "grp", "n_docs",
+                "n_distinct_fp", "total_chars")
+    )
+
     return (
         rollup.unionByName(decontam)
         .unionByName(split)
+        .unionByName(gsplit)
+        .unionByName(chunk)
         .orderBy("branch", "grp")
     )

@@ -2055,3 +2055,98 @@ def test_drop_boilerplate_paragraph_unit(spark):
     }
     for i in range(4):
         assert out[i] == f"unique intro {i}\nwith its own second line"
+
+
+def test_chunk_documents_coverage_overlap_and_twin(spark, duck):
+    """Token-budget chunking: every chunk is <= max_tokens, consecutive
+    chunks of a doc share exactly `overlap` tokens, stitching the
+    chunks back together (dropping each successor's overlap prefix)
+    reconstructs the full token stream, the tail chunk is never
+    degenerate (len > overlap for multi-chunk docs), and the DuckDB
+    twin reproduces every chunk byte-for-byte."""
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import chunk_documents, chunk_sql
+
+    texts = [
+        (0, " ".join(f"t{i}" for i in range(100))),   # 4 chunks at 32/8
+        (1, " ".join(f"t{i}" for i in range(32))),    # exactly max -> 1
+        (2, " ".join(f"t{i}" for i in range(33))),    # max+1 -> 2
+        (3, "one short doc"),                          # 1 chunk
+        (4, ""),                                       # no tokens -> 0 rows
+        (5, "   \t  "),                                # whitespace -> 0 rows
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = chunk_documents(docs, max_tokens=32, overlap=8).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 4 not in by_doc and 5 not in by_doc
+    assert [len(by_doc[d]) for d in (0, 1, 2, 3)] == [4, 1, 2, 1]
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        orig = [t for i, t in texts if i == d][0].lower().split()
+        stitched: list[str] = []
+        for k, r in enumerate(rows):
+            toks = r.chunk_text.split()
+            assert r.n_tokens == len(toks) <= 32
+            assert r.n_chunks == len(rows)
+            assert r.start_token == k * 24
+            if k > 0:
+                prev = rows[k - 1].chunk_text.split()
+                assert prev[-8:] == toks[:8]  # exact overlap
+                toks = toks[8:]
+            stitched.extend(toks)
+        assert stitched == orig
+        if len(rows) > 1:
+            assert rows[-1].n_tokens > 8  # tail never degenerate
+
+    duck.execute("CREATE OR REPLACE VIEW chunk_in AS SELECT * FROM (VALUES "
+                 + ", ".join(f"({i}, '{t}')" for i, t in texts)
+                 + ") v(doc_id, text)")
+    twin = duck.execute(
+        chunk_sql("chunk_in", "text", "doc_id", max_tokens=32, overlap=8)
+    ).fetchall()
+    spark_set = {(r.doc_id, r.chunk_idx, r.chunk_text) for r in out}
+    assert spark_set == set(twin)
+
+
+def test_chunk_documents_validation_and_keep_cols(spark):
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "s1")], ["doc_id", "text", "source"]
+    )
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=8, overlap=8)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=8, overlap=-1)
+    row = chunk_documents(
+        docs, max_tokens=8, keep_cols=("source",)
+    ).collect()[0]
+    assert row.source == "s1" and row.chunk_text == "a b c"
+
+
+def test_split_corpus_group_key_is_leakage_safe(spark):
+    """key_col=source: every row of a source lands in one split (no
+    near-dup pair can straddle train/test), assignment is stable under
+    corpus growth, and the weights steer group counts."""
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import split_corpus
+
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", f"src{i % 40}") for i in range(400)],
+        ["doc_id", "text", "source"],
+    )
+    out = split_corpus(docs, weights, key_col="source").collect()
+    per_src: dict[str, set] = {}
+    for r in out:
+        per_src.setdefault(r.source, set()).add(r.split)
+    assert len(per_src) == 40
+    assert all(len(s) == 1 for s in per_src.values())  # leakage-safe
+    assert set().union(*per_src.values()) <= set(weights)
+    # stability: dropping rows never moves a surviving source
+    sub = split_corpus(
+        docs.where(F.col("doc_id") % 3 == 0), weights, key_col="source"
+    ).collect()
+    assert all(per_src[r.source] == {r.split} for r in sub)

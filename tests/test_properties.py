@@ -591,3 +591,51 @@ def test_drop_boilerplate_lines_matches_naive(spark, docs, min_docs):
         ).collect()
     }
     assert got == expected
+
+
+def _naive_chunks(tokens: list[str], max_tokens: int, overlap: int):
+    """Reference chunker: sliding windows of max_tokens advancing by
+    stride until the stream is covered."""
+    if not tokens:
+        return []
+    stride = max_tokens - overlap
+    out = []
+    start = 0
+    while True:
+        out.append(tokens[start:start + max_tokens])
+        if start + max_tokens >= len(tokens):
+            return out
+        start += stride
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(0, 200), min_size=0, max_size=12),
+    st.integers(2, 16),
+    st.integers(0, 8),
+)
+def test_chunk_documents_matches_naive_reference(
+    spark, doc_lens, max_tokens, overlap
+):
+    """chunk_documents == the naive sliding-window chunker for every
+    (corpus shape, max_tokens, overlap) combination: same chunk count,
+    same token content per (doc, idx), docs shorter than the budget
+    pass through whole, empty docs vanish."""
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import chunk_documents
+
+    if overlap >= max_tokens:
+        overlap = max_tokens - 1
+    corpus = [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(doc_lens)]
+    expected = {}
+    for i, text in corpus:
+        for ci, toks in enumerate(_naive_chunks(text.split(), max_tokens, overlap)):
+            expected[(i, ci)] = " ".join(toks)
+    docs = spark.createDataFrame(corpus or [(0, "")], ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.chunk_idx): r.chunk_text
+        for r in chunk_documents(
+            docs, max_tokens=max_tokens, overlap=overlap
+        ).collect()
+        if corpus
+    }
+    assert got == expected
