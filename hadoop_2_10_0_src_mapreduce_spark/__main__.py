@@ -83,7 +83,8 @@ def main(argv: list[str] | None = None) -> int:
         "index", help="build / query a persisted ANN index (IVF or LSH)"
     )
     ix.add_argument(
-        "action", choices=("build", "query", "append", "delete", "compact")
+        "action",
+        choices=("build", "query", "append", "delete", "compact", "stats"),
     )
     ix.add_argument("--family", choices=("ivf", "lsh"), default="ivf")
     ix.add_argument("--path", required=True, help="index directory")
@@ -249,6 +250,10 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 similarity.compact_lsh_index(spark, args.path)
             print(f"compacted {args.family} index at {args.path}")
+        elif args.action == "stats":
+            import json as _json
+
+            print(_json.dumps(similarity.index_stats(spark, args.path)))
         else:
             queries = emb.where(F.col("vec_id") < args.n_queries)
             serve = (

@@ -1643,3 +1643,124 @@ def compact_lsh_index(spark: SparkSession, path: str) -> None:
     t = pathlib.Path(path) / "tombstones"
     if t.exists():
         shutil.rmtree(t)
+
+
+def index_stats(
+    spark: SparkSession,
+    path: str,
+    *,
+    tombstone_warn: float = 0.1,
+    files_per_part_warn: float = 4.0,
+    skew_warn: float = 4.0,
+) -> dict:
+    """Health report for a stored ANN index (IVF or LSH — detected
+    from the directory layout) and the MAINTENANCE TRIGGER the serving
+    lifecycle needs: appends accumulate file sets per touched
+    partition, deletes accumulate tombstones the serve path must
+    anti-join every query, and drifted data can pile into one list —
+    each is invisible until someone measures it. Everything here is a
+    distributed aggregate collapsed to ONE driver row (no per-bucket
+    collect — LSH bucket cardinality is corpus-sized), so the check
+    itself is safe to run on a 100 TB index.
+
+    Returns a dict:
+      family            'ivf' | 'lsh'
+      rows_live         stored rows still visible to queries
+      n_tombstones      distinct tombstoned ids pending compaction
+      tombstone_frac    n_tombstones / (rows_live + n_tombstones)*
+      n_partitions      list/bucket directories with data
+      rows_max, rows_mean, skew  hottest partition vs mean
+      n_files, files_per_part    parquet fragments (append debt)
+      quantized         int8 payload layout detected
+      recommendations   [] when healthy; human-readable actions
+                        otherwise ('compact: ...', 'retrain: ...')
+
+    *approximation: tombstones count ids WRITTEN, which for LSH is one
+    id across up to n_tables partitions and may include ids never in
+    the index (delete-before-append is the documented update recipe) —
+    the fraction is a maintenance signal, not an exact live ratio.
+
+    The thresholds are advisory defaults: a tombstone fraction over
+    ~10% makes every query pay a visible anti-join build; more than ~4
+    file sets per partition means the probed-directory scan opens 4×
+    the footers it needs; IVF skew beyond ~4× the mean list says the
+    centroids no longer describe the data (retrain), while LSH bucket
+    skew is capped at build time so it signals append-cap drift
+    (compact re-applies the global cap)."""
+    import pathlib
+
+    p = pathlib.Path(path)
+    if (p / "centroids").exists():
+        family, live = "ivf", f"{path}/lists"
+        part_cols = ["list_id"]
+        layout = ("list_id", "qvec", "scale")
+    elif (p / "conf").exists():
+        family, live = "lsh", f"{path}/buckets"
+        part_cols = ["table_idx", "bucket"]
+        layout = ("table_idx", "bucket", "qvec", "scale")
+    else:
+        raise ValueError(f"no IVF or LSH index found at {path}")
+
+    df = spark.read.parquet(live)
+    quantized = "qvec" in df.columns
+    # project the file name BEFORE aggregating (Spark refuses the
+    # non-deterministic expression inside an aggregate function)
+    per = (
+        df.select(*part_cols, F.input_file_name().alias("_file"))
+        .groupBy(*part_cols)
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("_file").alias("files"),
+        )
+    )
+    row = per.agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("rows").alias("rows_live"),
+        F.max("rows").alias("rows_max"),
+        F.avg("rows").alias("rows_mean"),
+        F.sum("files").alias("n_files"),
+        F.avg("files").alias("files_per_part"),
+    ).collect()[0]
+    tomb = _tombstone_df(spark, path)
+    n_tomb = tomb.select("id").distinct().count() if tomb is not None else 0
+
+    rows_live = int(row.rows_live or 0)
+    tombstone_frac = (
+        n_tomb / (rows_live + n_tomb) if (rows_live + n_tomb) else 0.0
+    )
+    skew = float(row.rows_max / row.rows_mean) if row.rows_mean else 0.0
+    rec: list[str] = []
+    if tombstone_frac >= tombstone_warn:
+        rec.append(
+            f"compact: {tombstone_frac:.1%} of ids are tombstoned — every "
+            "query pays the anti-join; rewrite the live set "
+            f"(compact_{family}_index)"
+        )
+    if float(row.files_per_part or 0) >= files_per_part_warn:
+        rec.append(
+            f"compact: {float(row.files_per_part):.1f} file sets per "
+            "partition (append debt) — probed scans open that many extra "
+            "footers"
+        )
+    if skew >= skew_warn:
+        rec.append(
+            f"retrain: hottest partition holds {skew:.1f}x the mean — "
+            "centroids no longer fit the data"
+            if family == "ivf"
+            else f"compact: hottest bucket holds {skew:.1f}x the mean — "
+            "re-apply the global bucket cap"
+        )
+    return {
+        "family": family,
+        "rows_live": rows_live,
+        "n_tombstones": n_tomb,
+        "tombstone_frac": round(tombstone_frac, 6),
+        "n_partitions": int(row.n_partitions),
+        "rows_max": int(row.rows_max or 0),
+        "rows_mean": round(float(row.rows_mean or 0.0), 3),
+        "skew": round(skew, 3),
+        "n_files": int(row.n_files or 0),
+        "files_per_part": round(float(row.files_per_part or 0.0), 3),
+        "quantized": quantized,
+        "recommendations": rec,
+    }

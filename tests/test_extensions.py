@@ -2150,3 +2150,46 @@ def test_split_corpus_group_key_is_leakage_safe(spark):
         docs.where(F.col("doc_id") % 3 == 0), weights, key_col="source"
     ).collect()
     assert all(per_src[r.source] == {r.split} for r in sub)
+
+
+def test_index_stats_reports_health_and_maintenance_triggers(spark, tmp_path):
+    """index_stats on a fresh IVF index is healthy (no
+    recommendations); appends raise file counts, deletes raise the
+    tombstone fraction past the threshold and trigger the compact
+    recommendation; compaction restores health. LSH family detected
+    from layout the same way."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    base = emb.where(F.col("vec_id") < 400)
+    similarity.save_ivf_index(base, path, n_centroids=8)
+
+    s0 = similarity.index_stats(spark, path)
+    assert s0["family"] == "ivf" and not s0["quantized"]
+    assert s0["rows_live"] == 400 and s0["n_tombstones"] == 0
+    assert s0["n_partitions"] == 8
+    assert s0["recommendations"] == []
+
+    # append the rest, then tombstone 80 ids (20% > 10% threshold)
+    similarity.append_to_ivf_index(
+        emb.where(F.col("vec_id") >= 400), path
+    )
+    s1 = similarity.index_stats(spark, path)
+    assert s1["rows_live"] == 500 and s1["n_files"] > s0["n_files"]
+
+    similarity.delete_from_index(spark, path, list(range(80)))
+    s2 = similarity.index_stats(spark, path)
+    assert s2["rows_live"] == 500  # stored rows unchanged until compact
+    assert s2["n_tombstones"] == 80
+    assert s2["tombstone_frac"] > 0.1
+    assert any(r.startswith("compact:") for r in s2["recommendations"])
+
+    similarity.compact_ivf_index(spark, path)
+    s3 = similarity.index_stats(spark, path)
+    assert s3["rows_live"] == 420 and s3["n_tombstones"] == 0
+    assert not any("tombston" in r for r in s3["recommendations"])
+
+    lsh_path = str(tmp_path / "lsh")
+    similarity.save_lsh_index(emb, lsh_path)
+    sl = similarity.index_stats(spark, lsh_path)
+    assert sl["family"] == "lsh" and sl["rows_live"] > 0
+    assert sl["n_partitions"] > 8  # (table, bucket) grid
