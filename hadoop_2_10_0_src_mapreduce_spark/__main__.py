@@ -84,7 +84,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     ix.add_argument(
         "action",
-        choices=("build", "query", "append", "delete", "compact", "stats"),
+        choices=("build", "query", "append", "delete", "compact", "stats",
+                 "rebuild"),
     )
     ix.add_argument("--family", choices=("ivf", "lsh"), default="ivf")
     ix.add_argument("--path", required=True, help="index directory")
@@ -254,6 +255,14 @@ def main(argv: list[str] | None = None) -> int:
             import json as _json
 
             print(_json.dumps(similarity.index_stats(spark, args.path)))
+        elif args.action == "rebuild":
+            if args.family != "ivf":
+                raise SystemExit(
+                    "rebuild is an IVF action (LSH planes are conf-derived "
+                    "and never drift; compact re-applies its global cap)"
+                )
+            similarity.rebuild_ivf_index(spark, args.path)
+            print(f"rebuilt ivf index at {args.path}")
         else:
             queries = emb.where(F.col("vec_id") < args.n_queries)
             serve = (

@@ -1154,7 +1154,12 @@ def save_ivf_index(
         home = quantize_embeddings(
             home, id_col=id_col, vec_col=vec_col, keep_cols=("list_id",)
         )
-    home.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
+    # cluster the write by the partition column: one task owns each
+    # list, so each directory gets ONE file set instead of one per
+    # shuffle task (the small-files debt index_stats would later flag)
+    home.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/lists")
 
 
 def query_ivf_index(
@@ -1297,7 +1302,9 @@ def save_lsh_index(
             stored, id_col=id_col, vec_col=vec_col,
             keep_cols=("table_idx", "bucket"),
         )
-    stored.write.mode("overwrite").partitionBy("table_idx", "bucket").parquet(
+    stored.repartition("table_idx", "bucket").write.mode(
+        "overwrite"
+    ).partitionBy("table_idx", "bucket").parquet(
         f"{path}/buckets"
     )
 
@@ -1487,12 +1494,22 @@ def append_to_ivf_index(
         .where(F.col("probe_rank") == 0)
         .drop("probe_rank")
     )
-    stored_schema = spark.read.parquet(f"{path}/lists").schema.fieldNames()
-    if "qvec" in stored_schema:
+    stored_schema = spark.read.parquet(f"{path}/lists").schema
+    if "qvec" in stored_schema.fieldNames():
         home = quantize_embeddings(
             home, id_col=id_col, vec_col=vec_col, keep_cols=("list_id",)
         )
-    home.write.mode("append").partitionBy("list_id").parquet(f"{path}/lists")
+    else:
+        # cast the batch's vector payload to the STORED element type:
+        # appending array<double> files into an array<float> index
+        # would fork the parquet physical schema and fail every
+        # subsequent read of the mixed partition
+        home = home.withColumn(
+            vec_col, F.col(vec_col).cast(stored_schema[vec_col].dataType)
+        )
+    home.repartition("list_id").write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/lists")
 
 
 def append_to_lsh_index(
@@ -1534,14 +1551,21 @@ def append_to_lsh_index(
         max_bucket=conf.max_bucket,
     )
     stored = capped.join(new_emb.select(id_col, vec_col), id_col)
-    if "qvec" in spark.read.parquet(f"{path}/buckets").schema.fieldNames():
+    bucket_schema = spark.read.parquet(f"{path}/buckets").schema
+    if "qvec" in bucket_schema.fieldNames():
         stored = quantize_embeddings(
             stored, id_col=id_col, vec_col=vec_col,
             keep_cols=("table_idx", "bucket"),
         )
-    stored.write.mode("append").partitionBy("table_idx", "bucket").parquet(
-        f"{path}/buckets"
-    )
+    else:
+        # same stored-type cast as the IVF twin: never fork the
+        # partition files' physical vector type
+        stored = stored.withColumn(
+            vec_col, F.col(vec_col).cast(bucket_schema[vec_col].dataType)
+        )
+    stored.repartition("table_idx", "bucket").write.mode(
+        "append"
+    ).partitionBy("table_idx", "bucket").parquet(f"{path}/buckets")
 
 
 def delete_from_index(
@@ -1580,11 +1604,16 @@ def _swap_rewrite(df: DataFrame, live: str, partition_cols: list[str]) -> None:
     """Atomic-swap rewrite of one index subdirectory — delegates to the
     shared ``sources.writers.atomic_swap_write`` (leftover-dir guards,
     refuse-empty-rewrite: compacting away the LAST vector would brick
-    the index; delete the directory instead)."""
+    the index; delete the directory instead). The rewrite is clustered
+    on the partition columns first so each directory comes out as ONE
+    file set — compaction that reproduced the input's fragmentation
+    would defeat its own purpose."""
     from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
         atomic_swap_write,
     )
 
+    if partition_cols:
+        df = df.repartition(*partition_cols)
     atomic_swap_write(df, live, partition_cols)
 
 
@@ -1764,3 +1793,100 @@ def index_stats(
         "quantized": quantized,
         "recommendations": rec,
     }
+
+
+def rebuild_ivf_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    n_iters: int = 5,
+    max_train: int = 4096,
+) -> None:
+    """RETRAIN an IVF index in place — the action ``index_stats``'s
+    skew recommendation points at. ``append_to_ivf_index`` keeps
+    centroids fixed by contract, so under real distribution drift the
+    hottest list grows unboundedly and probing degrades; the fix is a
+    periodic retrain on the CURRENT live corpus and a refile of every
+    vector under the new centroids, which this performs with the same
+    deterministic training path as the original build.
+
+    Corpus source: pass ``corpus`` (id, vec) to rebuild from the
+    source of truth — the right choice when the index is quantized,
+    since the only alternative is training on dequantized vectors
+    (error ≤ scale/2 per component, which this does, documented, when
+    ``corpus`` is omitted). Tombstoned ids are excluded either way and
+    the tombstone dir is dropped after the rewrite (the rebuild IS a
+    compaction). ``n_centroids`` defaults to the stored list count.
+
+    Both subdirectories are rewritten via ``atomic_swap_write``
+    (readers of EACH see old or new, never a mix), lists first, then
+    centroids. The cross-directory window is not atomic: a crash
+    between the two swaps leaves new lists under old centroids —
+    detectable (probe quality collapses) and HEALABLE by re-running
+    rebuild, because the lists always hold the full live vector set
+    regardless of how they are partitioned. A zero-downtime
+    alternative at cluster scale is building a fresh directory and
+    flipping a path pointer; this in-place form exists for the
+    single-writer maintenance schedule the CLI drives."""
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        atomic_swap_write,
+    )
+
+    stored = spark.read.parquet(f"{path}/lists")
+    was_q = "qvec" in stored.columns
+    if n_centroids is None:
+        n_centroids = (
+            spark.read.parquet(f"{path}/centroids").count()
+        )
+    if corpus is None:
+        sid = _index_id_col(stored, ("list_id", "qvec", "scale"))
+        live = _apply_tombstones(stored, path, sid)
+        if was_q:
+            corpus = dequantize_embeddings(
+                live, id_col=sid, out_col=vec_col
+            ).withColumnRenamed(sid, id_col)
+        else:
+            corpus = live.select(
+                F.col(sid).alias(id_col), F.col(vec_col)
+            )
+    else:
+        corpus = corpus.select(id_col, vec_col)
+        tomb = _tombstone_df(spark, path)
+        if tomb is not None:
+            corpus = corpus.join(
+                tomb.withColumnRenamed("id", id_col), id_col, "left_anti"
+            )
+
+    cents = train_ivf_centroids(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        n_iters=n_iters,
+        max_train=max_train,
+    )
+    home = (
+        ivf_assign(corpus, cents, vec_col=vec_col, n_probe=1, keep_vec=True)
+        .where(F.col("probe_rank") == 0)
+        .drop("probe_rank")
+    )
+    if was_q:
+        home = quantize_embeddings(
+            home, id_col=id_col, vec_col=vec_col, keep_cols=("list_id",)
+        )
+    _swap_rewrite(home, f"{path}/lists", ["list_id"])
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "list_id int, centroid array<double>",
+    ).coalesce(1)
+    atomic_swap_write(cent_df, f"{path}/centroids", [])
+    import pathlib
+    import shutil
+
+    t = pathlib.Path(path) / "tombstones"
+    if t.exists():
+        shutil.rmtree(t)

@@ -2193,3 +2193,59 @@ def test_index_stats_reports_health_and_maintenance_triggers(spark, tmp_path):
     sl = similarity.index_stats(spark, lsh_path)
     assert sl["family"] == "lsh" and sl["rows_live"] > 0
     assert sl["n_partitions"] > 8  # (table, bucket) grid
+
+
+def test_rebuild_ivf_index_equals_fresh_build_and_heals_drift(spark, tmp_path):
+    """rebuild_ivf_index == save_ivf_index built fresh over the same
+    live corpus (same deterministic training ⇒ identical centroids and
+    identical served results), excludes tombstoned ids, drops the
+    tombstone dir, and re-spreads a drifted corpus that append (fixed
+    centroids by contract) piled into one list."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    old = emb.where(F.col("vec_id") < 250)
+    path = str(tmp_path / "ivf_drift")
+    similarity.save_ivf_index(old, path, n_centroids=8)
+
+    # drift: a tight cluster far outside the training data, appended
+    drift = emb.where(F.col("vec_id") >= 250).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x * F.lit(0.5) + F.lit(10.0)
+        ).cast("array<float>").alias("embedding"),
+    )
+    similarity.append_to_ivf_index(drift, path)
+    s_before = similarity.index_stats(spark, path)
+    assert any(r.startswith("retrain:") for r in s_before["recommendations"])
+
+    similarity.delete_from_index(spark, path, [0, 1])
+    similarity.rebuild_ivf_index(spark, path)
+
+    s_after = similarity.index_stats(spark, path)
+    assert s_after["rows_live"] == 498 and s_after["n_tombstones"] == 0
+    assert s_after["skew"] < s_before["skew"]
+    # the drift blob IS one genuine cluster, so a retrain advisory may
+    # legitimately remain; what rebuild must clear is the maintenance
+    # debt: tombstones gone, and the clustered rewrite leaves ONE file
+    # set per list directory
+    assert not any(r.startswith("compact:") for r in s_after["recommendations"])
+    assert s_after["files_per_part"] <= 1.0
+
+    # equivalence: a fresh build over the identical live corpus serves
+    # bit-for-bit the same results
+    live = (
+        old.select("vec_id", "embedding")
+        .where(~F.col("vec_id").isin(0, 1))
+        .unionByName(drift)
+    )
+    fresh = str(tmp_path / "ivf_fresh")
+    similarity.save_ivf_index(live, fresh, n_centroids=8)
+    queries = emb.where(F.col("vec_id") < 6).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    a = similarity.query_ivf_index(queries, path, k=5, n_probe=3)
+    b = similarity.query_ivf_index(queries, fresh, k=5, n_probe=3)
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(a) == rows(b)
+    ca = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    cb = spark.read.parquet(f"{fresh}/centroids").orderBy("list_id").collect()
+    assert [tuple(r.centroid) for r in ca] == [tuple(r.centroid) for r in cb]
