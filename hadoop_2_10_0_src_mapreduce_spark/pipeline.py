@@ -545,6 +545,53 @@ def split_corpus(
     return docs.withColumn(split_col, split_assign(key_col or id_col, weights))
 
 
+def split_corpus_by_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """CLUSTER-SAFE splits — the strongest leakage guard: assign every
+    near-duplicate CLUSTER, not every document, to one split.
+    Per-document splits leak whenever two near-dups straddle train and
+    test (the test doc is effectively in the training set); per-source
+    splits (``key_col``) only guard within-source duplication. This
+    variant hashes the cluster REPRESENTATIVE (the smallest id
+    reachable through the near-dup pair graph —
+    ``dedup.duplicate_components``), so an entire duplicate cluster
+    moves as one unit regardless of which sources it spans; unpaired
+    documents are their own cluster and hash by their own id, making
+    the assignment IDENTICAL to ``split_corpus`` for them.
+
+    ``pairs`` is any near-dup pair frame ((id_a, id_b) — MinHash-LSH,
+    n-gram Jaccard, SemDeDup...). Scale shape: components shuffle
+    (id, label) ints, the join-back shuffles (id, rep), documents
+    shuffle once on id for the join — no text moves twice, and the
+    split itself stays one md5 projection.
+
+    Caveat (inherent, documented): cluster membership depends on the
+    pair graph, so unlike ``split_corpus`` the assignment is stable
+    only while the near-dup RELATION is — a new document that bridges
+    two clusters re-labels one side. Freeze the pair set with the
+    corpus snapshot when reproducibility across growth matters."""
+    comps = dedup.duplicate_components(pairs, id_a=id_a, id_b=id_b)
+    rep = F.coalesce(F.col("rep"), F.col(id_col))
+    return (
+        docs.join(
+            comps.withColumnRenamed("id", id_col),
+            id_col,
+            "left",
+        )
+        .withColumn("_skey", rep.cast("string"))
+        .withColumn(split_col, split_assign("_skey", weights))
+        .drop("rep", "_skey")
+    )
+
+
 def write_jsonl_shards(
     docs: DataFrame,
     path: str,

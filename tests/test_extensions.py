@@ -2249,3 +2249,37 @@ def test_rebuild_ivf_index_equals_fresh_build_and_heals_drift(spark, tmp_path):
     ca = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
     cb = spark.read.parquet(f"{fresh}/centroids").orderBy("list_id").collect()
     assert [tuple(r.centroid) for r in ca] == [tuple(r.centroid) for r in cb]
+
+
+def test_split_corpus_by_components_moves_clusters_whole(spark):
+    """Cluster-safe splits: every near-dup component lands in ONE
+    split (hashed by its representative), and unpaired documents get
+    exactly the assignment split_corpus would give them."""
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import (
+        split_corpus,
+        split_corpus_by_components,
+    )
+
+    weights = {"train": 0.6, "val": 0.2, "test": 0.2}
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(300)], ["doc_id", "text"]
+    )
+    # components: {0..9} chained, {100,101}, {200,201,202} via a cycle
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)]
+        + [(100, 101), (200, 201), (201, 202), (202, 200)],
+        ["id_a", "id_b"],
+    )
+    out = split_corpus_by_components(docs, pairs, weights).collect()
+    labels = {r.doc_id: r.split for r in out}
+    assert len(labels) == 300
+    for cluster in ([*range(10)], [100, 101], [200, 201, 202]):
+        assert len({labels[i] for i in cluster}) == 1, cluster
+    # unpaired docs: identical to the per-doc split
+    plain = {r.doc_id: r.split for r in split_corpus(docs, weights).collect()}
+    clustered = {*range(10), 100, 101, 200, 201, 202}
+    for i in range(300):
+        if i not in clustered:
+            assert labels[i] == plain[i]
+    # each cluster's shared label is the REPRESENTATIVE's per-doc label
+    assert labels[5] == plain[0] and labels[202] == plain[200]
