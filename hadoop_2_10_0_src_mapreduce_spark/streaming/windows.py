@@ -543,3 +543,81 @@ def stream_sessionize_stateful(
         timeMode="EventTime",
     )
     return _start_sink(sessions, "append", None, checkpoint_dir, out_dir)
+
+
+def stream_index_vectors(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    index_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """CONTINUOUS ANN INDEXING — the streaming face of
+    ``similarity.append_to_ivf_index``, completing the serving story:
+    build the IVF index offline once (``save_ivf_index`` — the
+    centroids define the filing function, so the index MUST already
+    exist at ``index_path``), then let this stream fold every new
+    embedding batch in while ``query_ivf_index`` keeps serving reads
+    against the same directory.
+
+    Per micro-batch: in-batch id dedup, then the same shuffle-free
+    membership test as the streaming corpus dedup
+    (``dedup.filter_novel_fps`` keyed on the id — the index side is
+    scanned column-pruned to ids only and NEVER enters an exchange),
+    then ``append_to_ivf_index`` files only the novel vectors under
+    the fixed centroids. The novel set is ``localCheckpoint``-ed
+    before the append for the same read-before-append lineage race the
+    corpus dedup documents. Ids are the identity: a vector id seen in
+    any earlier batch (or the offline build) is dropped, which makes
+    replays idempotent — at-least-once foreachBatch re-runs find
+    nothing novel. To UPDATE a vector, tombstone it out of band
+    (``delete_from_index``) and let the next batch re-add it.
+
+    ``compact_every=N`` runs ``compact_ivf_index`` after every Nth
+    batch (foreachBatch is sequential, so the atomic swap cannot race
+    a concurrent append from this stream): append debt and tombstones
+    are folded in on a cadence instead of by a separate scheduler.
+    Monitor with ``index_stats`` either way. Appends inherit the
+    stored-vector-type cast, so a double-typed JSON stream lands
+    correctly in a float-built index."""
+    from pyspark.errors import AnalysisException
+
+    from hadoop_2_10_0_src_mapreduce_spark.operators.dedup import (
+        filter_novel_fps,
+    )
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+        _index_id_col,
+        append_to_ivf_index,
+        compact_ivf_index,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch = batch_df.select(id_col, vec_col).dropDuplicates([id_col])
+        try:
+            stored = s.read.parquet(f"{index_path}/lists")
+        except AnalysisException as e:
+            raise ValueError(
+                f"stream_index_vectors needs an existing IVF index at "
+                f"{index_path} (save_ivf_index builds one; the centroids "
+                "define where appended vectors are filed)"
+            ) from e
+        sid = _index_id_col(stored, ("list_id", "qvec", "scale"))
+        seen = stored.select(F.col(sid).alias(id_col))
+        novel = filter_novel_fps(batch, seen, fp_col=id_col).localCheckpoint()
+        if novel.take(1):
+            append_to_ivf_index(
+                novel, index_path, id_col=id_col, vec_col=vec_col
+            )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_ivf_index(s, index_path)
+
+    src = spark.readStream.schema(schema).json(source_dir)
+    writer = src.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

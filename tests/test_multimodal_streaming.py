@@ -520,3 +520,74 @@ def test_windowed_agg_drops_events_beyond_watermark(spark, tmp_path_factory):
     assert day1 == [("2024-03-01", "A", 3)], rows2
     # day-3 finalized in pass 2 (watermark passed its end)
     assert ("2024-03-03", "A", 1) in rows2
+
+
+def test_stream_index_vectors_appends_novel_and_serves(spark, tmp_path_factory):
+    """Continuous ANN indexing: an offline-built IVF index absorbs
+    streamed embedding batches — novel ids filed under the fixed
+    centroids, already-indexed ids dropped (in the offline build, in
+    earlier batches, and across restarts), and the planted vector is
+    immediately servable; cadence compaction folds the append debt."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hadoop_2_10_0_src_mapreduce_spark.operators import similarity
+
+    base = tmp_path_factory.mktemp("stream_ivf")
+    src = base / "vecs"
+    src.mkdir()
+    idx, ckpt = str(base / "index"), str(base / "ckpt")
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    similarity.save_ivf_index(
+        emb.where(F.col("vec_id") < 300), idx, n_centroids=8
+    )
+    dim = len(emb.take(1)[0].embedding)
+    schema = "vec_id long, embedding array<double>"
+
+    def vec(i):
+        # directionally distinct per id (constant vectors would all be
+        # cosine-parallel and unservable-by-identity): unit vectors at
+        # angle i/10 rad, ≥0.1 rad apart for the ids used here
+        import math
+
+        a = i / 10.0
+        return [math.cos(a), math.sin(a)] + [0.0] * (dim - 2)
+
+    def write_wave(name, ids):
+        rows = [{"vec_id": i, "embedding": vec(i)} for i in ids]
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    # wave 1: 300 is already indexed? no — offline holds <300, so 300
+    # and 301 are novel, 5 is a dup of the offline build
+    write_wave("w1.json", [300, 301, 5])
+    q = sw.stream_index_vectors(
+        spark, str(src), schema, idx, checkpoint_dir=ckpt, compact_every=1
+    )
+    q.awaitTermination(120)
+    stored = spark.read.parquet(f"{idx}/lists")
+    counts = {
+        r.vec_id: r.c
+        for r in stored.groupBy("vec_id").agg(F.count("*").alias("c")).collect()
+    }
+    assert counts.get(300) == 1 and counts.get(301) == 1
+    assert counts.get(5) == 1  # the OFFLINE copy, not a second one
+    assert len(counts) == 302
+
+    # restart with a wave that repeats 300 and adds 302
+    write_wave("w2.json", [300, 302])
+    q2 = sw.stream_index_vectors(
+        spark, str(src), schema, idx, checkpoint_dir=ckpt
+    )
+    q2.awaitTermination(120)
+    stored = spark.read.parquet(f"{idx}/lists")
+    assert stored.count() == 303
+    assert stored.where(F.col("vec_id") == 300).count() == 1
+
+    # the streamed vector serves: exact self-match at distance ~0
+    probe = spark.createDataFrame(
+        [(900000, vec(302))], "vec_id long, embedding array<double>"
+    )
+    got = similarity.query_ivf_index(probe, idx, k=1, n_probe=8)
+    assert [r.neighbor_id for r in got.collect()] == [302]
