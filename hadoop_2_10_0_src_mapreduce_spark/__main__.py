@@ -102,6 +102,17 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("-D", dest="conf", action="append", default=[],
                     metavar="key=value", help="Spark conf override")
 
+    rp = sub.add_parser(
+        "report", help="corpus report card: per-source volume/dup/length/"
+        "quality/language profile in one aggregate pass"
+    )
+    rp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    rp.add_argument("--by", default="source",
+                    help="grouping column ('' for one whole-corpus row)")
+    rp.add_argument("--limit", type=int, default=50, help="rows to print")
+    rp.add_argument("-D", dest="conf", action="append", default=[],
+                    metavar="key=value", help="Spark conf override")
+
     mt = sub.add_parser(
         "maintain", help="compact a parquet table (optionally sort- or Z-order-clustered)"
     )
@@ -186,6 +197,19 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             out.show(args.limit, truncate=60)
+        return 0
+
+    if args.cmd == "report":
+        from hadoop_2_10_0_src_mapreduce_spark.pipeline import corpus_report
+        from hadoop_2_10_0_src_mapreduce_spark.session import get_spark
+        from hadoop_2_10_0_src_mapreduce_spark.sources.readers import load_table
+
+        spark = get_spark("cli:report", extra_conf=_conf_pairs(args.conf))
+        spark.sparkContext.setLogLevel("ERROR")
+        docs = load_table(spark, args.sf_dir, "documents")
+        corpus_report(
+            docs, source_col=args.by or None
+        ).show(args.limit, truncate=False)
         return 0
 
     if args.cmd == "maintain":

@@ -674,3 +674,80 @@ def pack_bins_to_sequences(
             "n_tokens",
         )
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str | None = None,
+) -> DataFrame:
+    """Corpus REPORT CARD — the profile a pipeline operator reads
+    before choosing mixture weights, quality thresholds, and dedup
+    budgets: one row per source (or one 'all' row) with volume,
+    duplication, length-distribution, quality, and language columns,
+    computed in ONE distributed aggregate over a single projection of
+    the corpus (per-doc features are pure Column expressions from
+    ``functions.text``; nothing shuffles except the per-source
+    aggregation of those scalars, so the report costs a token-quality
+    scan regardless of corpus size).
+
+    Returns (source, n_docs, n_distinct_fp, dup_frac, total_tokens,
+    p50_tokens, p90_tokens, mean_quality, top_lang, top_lang_frac):
+    dup_frac = 1 − distinct normalized fingerprints / docs (exact-dup
+    rate); percentiles are exact interpolated (``F.percentile``);
+    top_lang breaks ties lexicographically so the report is
+    deterministic."""
+    langs = sorted(T.STOPWORDS) + ["und", "zh"]
+    src = (
+        F.col(source_col) if source_col is not None else F.lit("all")
+    ).alias("source")
+    per_doc = docs.select(
+        src,
+        T.token_count(text_col).alias("_nt"),
+        T.quality_score(text_col).alias("_q"),
+        T.lang_id(text_col).alias("_lang"),
+        T.fingerprint(text_col).alias("_fp"),
+    )
+    lang_cnt = [
+        F.sum(F.when(F.col("_lang") == lang, 1).otherwise(0)).alias(f"_c_{lang}")
+        for lang in langs
+    ]
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("_fp").alias("n_distinct_fp"),
+        F.sum("_nt").cast("long").alias("total_tokens"),
+        F.percentile("_nt", 0.5).alias("_p50"),
+        F.percentile("_nt", 0.9).alias("_p90"),
+        F.avg("_q").alias("_mq"),
+        *lang_cnt,
+    )
+    # deterministic argmax over the fixed language set: sort (-count,
+    # lang) structs and take the head — same trick as lang_id itself
+    top = F.get(
+        F.sort_array(
+            F.array(*[
+                F.struct(
+                    (-F.col(f"_c_{lang}")).alias("neg"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang in langs
+            ])
+        ),
+        0,
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_distinct_fp",
+        F.round(1 - F.col("n_distinct_fp") / F.col("n_docs"), 6).alias(
+            "dup_frac"
+        ),
+        "total_tokens",
+        F.round("_p50", 3).alias("p50_tokens"),
+        F.round("_p90", 3).alias("p90_tokens"),
+        F.round("_mq", 6).alias("mean_quality"),
+        top["lang"].alias("top_lang"),
+        F.round(-top["neg"] / F.col("n_docs"), 6).alias("top_lang_frac"),
+    ).orderBy("source")

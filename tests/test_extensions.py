@@ -2283,3 +2283,48 @@ def test_split_corpus_by_components_moves_clusters_whole(spark):
             assert labels[i] == plain[i]
     # each cluster's shared label is the REPRESENTATIVE's per-doc label
     assert labels[5] == plain[0] and labels[202] == plain[200]
+
+
+def test_corpus_report_matches_pandas_recomputation(spark):
+    """corpus_report's single-pass aggregation == an independent
+    pandas aggregation of the same per-doc features (the per-doc
+    primitives themselves are oracle-checked elsewhere): counts,
+    dup_frac, exact interpolated percentiles, mean quality, and the
+    deterministic top-language argmax."""
+    import numpy as np
+
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import corpus_report
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    # plant exact dups + a non-en doc to exercise dup_frac and the
+    # lang tiebreak
+    extra = spark.createDataFrame(
+        [(9001, "the of and to a in is it", "x", "srcX", 1),
+         (9002, "THE of and  to a in is it", "x", "srcX", 1),  # dup of 9001
+         (9003, "der und die das ist ein nicht", "x", "srcX", 1)],
+        docs.columns,
+    )
+    docs = docs.unionByName(extra)
+    rep = {r.source: r for r in corpus_report(docs, source_col="source").collect()}
+
+    per_doc = docs.select(
+        "source",
+        T.token_count("text").alias("nt"),
+        T.quality_score("text").alias("q"),
+        T.lang_id("text").alias("lang"),
+        T.fingerprint("text").alias("fp"),
+    ).toPandas()
+    for src, g in per_doc.groupby("source"):
+        r = rep[src]
+        assert r.n_docs == len(g)
+        assert r.n_distinct_fp == g.fp.nunique()
+        assert abs(r.dup_frac - (1 - g.fp.nunique() / len(g))) < 1e-6
+        assert r.total_tokens == int(g.nt.sum())
+        assert abs(r.p50_tokens - np.percentile(g.nt, 50)) < 1e-6
+        assert abs(r.p90_tokens - np.percentile(g.nt, 90)) < 1e-6
+        assert abs(r.mean_quality - g.q.mean()) < 1e-5
+        counts = g.lang.value_counts()
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert r.top_lang == best[0]
+        assert abs(r.top_lang_frac - best[1] / len(g)) < 1e-6
+    assert rep["srcX"].dup_frac > 0  # the planted dup registered
