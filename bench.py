@@ -42,7 +42,7 @@ BRANCHED: dict[str, tuple[str, dict[str, bool]]] = {
         "gsplit": False, "chunk": False,
     }),
     "sessionize_reduce": ("branch", {"session": True, "cogroup": False}),
-    "join_asof": ("mode", {"asof": True, "range": False}),
+    "join_asof": ("mode", {"asof": True, "range": False, "overlap": False}),
     "window_tumbling_sliding": ("mode", {
         "tumbling": True, "sliding": True,
         "lag1": False, "mavg3": False, "cume": False, "prank": False,

@@ -260,3 +260,75 @@ def range_join(
         .where((point >= lo) & upper_ok)
         .drop("_bin")
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    *,
+    bin_width: float,
+    closed: str = "left",
+) -> DataFrame:
+    """Interval–INTERVAL overlap join — the two-sided generalization of
+    ``range_join``: every left row paired with every right row whose
+    [r_lo, r_hi) overlaps its [l_lo, l_hi) (``closed="both"`` for
+    closed intervals on both ends). The session-vs-session /
+    validity-window-vs-outage shape naive SQL writes as
+    ``a.lo < b.hi AND b.lo < a.hi`` — which Catalyst can only plan
+    nested-loop.
+
+    Scale shape: BOTH sides explode across the bins their interval
+    overlaps and meet in a plain equi join on the bin key — but unlike
+    the point case, an overlapping pair shares up to
+    ⌈overlap_len/bin_width⌉ bins, so matching in every shared bin
+    would duplicate pairs and force a distinct (a full shuffle of the
+    output). Instead each pair is claimed in exactly ONE bin — the bin
+    of ``greatest(l_lo, r_lo)``, the overlap's start, which both
+    replication ranges provably cover whenever the overlap is
+    non-empty — making the equality with that bin a pure post-filter:
+    no dedup, no extra exchange, output exactly the theta join's.
+    Replication cost is Σ⌈len/bin_width⌉ per side; pick ``bin_width``
+    near the median interval length. Degenerate intervals (empty under
+    the chosen closure) are dropped before the explode on both sides.
+    The two frames' column names must be disjoint (the join carries
+    both payloads)."""
+    if closed not in ("left", "both"):
+        raise ValueError(f"interval_join closed must be left|both, got {closed!r}")
+    if not bin_width > 0:
+        raise ValueError(f"interval_join bin_width must be > 0, got {bin_width!r}")
+    dup = set(left.columns) & set(right.columns)
+    if dup:
+        raise ValueError(
+            f"interval_join requires disjoint column names; shared: {sorted(dup)}"
+        )
+    llo, lhi = F.col(l_lo), F.col(l_hi)
+    rlo, rhi = F.col(r_lo), F.col(r_hi)
+    if closed == "both":
+        l_nonempty, r_nonempty = llo <= lhi, rlo <= rhi
+        overlap = (llo <= rhi) & (rlo <= lhi)
+    else:
+        l_nonempty, r_nonempty = llo < lhi, rlo < rhi
+        overlap = (llo < rhi) & (rlo < lhi)
+
+    def _binned(df, lo, hi, nonempty):
+        return df.where(nonempty).withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.floor(lo / F.lit(bin_width)), F.floor(hi / F.lit(bin_width))
+                )
+            ),
+        )
+
+    start_bin = F.floor(F.greatest(llo, rlo) / F.lit(bin_width))
+    return (
+        _binned(left, llo, lhi, l_nonempty)
+        .join(_binned(right, rlo, rhi, r_nonempty).withColumnRenamed("_bin", "_rbin"),
+              F.col("_bin") == F.col("_rbin"))
+        .where(overlap & (F.col("_bin") == start_bin))
+        .drop("_bin", "_rbin")
+    )

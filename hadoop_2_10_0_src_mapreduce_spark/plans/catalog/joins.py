@@ -188,6 +188,12 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 #           so the hash check proves the binning is invisible. Bands
 #           deliberately overlap (incl. a catch-all) so multi-match
 #           semantics are exercised; band_id rides in purchase_value.
+# 'overlap' — interval-INTERVAL: each click's value WINDOW
+#           [value, value+40) against every overlapping band
+#           (operators.joins.interval_join: both sides explode across
+#           their bins, pairs claimed only in the overlap-start bin so
+#           no dedup shuffle); oracle is the naive two-sided theta
+#           join, proving the one-bin-claim exact.
 
 _RANGE_BANDS = (
     (0, 0.0, 60.0),
@@ -221,16 +227,23 @@ SELECT mode, user_id, event_id, ts, purchase_value FROM (
     FROM clicks c
     JOIN (VALUES {_BANDS_SQL}) AS b(band_id, lo, hi)
       ON c.value >= b.lo AND c.value < b.hi
+    UNION ALL
+    SELECT 'overlap', c.user_id, c.event_id, c.ts,
+           CAST(b.band_id AS DOUBLE)
+    FROM clicks c
+    JOIN (VALUES {_BANDS_SQL}) AS b(band_id, lo, hi)
+      ON c.value < b.hi AND b.lo < c.value + 40
 )
 ORDER BY mode, user_id, event_id
 """
 
 
 @register("join_asof", _ASOF_ORACLE, tags=("join", "time-series"),
-          doc="Non-equi joins under a mode column: as-of join (union-merge + running last(); oracle is DuckDB's native ASOF JOIN) and binned range join (clicks to overlapping value bands; oracle is the naive BETWEEN theta join, proving the bin decomposition invisible).")
+          doc="Non-equi joins under a mode column: as-of join (union-merge + running last(); oracle is DuckDB's native ASOF JOIN), binned range join (clicks to overlapping value bands; oracle is the naive BETWEEN theta join, proving the bin decomposition invisible), and interval-interval OVERLAP join (click value windows vs bands; pairs claimed in the overlap-start bin only, so no dedup shuffle — oracle is the naive two-sided theta join).")
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_2_10_0_src_mapreduce_spark.operators.joins import (
         asof_join,
+        interval_join,
         range_join,
     )
 
@@ -260,7 +273,27 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("band_id").cast("double").alias("purchase_value"),
     )
-    return asof.unionByName(ranged).orderBy("mode", "user_id", "event_id")
+    overlapped = interval_join(
+        clicks.select(
+            "user_id", "event_id", "ts",
+            F.col("value").alias("c_lo"),
+            (F.col("value") + 40.0).alias("c_hi"),
+        ),
+        bands,
+        "c_lo", "c_hi", "lo", "hi",
+        bin_width=60.0,
+    ).select(
+        F.lit("overlap").alias("mode"),
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("band_id").cast("double").alias("purchase_value"),
+    )
+    return (
+        asof.unionByName(ranged)
+        .unionByName(overlapped)
+        .orderBy("mode", "user_id", "event_id")
+    )
 
 
 # --- skew-salted join (§2.4 scale helper) ------------------------------

@@ -596,3 +596,76 @@ def test_lint_plan_flags_killers_and_passes_clean_plans(spark, tmp_path):
         .count()
     )
     assert lint_plan(clean) == []
+
+
+def test_interval_join_matches_naive_theta_and_plans_equi(spark):
+    """The two-sided bin decomposition with one-bin pair claiming must
+    be invisible (same pairs as the naive overlap predicate, both
+    closures, with wide/degenerate/negative intervals and pairs that
+    share MANY bins) and must plan an equi join, not a nested loop."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.joins import interval_join
+
+    left = spark.createDataFrame(
+        [
+            (0, -300.0, -5.0),
+            (1, -10.0, 10.0),
+            (2, 0.0, 60.0),
+            (3, 40.0, 500.0),   # shares ~18 bins with rid=3 below
+            (4, 77.0, 77.0),    # empty under half-open, a point when closed
+            (5, 600.0, 100.0),  # inverted
+        ],
+        "lid long, llo double, lhi double",
+    )
+    right = spark.createDataFrame(
+        [
+            (0, -6.0, -5.5),
+            (1, 9.0, 41.0),
+            (2, 60.0, 60.0),
+            (3, 0.0, 499.0),
+            (4, 501.0, 700.0),
+        ],
+        "rid long, rlo double, rhi double",
+    )
+    for closed in ("left", "both"):
+        got = sorted(
+            (r.lid, r.rid)
+            for r in interval_join(
+                left, right, "llo", "lhi", "rlo", "rhi",
+                bin_width=25.0, closed=closed,
+            ).collect()
+        )
+        # the naive predicate alone "matches" EMPTY intervals (e.g.
+        # [60,60) against anything containing 60); true overlap
+        # semantics require both intervals non-empty, which the
+        # operator enforces by dropping degenerates pre-explode
+        if closed == "both":
+            pred = (
+                (F.col("llo") <= F.col("rhi")) & (F.col("rlo") <= F.col("lhi"))
+                & (F.col("llo") <= F.col("lhi")) & (F.col("rlo") <= F.col("rhi"))
+            )
+        else:
+            pred = (
+                (F.col("llo") < F.col("rhi")) & (F.col("rlo") < F.col("lhi"))
+                & (F.col("llo") < F.col("lhi")) & (F.col("rlo") < F.col("rhi"))
+            )
+        want = sorted(
+            (r.lid, r.rid)
+            for r in left.crossJoin(right).where(pred).collect()
+        )
+        assert got == want and got
+        # duplicate-free by construction (one-bin claim), without distinct
+        assert len(got) == len(set(got))
+
+    plan = (
+        interval_join(
+            left, right, "llo", "lhi", "rlo", "rhi", bin_width=25.0
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="disjoint"):
+        interval_join(left, left, "llo", "lhi", "llo", "lhi", bin_width=1.0)
+    with _pytest.raises(ValueError, match="bin_width"):
+        interval_join(left, right, "llo", "lhi", "rlo", "rhi", bin_width=0)
