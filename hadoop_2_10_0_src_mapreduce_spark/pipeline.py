@@ -751,3 +751,48 @@ def corpus_report(
         top["lang"].alias("top_lang"),
         F.round(-top["neg"] / F.col("n_docs"), 6).alias("top_lang_frac"),
     ).orderBy("source")
+
+
+def temperature_budgets(
+    docs: DataFrame,
+    total_budget: int,
+    *,
+    alpha: float = 0.3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> dict[str, int]:
+    """TEMPERATURE (α) SAMPLING weights — the standard multilingual /
+    multi-source mixing rule: sample source s with probability
+    ∝ (tokens_s)^α, so α=1 reproduces natural proportions, α=0 gives
+    uniform, and the usual α≈0.2–0.5 upweights small sources without
+    letting any one dominate. Returns the per-source token budget dict
+    ``sample_by_token_budget`` consumes: budget_s = total_budget ·
+    tokens_s^α / Σ tokens^α, capped at the source's own token count
+    (a budget above it would silently under-fill the mixture — the
+    cap surfaces as the realized total coming in under
+    ``total_budget``, which is the honest outcome when upsampling is
+    off the table; repeat-epoch the small sources at training time
+    instead).
+
+    One aggregate over token counts (never text) collapsed to a
+    #sources-sized driver dict — the same bounded collect the budget
+    sampler itself performs."""
+    if total_budget <= 0:
+        raise ValueError(f"total_budget must be > 0, got {total_budget}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    totals = {
+        r[source_col]: int(r.total)
+        for r in docs.groupBy(source_col)
+        .agg(F.sum(T.token_count(text_col)).alias("total"))
+        .collect()
+        if r.total
+    }
+    weights = {s: t ** alpha for s, t in totals.items()}
+    z = sum(weights.values())
+    if z == 0:
+        return {}
+    return {
+        s: min(totals[s], int(total_budget * w / z))
+        for s, w in weights.items()
+    }

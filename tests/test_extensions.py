@@ -2328,3 +2328,33 @@ def test_corpus_report_matches_pandas_recomputation(spark):
         assert r.top_lang == best[0]
         assert abs(r.top_lang_frac - best[1] / len(g)) < 1e-6
     assert rep["srcX"].dup_frac > 0  # the planted dup registered
+
+
+def test_temperature_budgets_interpolates_natural_to_uniform(spark):
+    """alpha=1 -> budgets proportional to natural token counts; alpha=0
+    -> uniform across sources; intermediate alpha upweights the small
+    source; budgets never exceed a source's own tokens; and the output
+    feeds sample_by_token_budget directly."""
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import (
+        sample_by_token_budget,
+        temperature_budgets,
+    )
+
+    rows = []
+    for i in range(90):
+        rows.append((i, "tok " * 50, "big"))
+    for i in range(90, 100):
+        rows.append((i, "tok " * 50, "small"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    # natural: big 4500 tokens, small 500
+    b1 = temperature_budgets(docs, 1000, alpha=1.0)
+    assert abs(b1["big"] / b1["small"] - 9.0) < 0.1
+    b0 = temperature_budgets(docs, 800, alpha=0.0)
+    assert b0["big"] == b0["small"] == 400
+    bt = temperature_budgets(docs, 1000, alpha=0.3)
+    assert 1.0 < bt["big"] / bt["small"] < 9.0  # between uniform and natural
+    # cap: a huge budget can't exceed the source's own token count
+    bc = temperature_budgets(docs, 10**9, alpha=0.0)
+    assert bc["big"] == 4500 and bc["small"] == 500
+    sampled = sample_by_token_budget(docs, bt)
+    assert 0 < sampled.count() <= 100
