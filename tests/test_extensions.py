@@ -2358,3 +2358,65 @@ def test_temperature_budgets_interpolates_natural_to_uniform(spark):
     assert bc["big"] == 4500 and bc["small"] == 500
     sampled = sample_by_token_budget(docs, bt)
     assert 0 < sampled.count() <= 100
+
+
+def test_bpe_train_matches_naive_reference_and_encode_roundtrips(spark):
+    """train_bpe == a from-scratch naive BPE (recount pairs per round,
+    count-desc/lex tie-break) on the same corpus; encoding applies
+    merges by rank, concatenation of a word's pieces reconstructs the
+    word exactly, and a repeated word compresses to one piece."""
+    from hadoop_2_10_0_src_mapreduce_spark.functions import bpe
+
+    texts = [
+        (0, "low low low low low lower lower newest newest newest"),
+        (1, "newest newest newest widest widest widest"),
+        (2, "low lowest newest widest wide new"),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+
+    # naive reference: full recount every round, same tie-break
+    from collections import Counter
+
+    words = Counter(
+        w for _, t in texts for w in t.lower().split()
+    )
+    vocab = {tuple(w): c for w, c in words.items()}
+    expect = []
+    for _ in range(12):
+        pc = Counter()
+        for syms, n in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pc[p] += n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pc[best] < 2:
+            break
+        expect.append(best)
+        vocab = {bpe._merge_word(s, best): n for s, n in vocab.items()}
+
+    merges = bpe.train_bpe(docs, 12)
+    assert merges == expect and len(merges) > 3
+
+    enc = bpe.bpe_encode(docs, merges).collect()
+    by_id = {r.doc_id: r for r in enc}
+    for i, t in texts:
+        toks = t.split()
+        pieces = by_id[i].bpe_tokens
+        assert by_id[i].n_bpe_tokens == len(pieces)
+        # roundtrip: pieces concatenate back to the original words
+        joined, k = [], []
+        for p in pieces:
+            k.append(p)
+            if "".join(k) == toks[len(joined)]:
+                joined.append("".join(k))
+                k = []
+        assert joined == toks and not k
+    # the most frequent word became a single token
+    assert "newest" in by_id[1].bpe_tokens
+
+    # determinism across invocations
+    assert bpe.train_bpe(docs, 12) == merges
+
+    with pytest.raises(ValueError):
+        bpe.train_bpe(docs, 0)
