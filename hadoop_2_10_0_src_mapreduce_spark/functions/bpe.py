@@ -156,8 +156,14 @@ def bpe_encode(
     documented Python boundary (the merge loop is inherently
     sequential per word; everything around it stays columnar)."""
     ranks = {pair: i for i, pair in enumerate(merges)}
-    schema = f"{id_col} long, {out_col} array<string>, n_bpe_tokens int"
-    tokened = docs.select(F.col(id_col), T.tokens(text_col).alias("_toks"))
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {out_col} array<string>, n_bpe_tokens int"
+    # NULL text tokenizes to a NULL array; coalesce to empty so the
+    # encoder emits an empty token list instead of crashing the task
+    tokened = docs.select(
+        F.col(id_col),
+        F.coalesce(T.tokens(text_col), F.array()).alias("_toks"),
+    )
 
     def enc(batches: Iterator["object"]) -> Iterator["object"]:
         import pandas as pd

@@ -1722,11 +1722,9 @@ def index_stats(
     if (p / "centroids").exists():
         family, live = "ivf", f"{path}/lists"
         part_cols = ["list_id"]
-        layout = ("list_id", "qvec", "scale")
     elif (p / "conf").exists():
         family, live = "lsh", f"{path}/buckets"
         part_cols = ["table_idx", "bucket"]
-        layout = ("table_idx", "bucket", "qvec", "scale")
     else:
         raise ValueError(f"no IVF or LSH index found at {path}")
 
@@ -1843,16 +1841,17 @@ def rebuild_ivf_index(
             spark.read.parquet(f"{path}/centroids").count()
         )
     if corpus is None:
+        # preserve the STORED id column name: renaming it to the
+        # id_col default would fork the index schema for any index
+        # built with a non-default id, silently breaking later
+        # appends/tombstones against the same directory
         sid = _index_id_col(stored, ("list_id", "qvec", "scale"))
+        id_col = sid
         live = _apply_tombstones(stored, path, sid)
         if was_q:
-            corpus = dequantize_embeddings(
-                live, id_col=sid, out_col=vec_col
-            ).withColumnRenamed(sid, id_col)
+            corpus = dequantize_embeddings(live, id_col=sid, out_col=vec_col)
         else:
-            corpus = live.select(
-                F.col(sid).alias(id_col), F.col(vec_col)
-            )
+            corpus = live.select(F.col(sid), F.col(vec_col))
     else:
         corpus = corpus.select(id_col, vec_col)
         tomb = _tombstone_df(spark, path)

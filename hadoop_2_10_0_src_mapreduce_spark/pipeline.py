@@ -568,7 +568,9 @@ def split_corpus_by_components(
     the assignment IDENTICAL to ``split_corpus`` for them.
 
     ``pairs`` is any near-dup pair frame ((id_a, id_b) — MinHash-LSH,
-    n-gram Jaccard, SemDeDup...). Scale shape: components shuffle
+    n-gram Jaccard, SemDeDup...). ``docs`` must not already carry a
+    ``rep`` or ``_skey`` column (the join/working names — validated).
+    Scale shape: components shuffle
     (id, label) ints, the join-back shuffles (id, rep), documents
     shuffle once on id for the join — no text moves twice, and the
     split itself stays one md5 projection.
@@ -578,6 +580,12 @@ def split_corpus_by_components(
     only while the near-dup RELATION is — a new document that bridges
     two clusters re-labels one side. Freeze the pair set with the
     corpus snapshot when reproducibility across growth matters."""
+    clash = {"rep", "_skey"}.intersection(docs.columns)
+    if clash:
+        raise ValueError(
+            f"split_corpus_by_components working columns collide with "
+            f"docs columns: {sorted(clash)}"
+        )
     comps = dedup.duplicate_components(pairs, id_a=id_a, id_b=id_b)
     rep = F.coalesce(F.col("rep"), F.col(id_col))
     return (
@@ -703,12 +711,17 @@ def corpus_report(
     src = (
         F.col(source_col) if source_col is not None else F.lit("all")
     ).alias("source")
+    # tokenize ONCE and share the array across the three token-level
+    # features (the measured lang_scores pattern — the regex is the
+    # scan's dominant per-row cost)
     per_doc = docs.select(
-        src,
-        T.token_count(text_col).alias("_nt"),
-        T.quality_score(text_col).alias("_q"),
-        T.lang_id(text_col).alias("_lang"),
-        T.fingerprint(text_col).alias("_fp"),
+        src, F.col(text_col).alias("_t"), T.tokens(text_col).alias("_toks")
+    ).select(
+        "source",
+        F.size("_toks").alias("_nt"),
+        T.quality_score("_t", F.col("_toks")).alias("_q"),
+        T.lang_id("_t", F.col("_toks")).alias("_lang"),
+        T.fingerprint("_t").alias("_fp"),
     )
     lang_cnt = [
         F.sum(F.when(F.col("_lang") == lang, 1).otherwise(0)).alias(f"_c_{lang}")

@@ -2420,3 +2420,56 @@ def test_bpe_train_matches_naive_reference_and_encode_roundtrips(spark):
 
     with pytest.raises(ValueError):
         bpe.train_bpe(docs, 0)
+
+
+def test_bpe_encode_handles_null_text_and_string_ids(spark):
+    """Review fixes pinned: NULL text encodes to an empty token list
+    (not a task crash), and a string id column rides through the
+    Arrow schema."""
+    from hadoop_2_10_0_src_mapreduce_spark.functions import bpe
+
+    docs = spark.createDataFrame(
+        [("a#0", "low low lower"), ("b#1", None), ("c#2", "")],
+        "doc_id string, text string",
+    )
+    merges = bpe.train_bpe(
+        spark.createDataFrame([(1, "low low low lower")], ["i", "text"]), 4
+    )
+    rows = {r.doc_id: r for r in bpe.bpe_encode(docs, merges).collect()}
+    assert rows["a#0"].n_bpe_tokens > 0
+    assert rows["b#1"].bpe_tokens == [] and rows["b#1"].n_bpe_tokens == 0
+    assert rows["c#2"].n_bpe_tokens == 0
+
+
+def test_rebuild_preserves_nondefault_id_column(spark, tmp_path):
+    """Review fix pinned: rebuilding an index built with a non-default
+    id column must keep that column name (renaming would fork the
+    schema for later appends/tombstones)."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        F.col("vec_id").alias("item_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_named")
+    similarity.save_ivf_index(emb, path, id_col="item_id", n_centroids=4)
+    similarity.rebuild_ivf_index(spark, path)
+    cols = spark.read.parquet(f"{path}/lists").columns
+    assert "item_id" in cols and "vec_id" not in cols
+    # and the lifecycle keeps composing against the same directory
+    similarity.delete_from_index(spark, path, [0], id_col="item_id")
+    similarity.compact_ivf_index(spark, path)
+    assert (
+        spark.read.parquet(f"{path}/lists")
+        .where(F.col("item_id") == 0)
+        .count()
+        == 0
+    )
+
+
+def test_split_by_components_rejects_colliding_columns(spark):
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import (
+        split_corpus_by_components,
+    )
+
+    docs = spark.createDataFrame([(1, "t", 5)], ["doc_id", "text", "rep"])
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="collide"):
+        split_corpus_by_components(docs, pairs, {"train": 1.0})
