@@ -540,6 +540,24 @@ def test_no_library_composition_plans_a_scale_killer(spark, tmp_path):
     path = str(tmp_path / "ivf_m")
     similarity.save_ivf_index(emb.where(F.col("vec_id") % 2 == 0), path, n_centroids=4)
 
+    from hadoop_2_10_0_src_mapreduce_spark.operators.joins import interval_join
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import (
+        chunk_documents,
+        corpus_report,
+        split_corpus_by_components,
+    )
+
+    iv_l = spark.range(20).select(
+        F.col("id").alias("lid"),
+        F.col("id").cast("double").alias("llo"),
+        (F.col("id") + 3.0).alias("lhi"),
+    )
+    iv_r = spark.range(20).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 1.5).alias("rlo"),
+        (F.col("id") * 1.5 + 2.0).alias("rhi"),
+    )
+    pairs_df = spark.createDataFrame([(0, 1), (2, 3)], ["id_a", "id_b"])
     plans = {
         "boilerplate": dedup.drop_boilerplate_lines(docs, "text", "doc_id"),
         "contamination_report": dedup.contamination_report(
@@ -550,6 +568,14 @@ def test_no_library_composition_plans_a_scale_killer(spark, tmp_path):
             emb.select("vec_id", "embedding"),
             similarity._load_ivf_centroids(spark, path),
             n_probe=1, keep_vec=True,
+        ),
+        "chunking": chunk_documents(docs, max_tokens=4, overlap=1),
+        "corpus_report": corpus_report(docs),
+        "component_split": split_corpus_by_components(
+            docs, pairs_df, {"train": 0.9, "val": 0.1}
+        ),
+        "interval_join": interval_join(
+            iv_l, iv_r, "llo", "lhi", "rlo", "rhi", bin_width=2.0
         ),
     }
     offenders = []
