@@ -41,7 +41,9 @@ BRANCHED: dict[str, tuple[str, dict[str, bool]]] = {
         "rollup": True, "decontam": False, "split": False,
         "gsplit": False, "chunk": False,
     }),
-    "sessionize_reduce": ("branch", {"session": True, "cogroup": False}),
+    "sessionize_reduce": ("branch", {
+        "session": True, "cogroup": False, "funnel": False,
+    }),
     "join_asof": ("mode", {"asof": True, "range": False, "overlap": False}),
     "window_tumbling_sliding": ("mode", {
         "tumbling": True, "sliding": True,

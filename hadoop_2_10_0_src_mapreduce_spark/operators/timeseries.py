@@ -63,3 +63,62 @@ def rolling_metrics(
         F.sum(v).over(wc).alias("cume"),
         F.round(F.percent_rank().over(wv), round_digits).alias("prank"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered FUNNEL analysis — how deep each user progresses through
+    an event-type sequence (view → click → purchase), the conversion
+    query every event pipeline runs. Stage semantics: stage k counts
+    iff the user has a stage-k event STRICTLY AFTER their stage-(k−1)
+    completion time, where completion time is the EARLIEST qualifying
+    event (earliest stage-1 event; then earliest stage-2 event after
+    it; ...) — the standard unordered-window-free funnel definition,
+    fully deterministic and relational, so a SQL oracle can replay it
+    with chained min-after joins.
+
+    Returns one row per user with ≥1 first-stage event:
+    (user_col, stages_completed, stage_ts array<ts_type> — the
+    per-stage completion times, null-padded after the drop-off —
+    start_ts, end_ts = first/deepest completion).
+
+    Scale shape: K−1 rounds of filtered-scan → per-user min → equi
+    join on the user key (broadcastable while the surviving funnel
+    population is small, which is what funnels do); no windows over
+    raw events, no Python, no nested loop. Users, never events, ride
+    the joins after round 0."""
+    if len(stages) < 2:
+        raise ValueError(f"funnel needs >= 2 stages, got {stages!r}")
+    u, t = F.col(user_col), F.col(ts_col)
+    cur = (
+        events.where(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(t).alias("_ts0"))
+    )
+    for k, st in enumerate(stages[1:], 1):
+        nxt = (
+            events.where(F.col(type_col) == st)
+            .select(user_col, ts_col)
+            .join(cur.select(user_col, f"_ts{k-1}"), user_col)
+            .where(t > F.col(f"_ts{k-1}"))
+            .groupBy(user_col)
+            .agg(F.min(t).alias(f"_ts{k}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    ts_cols = [F.col(f"_ts{k}") for k in range(len(stages))]
+    completed = sum(
+        (F.when(c.isNotNull(), 1).otherwise(0) for c in ts_cols), F.lit(0)
+    )
+    return cur.select(
+        u,
+        completed.cast("long").alias("stages_completed"),
+        F.array(*ts_cols).alias("stage_ts"),
+        F.col("_ts0").alias("start_ts"),
+        F.coalesce(*reversed(ts_cols)).alias("end_ts"),
+    )

@@ -48,6 +48,13 @@ def pipe_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 #             The oracle re-derives it declaratively (left join + full
 #             outer), so the hash check proves the imperative reducer
 #             equals the relational semantics.
+# 'funnel'  — ordered view→click→purchase conversion depth per user
+#             (operators.timeseries.funnel: chained earliest-after
+#             min+join rounds, users-not-events ride the joins) over
+#             the value≥150 event subset so real drop-offs occur;
+#             session_id/n_events carry stages_completed, start_ts/
+#             end_ts the first/deepest completion. Oracle replays the
+#             same chained min-after CTEs.
 
 _GAP_MIN = 720  # 12h — events average ~10.7h apart per user, so this splits
 
@@ -88,13 +95,48 @@ SELECT branch, user_id, session_id, n_events, start_ts, end_ts FROM (
            CAST(-1 AS BIGINT), COALESCE(ca.n, 0),
            le.last_err, ca.end_ts
     FROM ca FULL OUTER JOIN le ON ca.user_id = le.user_id
+    UNION ALL
+    SELECT 'funnel', f0.user_id,
+           CAST(1 + CASE WHEN f1.ts1 IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN f2.ts2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT),
+           CAST(1 + CASE WHEN f1.ts1 IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN f2.ts2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT),
+           f0.ts0, COALESCE(f2.ts2, f1.ts1, f0.ts0)
+    FROM (
+        SELECT user_id, MIN(ts) AS ts0 FROM events
+        WHERE event_type = 'view' AND value >= 150 GROUP BY user_id
+    ) f0
+    LEFT JOIN (
+        SELECT e.user_id, MIN(e.ts) AS ts1
+        FROM events e
+        JOIN (SELECT user_id, MIN(ts) AS ts0 FROM events
+              WHERE event_type = 'view' AND value >= 150 GROUP BY user_id) v
+          ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.value >= 150 AND e.ts > v.ts0
+        GROUP BY e.user_id
+    ) f1 ON f0.user_id = f1.user_id
+    LEFT JOIN (
+        SELECT e.user_id, MIN(e.ts) AS ts2
+        FROM events e
+        JOIN (
+            SELECT e.user_id, MIN(e.ts) AS ts1
+            FROM events e
+            JOIN (SELECT user_id, MIN(ts) AS ts0 FROM events
+                  WHERE event_type = 'view' AND value >= 150 GROUP BY user_id) v
+              ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.value >= 150 AND e.ts > v.ts0
+            GROUP BY e.user_id
+        ) c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.value >= 150 AND e.ts > c.ts1
+        GROUP BY e.user_id
+    ) f2 ON f0.user_id = f2.user_id
 )
 ORDER BY branch, user_id, session_id
 """
 
 
 @register("sessionize_reduce", _SESSIONIZE_ORACLE, tags=("udf", "secondary-sort"),
-          doc="Secondary-sort reducers under a branch column: per-user gap sessionization (applyInPandas-style bounded reducer) and DATAJOIN cogroup-reduce parity (clicks-after-last-error per user; oracle re-derives the imperative merge relationally).")
+          doc="Secondary-sort reducers under a branch column: per-user gap sessionization (applyInPandas-style bounded reducer), DATAJOIN cogroup-reduce parity (clicks-after-last-error per user; oracle re-derives the imperative merge relationally), and ordered FUNNEL conversion depth (chained earliest-after min+join rounds; oracle replays the same CTE chain).")
 def sessionize_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     session = udfmod.sessionize(ev, gap_minutes=_GAP_MIN).select(
@@ -148,8 +190,23 @@ def sessionize_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, session_id long, n_events long, "
         "start_ts timestamp, end_ts timestamp",
     ).select(F.lit("cogroup").alias("branch"), "*")
-    return session.unionByName(cogrouped).orderBy(
-        "branch", "user_id", "session_id"
+
+    from hadoop_2_10_0_src_mapreduce_spark.operators.timeseries import funnel
+
+    funneled = funnel(
+        ev.where(F.col("value") >= 150), ["view", "click", "purchase"]
+    ).select(
+        F.lit("funnel").alias("branch"),
+        "user_id",
+        F.col("stages_completed").alias("session_id"),
+        F.col("stages_completed").alias("n_events"),
+        "start_ts",
+        "end_ts",
+    )
+    return (
+        session.unionByName(cogrouped)
+        .unionByName(funneled)
+        .orderBy("branch", "user_id", "session_id")
     )
 
 

@@ -192,3 +192,47 @@ def test_cogroup_reduce_same_lineage_keeps_right_columns(spark):
         ).collect()
     }
     assert rows == {1: 20, 2: -1}
+
+
+def test_funnel_depth_semantics_with_planted_dropoffs(spark):
+    """Planted users at every funnel depth: the stage-k completion is
+    the EARLIEST stage-k event strictly after stage-(k-1) completion —
+    a click BEFORE the first view must not count, equal timestamps
+    must not count (strict), and users with no first-stage event are
+    absent."""
+    import datetime as dt
+
+    from hadoop_2_10_0_src_mapreduce_spark.operators.timeseries import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    rows = [
+        # u1: full funnel in order
+        (1, m(0), "view"), (1, m(5), "click"), (1, m(9), "purchase"),
+        # u2: click BEFORE the view -> depth 1
+        (2, m(3), "click"), (2, m(4), "view"),
+        # u3: click at the SAME ts as view (strict) -> depth 1
+        (3, m(0), "view"), (3, m(0), "click"),
+        # u4: view+click, purchase before click -> depth 2
+        (4, m(0), "view"), (4, m(2), "click"), (4, m(1), "purchase"),
+        # u5: no view at all -> absent
+        (5, m(0), "click"), (5, m(1), "purchase"),
+        # u6: second view is what chains (earliest view is used; click
+        # after it counts even though it precedes a later view)
+        (6, m(0), "view"), (6, m(10), "view"), (6, m(4), "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r.user_id: (r.stages_completed, r.start_ts, r.end_ts)
+        for r in funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 6}
+    assert got[1] == (3, m(0), m(9))
+    assert got[2][0] == 1 and got[3][0] == 1
+    assert got[4] == (2, m(0), m(2))
+    assert got[6] == (2, m(0), m(4))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stages"):
+        funnel(ev, ["view"])
