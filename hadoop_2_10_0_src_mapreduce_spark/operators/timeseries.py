@@ -72,6 +72,7 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_gap_minutes: int | None = None,
 ) -> DataFrame:
     """Ordered FUNNEL analysis — how deep each user progresses through
     an event-type sequence (view → click → purchase), the conversion
@@ -92,9 +93,21 @@ def funnel(
     join on the user key (broadcastable while the surviving funnel
     population is small, which is what funnels do); no windows over
     raw events, no Python, no nested loop. Users, never events, ride
-    the joins after round 0."""
+    the joins after round 0.
+
+    ``max_gap_minutes`` adds the CONVERSION-WINDOW constraint real
+    funnel reporting uses: stage k only counts within that many
+    minutes of the stage-(k−1) completion — a purchase three weeks
+    after the click is not a conversion. The constraint composes with
+    the earliest-after rule as a plain upper bound on the same min:
+    whenever ANY qualifying in-window event exists, the earliest one
+    is in-window too."""
     if len(stages) < 2:
         raise ValueError(f"funnel needs >= 2 stages, got {stages!r}")
+    if max_gap_minutes is not None and max_gap_minutes <= 0:
+        raise ValueError(
+            f"max_gap_minutes must be > 0, got {max_gap_minutes}"
+        )
     u, t = F.col(user_col), F.col(ts_col)
     cur = (
         events.where(F.col(type_col) == stages[0])
@@ -102,11 +115,17 @@ def funnel(
         .agg(F.min(t).alias("_ts0"))
     )
     for k, st in enumerate(stages[1:], 1):
+        prev = F.col(f"_ts{k-1}")
+        window_ok = (
+            t <= prev + F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+            if max_gap_minutes is not None
+            else F.lit(True)
+        )
         nxt = (
             events.where(F.col(type_col) == st)
             .select(user_col, ts_col)
             .join(cur.select(user_col, f"_ts{k-1}"), user_col)
-            .where(t > F.col(f"_ts{k-1}"))
+            .where((t > prev) & window_ok)
             .groupBy(user_col)
             .agg(F.min(t).alias(f"_ts{k}"))
         )

@@ -236,3 +236,38 @@ def test_funnel_depth_semantics_with_planted_dropoffs(spark):
 
     with _pytest.raises(ValueError, match="stages"):
         funnel(ev, ["view"])
+
+
+def test_funnel_conversion_window(spark):
+    """max_gap_minutes: a stage event beyond the window does not
+    convert even though it is the earliest-after; within the window it
+    does; validation rejects non-positive gaps."""
+    import datetime as dt
+
+    from hadoop_2_10_0_src_mapreduce_spark.operators.timeseries import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    ev = spark.createDataFrame(
+        [
+            (1, m(0), "view"), (1, m(30), "click"),    # in window
+            (2, m(0), "view"), (2, m(90), "click"),    # beyond 60-min gap
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r.user_id: r.stages_completed
+        for r in funnel(ev, ["view", "click"], max_gap_minutes=60).collect()
+    }
+    assert got == {1: 2, 2: 1}
+    # without the window, both convert
+    got_open = {
+        r.user_id: r.stages_completed
+        for r in funnel(ev, ["view", "click"]).collect()
+    }
+    assert got_open == {1: 2, 2: 2}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_gap"):
+        funnel(ev, ["view", "click"], max_gap_minutes=0)
