@@ -102,6 +102,18 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("-D", dest="conf", action="append", default=[],
                     metavar="key=value", help="Spark conf override")
 
+    bp = sub.add_parser(
+        "bpe", help="train a BPE vocabulary on the documents table and "
+        "show the merges + an encoded sample"
+    )
+    bp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    bp.add_argument("--merges", type=int, default=64,
+                    help="number of merge rules to learn")
+    bp.add_argument("--limit", type=int, default=5,
+                    help="sample documents to encode")
+    bp.add_argument("-D", dest="conf", action="append", default=[],
+                    metavar="key=value", help="Spark conf override")
+
     rp = sub.add_parser(
         "report", help="corpus report card: per-source volume/dup/length/"
         "quality/language profile in one aggregate pass"
@@ -197,6 +209,23 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             out.show(args.limit, truncate=60)
+        return 0
+
+    if args.cmd == "bpe":
+        from pyspark.sql import functions as F
+
+        from hadoop_2_10_0_src_mapreduce_spark.functions import bpe
+        from hadoop_2_10_0_src_mapreduce_spark.session import get_spark
+        from hadoop_2_10_0_src_mapreduce_spark.sources.readers import load_table
+
+        spark = get_spark("cli:bpe", extra_conf=_conf_pairs(args.conf))
+        spark.sparkContext.setLogLevel("ERROR")
+        docs = load_table(spark, args.sf_dir, "documents")
+        merges = bpe.train_bpe(docs, args.merges)
+        print(f"{len(merges)} merges; top 20: {bpe.bpe_vocab(merges)[:20]}")
+        bpe.bpe_encode(
+            docs.where(F.col("doc_id") < args.limit), merges
+        ).orderBy("doc_id").show(args.limit, truncate=80)
         return 0
 
     if args.cmd == "report":
