@@ -639,3 +639,41 @@ def test_chunk_documents_matches_naive_reference(
         if corpus
     }
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-50, 200), st.integers(0, 60)),
+        min_size=1, max_size=15,
+    ),
+    st.lists(
+        st.tuples(st.integers(-50, 200), st.integers(0, 60)),
+        min_size=1, max_size=15,
+    ),
+    st.sampled_from([3.0, 7.5, 25.0, 100.0]),
+)
+def test_interval_join_property_vs_naive(spark, lspec, rspec, bin_width):
+    """interval_join == the naive O(n·m) overlap scan for arbitrary
+    interval sets (including zero-length and many-bin spans) at every
+    bin width, with no duplicate pairs."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.joins import interval_join
+
+    L = [(i, float(lo), float(lo + ln)) for i, (lo, ln) in enumerate(lspec)]
+    R = [(j, float(lo), float(lo + ln)) for j, (lo, ln) in enumerate(rspec)]
+    left = spark.createDataFrame(L, "lid long, llo double, lhi double")
+    right = spark.createDataFrame(R, "rid long, rlo double, rhi double")
+    got = [
+        (r.lid, r.rid)
+        for r in interval_join(
+            left, right, "llo", "lhi", "rlo", "rhi", bin_width=bin_width
+        ).collect()
+    ]
+    want = sorted(
+        (i, j)
+        for i, alo, ahi in L
+        for j, blo, bhi in R
+        if alo < ahi and blo < bhi and alo < bhi and blo < ahi
+    )
+    assert sorted(got) == want
+    assert len(got) == len(set(got))
