@@ -2473,3 +2473,64 @@ def test_split_by_components_rejects_colliding_columns(spark):
     pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
     with pytest.raises(ValueError, match="collide"):
         split_corpus_by_components(docs, pairs, {"train": 1.0})
+
+
+def test_training_prep_last_mile_composes(spark, tmp_path):
+    """The full last mile composes on real fixtures: clean corpus ->
+    chunk to sequence length -> BPE-tokenize the chunks -> pack chunks
+    into token-budget bins using the BPE counts -> publish JSONL.
+    Every stage consumes exactly what the previous one emits, and the
+    published shard set reloads to the packed sequences."""
+    from hadoop_2_10_0_src_mapreduce_spark import pipeline as P
+    from hadoop_2_10_0_src_mapreduce_spark.functions import bpe
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    clean = P.prepare_training_corpus(docs, min_quality=0.2, min_tokens=3)
+
+    chunks = P.chunk_documents(
+        clean, text_col="text", id_col="id", max_tokens=24, overlap=4
+    ).select(
+        F.concat_ws("#", "id", "chunk_idx").alias("cid"),
+        F.col("chunk_text"),
+    )
+    assert chunks.count() > clean.count()  # long docs actually split
+
+    merges = bpe.train_bpe(
+        chunks.select(F.col("chunk_text").alias("text")), 32
+    )
+    toked = bpe.bpe_encode(
+        chunks, merges, text_col="chunk_text", id_col="cid"
+    )
+    assert toked.where(F.col("n_bpe_tokens") <= 0).count() == 0
+
+    # pack on BPE counts: join counts back to text, bin to ~8 chunks
+    packable = chunks.join(toked.select("cid", "n_bpe_tokens"), "cid")
+    bins = P.assign_packing_bins(
+        packable.select(
+            F.col("cid").alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        ),
+        target_tokens=256,
+        auto_shards=4,
+    )
+    seqs = P.pack_bins_to_sequences(
+        packable.select(
+            F.col("cid").alias("doc_id"), F.col("chunk_text").alias("text")
+        ),
+        bins,
+        shard_col="_shard",
+    )
+    rows = seqs.collect()
+    assert rows and all(r.n_tokens <= 256 + 24 for r in rows)
+
+    out = str(tmp_path / "published")
+    P.write_jsonl_shards(
+        seqs.select(
+            F.concat_ws("-", "_shard", "bin").alias("doc_id"),
+            F.col("seq_text").alias("text"),
+        ),
+        out,
+        rows_per_shard=50,
+    )
+    back = spark.read.json(out)
+    assert back.count() == len(rows)
