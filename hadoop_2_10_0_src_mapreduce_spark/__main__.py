@@ -212,8 +212,6 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "bpe":
-        from pyspark.sql import functions as F
-
         from hadoop_2_10_0_src_mapreduce_spark.functions import bpe
         from hadoop_2_10_0_src_mapreduce_spark.session import get_spark
         from hadoop_2_10_0_src_mapreduce_spark.sources.readers import load_table
@@ -223,9 +221,10 @@ def main(argv: list[str] | None = None) -> int:
         docs = load_table(spark, args.sf_dir, "documents")
         merges = bpe.train_bpe(docs, args.merges)
         print(f"{len(merges)} merges; top 20: {bpe.bpe_vocab(merges)[:20]}")
-        bpe.bpe_encode(
-            docs.where(F.col("doc_id") < args.limit), merges
-        ).orderBy("doc_id").show(args.limit, truncate=80)
+        sample = docs.orderBy("doc_id").limit(args.limit)
+        bpe.bpe_encode(sample, merges).orderBy("doc_id").show(
+            args.limit, truncate=80
+        )
         return 0
 
     if args.cmd == "report":

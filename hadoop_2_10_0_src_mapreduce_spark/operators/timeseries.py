@@ -104,11 +104,25 @@ def funnel(
     is in-window too."""
     if len(stages) < 2:
         raise ValueError(f"funnel needs >= 2 stages, got {stages!r}")
-    if max_gap_minutes is not None and max_gap_minutes <= 0:
+    if max_gap_minutes is not None and (
+        not isinstance(max_gap_minutes, int) or max_gap_minutes <= 0
+    ):
+        # the value is interpolated into an INTERVAL literal — a float
+        # would fail deep in analysis with an opaque parse error
         raise ValueError(
-            f"max_gap_minutes must be > 0, got {max_gap_minutes}"
+            f"max_gap_minutes must be a positive int, got {max_gap_minutes!r}"
+        )
+    working = {f"_ts{k}" for k in range(len(stages))}
+    clash = working.intersection((user_col, ts_col))
+    if clash:
+        raise ValueError(
+            f"user_col/ts_col collide with funnel working columns: "
+            f"{sorted(clash)}"
         )
     u, t = F.col(user_col), F.col(ts_col)
+    # NULL timestamps can never order against anything — drop them up
+    # front so no user surfaces as an impossible depth-0 row
+    events = events.where(t.isNotNull())
     cur = (
         events.where(F.col(type_col) == stages[0])
         .groupBy(user_col)

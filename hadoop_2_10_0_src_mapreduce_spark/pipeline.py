@@ -369,6 +369,7 @@ def assign_packing_bins(
     shard_col: str | None = None,
     auto_shards: int | None = None,
     max_global_window_rows: int = 1_000_000,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Sequence PACKING assignment: group documents into bins of
     ~``target_tokens`` so a downstream step can concatenate each bin
@@ -392,6 +393,11 @@ def assign_packing_bins(
     document (truncation of that tail is the caller's policy), and a
     document that crosses several boundaries still belongs to exactly
     one bin.
+
+    ``count_col`` packs on a PRECOMPUTED per-row token count (e.g.
+    the BPE counts ``bpe_encode`` emits — the budget that actually
+    matters once a real tokenizer exists) instead of re-deriving
+    whitespace counts from ``text_col``, which then goes unread.
 
     Returns (shard?, bin, id, n_tokens, bin_tokens) — the bound above
     is pinned by test."""
@@ -421,9 +427,12 @@ def assign_packing_bins(
     w = Window.partitionBy(*part).orderBy(id_col) if part else (
         Window.orderBy(id_col)
     )
-    sized = docs.select(
-        *part, F.col(id_col), T.token_count(text_col).alias("n_tokens")
+    n_expr = (
+        F.col(count_col).cast("long")
+        if count_col is not None
+        else T.token_count(text_col)
     )
+    sized = docs.select(*part, F.col(id_col), n_expr.alias("n_tokens"))
     csum = F.sum("n_tokens").over(w)
     binned = sized.withColumn(
         "bin",

@@ -51,12 +51,19 @@ def pipe_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 'funnel'  — ordered view→click→purchase conversion depth per user
 #             (operators.timeseries.funnel: chained earliest-after
 #             min+join rounds, users-not-events ride the joins) over
-#             the value≥150 event subset so real drop-offs occur;
+#             the value≥_FUNNEL_MIN_VALUE event subset so real
+#             drop-offs occur;
 #             session_id/n_events carry stages_completed, start_ts/
 #             end_ts the first/deepest completion. Oracle replays the
 #             same chained min-after CTEs.
 
 _GAP_MIN = 720  # 12h — events average ~10.7h apart per user, so this splits
+
+# funnel branch event-subset threshold — interpolated into BOTH the
+# Spark side and every oracle occurrence so the two can never drift
+# (150 chosen because the fixture then shows real drop-offs: 39/22/3
+# at sf0.01; the vacuous-gate lesson in SURVEY §8)
+_FUNNEL_MIN_VALUE = 150
 
 _SESSIONIZE_ORACLE = f"""
 WITH le AS (
@@ -73,6 +80,26 @@ ca AS (
            COUNT(CASE WHEN last_err IS NULL OR ts > last_err THEN 1 END) AS n,
            MAX(CASE WHEN last_err IS NULL OR ts > last_err THEN ts END) AS end_ts
     FROM cl GROUP BY user_id
+),
+fev AS (
+    SELECT user_id, ts, event_type FROM events
+    WHERE value >= {_FUNNEL_MIN_VALUE}
+),
+f0 AS (
+    SELECT user_id, MIN(ts) AS ts0 FROM fev
+    WHERE event_type = 'view' GROUP BY user_id
+),
+f1 AS (
+    SELECT e.user_id, MIN(e.ts) AS ts1
+    FROM fev e JOIN f0 ON e.user_id = f0.user_id
+    WHERE e.event_type = 'click' AND e.ts > f0.ts0
+    GROUP BY e.user_id
+),
+f2 AS (
+    SELECT e.user_id, MIN(e.ts) AS ts2
+    FROM fev e JOIN f1 ON e.user_id = f1.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > f1.ts1
+    GROUP BY e.user_id
 )
 SELECT branch, user_id, session_id, n_events, start_ts, end_ts FROM (
     SELECT 'session' AS branch, user_id, session_id, COUNT(*) AS n_events,
@@ -102,34 +129,9 @@ SELECT branch, user_id, session_id, n_events, start_ts, end_ts FROM (
            CAST(1 + CASE WHEN f1.ts1 IS NOT NULL THEN 1 ELSE 0 END
                   + CASE WHEN f2.ts2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT),
            f0.ts0, COALESCE(f2.ts2, f1.ts1, f0.ts0)
-    FROM (
-        SELECT user_id, MIN(ts) AS ts0 FROM events
-        WHERE event_type = 'view' AND value >= 150 GROUP BY user_id
-    ) f0
-    LEFT JOIN (
-        SELECT e.user_id, MIN(e.ts) AS ts1
-        FROM events e
-        JOIN (SELECT user_id, MIN(ts) AS ts0 FROM events
-              WHERE event_type = 'view' AND value >= 150 GROUP BY user_id) v
-          ON e.user_id = v.user_id
-        WHERE e.event_type = 'click' AND e.value >= 150 AND e.ts > v.ts0
-        GROUP BY e.user_id
-    ) f1 ON f0.user_id = f1.user_id
-    LEFT JOIN (
-        SELECT e.user_id, MIN(e.ts) AS ts2
-        FROM events e
-        JOIN (
-            SELECT e.user_id, MIN(e.ts) AS ts1
-            FROM events e
-            JOIN (SELECT user_id, MIN(ts) AS ts0 FROM events
-                  WHERE event_type = 'view' AND value >= 150 GROUP BY user_id) v
-              ON e.user_id = v.user_id
-            WHERE e.event_type = 'click' AND e.value >= 150 AND e.ts > v.ts0
-            GROUP BY e.user_id
-        ) c ON e.user_id = c.user_id
-        WHERE e.event_type = 'purchase' AND e.value >= 150 AND e.ts > c.ts1
-        GROUP BY e.user_id
-    ) f2 ON f0.user_id = f2.user_id
+    FROM f0
+    LEFT JOIN f1 ON f0.user_id = f1.user_id
+    LEFT JOIN f2 ON f0.user_id = f2.user_id
 )
 ORDER BY branch, user_id, session_id
 """
@@ -194,7 +196,8 @@ def sessionize_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_2_10_0_src_mapreduce_spark.operators.timeseries import funnel
 
     funneled = funnel(
-        ev.where(F.col("value") >= 150), ["view", "click", "purchase"]
+        ev.where(F.col("value") >= _FUNNEL_MIN_VALUE),
+        ["view", "click", "purchase"],
     ).select(
         F.lit("funnel").alias("branch"),
         "user_id",

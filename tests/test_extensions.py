@@ -2503,16 +2503,34 @@ def test_training_prep_last_mile_composes(spark, tmp_path):
     )
     assert toked.where(F.col("n_bpe_tokens") <= 0).count() == 0
 
-    # pack on BPE counts: join counts back to text, bin to ~8 chunks
+    # pack on the BPE counts (count_col) — the budget that matters
+    # once a real tokenizer exists, not the whitespace estimate
     packable = chunks.join(toked.select("cid", "n_bpe_tokens"), "cid")
     bins = P.assign_packing_bins(
         packable.select(
             F.col("cid").alias("doc_id"),
             F.col("chunk_text").alias("text"),
+            "n_bpe_tokens",
         ),
         target_tokens=256,
         auto_shards=4,
+        count_col="n_bpe_tokens",
     )
+    # the packing consumed the BPE counts: per-bin totals are sums of
+    # n_bpe_tokens, not whitespace counts
+    bpe_totals = {
+        (r._shard, r.bin): r.bin_tokens
+        for r in bins.groupBy("_shard", "bin")
+        .agg(F.max("bin_tokens").alias("bin_tokens"))
+        .collect()
+    }
+    check = {
+        (r._shard, r.bin): r.s
+        for r in bins.groupBy("_shard", "bin")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    assert bpe_totals == check
     seqs = P.pack_bins_to_sequences(
         packable.select(
             F.col("cid").alias("doc_id"), F.col("chunk_text").alias("text")
@@ -2521,7 +2539,9 @@ def test_training_prep_last_mile_composes(spark, tmp_path):
         shard_col="_shard",
     )
     rows = seqs.collect()
-    assert rows and all(r.n_tokens <= 256 + 24 for r in rows)
+    max_chunk = packable.agg(F.max("n_bpe_tokens")).collect()[0][0]
+    # bin bound: target + the one boundary-crossing chunk's BPE count
+    assert rows and all(r.n_tokens <= 256 + max_chunk for r in rows)
 
     out = str(tmp_path / "published")
     P.write_jsonl_shards(

@@ -271,3 +271,18 @@ def test_funnel_conversion_window(spark):
 
     with _pytest.raises(ValueError, match="max_gap"):
         funnel(ev, ["view", "click"], max_gap_minutes=0)
+
+
+def test_funnel_gate_branch_is_not_vacuous(spark):
+    """Regression pin for the vacuous-gate lesson: the registered
+    funnel branch must emit rows at MORE THAN ONE distinct depth on
+    the fixture data — an empty (or single-depth) branch would let the
+    engine-vs-oracle hash check pass while testing nothing."""
+    from hadoop_2_10_0_src_mapreduce_spark.plans.registry import all_queries
+
+    out = all_queries()["sessionize_reduce"](spark, "/root/testdata/sf0.001")
+    depths = {
+        r.session_id
+        for r in out.where(F.col("branch") == "funnel").collect()
+    }
+    assert len(depths) >= 2, f"funnel branch depth distribution: {depths}"
