@@ -677,3 +677,65 @@ def test_interval_join_property_vs_naive(spark, lspec, rspec, bin_width):
     )
     assert sorted(got) == want
     assert len(got) == len(set(got))
+
+
+def _naive_funnel(rows, stages, max_gap=None):
+    """Reference funnel: per user, chain earliest-qualifying events."""
+    out = {}
+    by_user: dict[int, list[tuple[int, str]]] = {}
+    for u, m, et in rows:
+        by_user.setdefault(u, []).append((m, et))
+    for u, evs in by_user.items():
+        prev = None
+        ts_chain = []
+        for st in stages:
+            cands = [
+                m for m, et in evs
+                if et == st
+                and (prev is None or m > prev)
+                and (prev is None or max_gap is None or m <= prev + max_gap)
+            ]
+            if not cands:
+                break
+            prev = min(cands)
+            ts_chain.append(prev)
+        if ts_chain:
+            out[u] = (len(ts_chain), ts_chain[0], ts_chain[-1])
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 300),
+                  st.sampled_from(["a", "b", "c", "x"])),
+        min_size=1, max_size=50,
+    ),
+    st.sampled_from([None, 30, 120]),
+)
+def test_funnel_matches_naive_reference(spark, rows, max_gap):
+    """funnel == a per-user naive chained-earliest scan for arbitrary
+    event streams (heavy key collision, out-of-order stages, noise
+    types, duplicate timestamps) with and without the conversion
+    window."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.timeseries import funnel
+
+    ev = spark.createDataFrame(
+        [(u, _BASE + dt.timedelta(minutes=m), et) for u, m, et in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r.user_id: (
+            r.stages_completed,
+            r.start_ts,
+            r.end_ts,
+        )
+        for r in funnel(
+            ev, ["a", "b", "c"], max_gap_minutes=max_gap
+        ).collect()
+    }
+    want = {
+        u: (d, _BASE + dt.timedelta(minutes=s), _BASE + dt.timedelta(minutes=e))
+        for u, (d, s, e) in _naive_funnel(rows, ["a", "b", "c"], max_gap).items()
+    }
+    assert got == want
