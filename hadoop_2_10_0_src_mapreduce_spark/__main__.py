@@ -98,6 +98,12 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--where", help="append: SQL predicate selecting the "
                     "embedding rows to fold in (e.g. 'vec_id >= 500')")
     ix.add_argument("--ids", help="delete: comma-separated vec_ids to tombstone")
+    ix.add_argument("--n-tables", type=int, help="rebuild --family lsh: new "
+                    "table count (omit to keep the stored conf)")
+    ix.add_argument("--n-planes", type=int, help="rebuild --family lsh: new "
+                    "planes per table")
+    ix.add_argument("--max-bucket", type=int, help="rebuild --family lsh: new "
+                    "global bucket cap")
     ix.add_argument("--limit", type=int, default=20, help="rows to print")
     ix.add_argument("-D", dest="conf", action="append", default=[],
                     metavar="key=value", help="Spark conf override")
@@ -308,13 +314,16 @@ def main(argv: list[str] | None = None) -> int:
 
             print(_json.dumps(similarity.index_stats(spark, args.path)))
         elif args.action == "rebuild":
-            if args.family != "ivf":
-                raise SystemExit(
-                    "rebuild is an IVF action (LSH planes are conf-derived "
-                    "and never drift; compact re-applies its global cap)"
+            if args.family == "ivf":
+                similarity.rebuild_ivf_index(spark, args.path)
+            else:
+                similarity.rebuild_lsh_index(
+                    spark, args.path,
+                    n_tables=args.n_tables,
+                    n_planes=args.n_planes,
+                    max_bucket=args.max_bucket,
                 )
-            similarity.rebuild_ivf_index(spark, args.path)
-            print(f"rebuilt ivf index at {args.path}")
+            print(f"rebuilt {args.family} index at {args.path}")
         else:
             queries = emb.where(F.col("vec_id") < args.n_queries)
             serve = (

@@ -272,6 +272,7 @@ def interval_join(
     *,
     bin_width: float,
     closed: str = "left",
+    max_bins_per_row: int = 10_000,
 ) -> DataFrame:
     """Interval–INTERVAL overlap join — the two-sided generalization of
     ``range_join``: every left row paired with every right row whose
@@ -292,10 +293,14 @@ def interval_join(
     non-empty — making the equality with that bin a pure post-filter:
     no dedup, no extra exchange, output exactly the theta join's.
     Replication cost is Σ⌈len/bin_width⌉ per side; pick ``bin_width``
-    near the median interval length. Degenerate intervals (empty under
-    the chosen closure) are dropped before the explode on both sides.
-    The two frames' column names must be disjoint (the join carries
-    both payloads)."""
+    near the median interval length. ``max_bins_per_row`` (default
+    10k) guards the mis-sized case: one interval much wider than
+    ``bin_width`` silently multiplies row counts and can overrun
+    Spark's sequence length limit with an opaque executor error — past
+    the cap the job fails fast with the offending span and the knob to
+    turn. Degenerate intervals (empty under the chosen closure) are
+    dropped before the explode on both sides. The two frames' column
+    names must be disjoint (the join carries both payloads)."""
     if closed not in ("left", "both"):
         raise ValueError(f"interval_join closed must be left|both, got {closed!r}")
     if not bin_width > 0:
@@ -314,15 +319,34 @@ def interval_join(
         l_nonempty, r_nonempty = llo < lhi, rlo < rhi
         overlap = (llo < rhi) & (rlo < lhi)
 
-    def _binned(df, lo, hi, nonempty):
-        return df.where(nonempty).withColumn(
-            "_bin",
-            F.explode(
-                F.sequence(
-                    F.floor(lo / F.lit(bin_width)), F.floor(hi / F.lit(bin_width))
-                )
-            ),
+    if not max_bins_per_row > 0:
+        raise ValueError(
+            f"interval_join max_bins_per_row must be > 0, got {max_bins_per_row!r}"
         )
+
+    def _binned(df, lo, hi, nonempty):
+        lo_b, hi_b = F.floor(lo / F.lit(bin_width)), F.floor(hi / F.lit(bin_width))
+        # fail fast on a mis-sized bin_width: the raise_error branch
+        # feeds the explode input, so it cannot be pruned away, and the
+        # per-row cost is one comparison
+        seq = F.when(
+            hi_b - lo_b < F.lit(max_bins_per_row), F.sequence(lo_b, hi_b)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("interval_join: an interval spans "),
+                    (hi_b - lo_b + 1).cast("string"),
+                    F.lit(
+                        f" bins (>= max_bins_per_row={max_bins_per_row}): "
+                        f"bin_width={bin_width} is far below this interval's "
+                        "length — pick bin_width near the median interval "
+                        "length, or raise max_bins_per_row if the "
+                        "replication cost is intended"
+                    ),
+                )
+            )
+        )
+        return df.where(nonempty).withColumn("_bin", F.explode(seq))
 
     start_bin = F.floor(F.greatest(llo, rlo) / F.lit(bin_width))
     return (

@@ -1429,6 +1429,21 @@ def _index_id_col(df: DataFrame, layout_cols: tuple[str, ...]) -> str:
     )
 
 
+def _index_vec_col(df: DataFrame, layout_cols: tuple[str, ...]) -> str:
+    """The stored float-vector column of an index frame: the
+    array-typed field outside the layout, excluding the quantized
+    payload (``qvec``) — the mirror of ``_index_id_col``, so
+    maintenance ops work on indexes saved with a custom ``vec_col``
+    (the CLI passes none) instead of assuming the default name."""
+    return next(
+        f.name
+        for f in df.schema.fields
+        if f.name not in layout_cols
+        and f.name != "qvec"
+        and f.dataType.simpleString().startswith("array")
+    )
+
+
 def _tombstone_df(spark: SparkSession, path: str):
     """The tombstoned-id frame, or None when no deletes exist."""
     import pathlib
@@ -1851,6 +1866,10 @@ def rebuild_ivf_index(
         if was_q:
             corpus = dequantize_embeddings(live, id_col=sid, out_col=vec_col)
         else:
+            # detect the stored vector column too (same rationale as
+            # sid): an index saved with a custom vec_col must rebuild
+            # without the caller re-supplying the name
+            vec_col = _index_vec_col(stored, ("list_id",))
             corpus = live.select(F.col(sid), F.col(vec_col))
     else:
         corpus = corpus.select(id_col, vec_col)
@@ -1883,6 +1902,106 @@ def rebuild_ivf_index(
         "list_id int, centroid array<double>",
     ).coalesce(1)
     atomic_swap_write(cent_df, f"{path}/centroids", [])
+    import pathlib
+    import shutil
+
+    t = pathlib.Path(path) / "tombstones"
+    if t.exists():
+        shutil.rmtree(t)
+
+
+def rebuild_lsh_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    max_bucket: int | None = None,
+) -> None:
+    """Rebuild an LSH index in place — the LSH mirror of
+    ``rebuild_ivf_index``, closing the one asymmetry in the
+    maintenance story: ``compact_lsh_index`` restores the build-once
+    global cap but cannot CHANGE the index geometry, and re-tuning
+    ``n_tables``/``n_planes``/``max_bucket`` (recall dial vs storage)
+    previously meant a manual ``save_lsh_index`` over the live set
+    plus a directory swap. This wraps exactly that: derive the live
+    vector set (stored memberships deduped by id, tombstones applied),
+    re-bucket it under the NEW conf — hyperplanes are md5-derived from
+    the conf, never stored, so a conf change IS a plane change — and
+    atomic-swap both subdirectories. Omitted config fields keep their
+    stored values, the stored id/vector column names are preserved
+    (detected like ``_index_id_col``), and a quantized index stays
+    quantized (re-bucketing runs on the dequantized vectors, error ≤
+    scale/2 per component — pass ``corpus`` to rebuild from the source
+    of truth instead; tombstoned ids are excluded either way).
+
+    Rebuild == ``save_lsh_index(live_set, **new_conf)`` bit for bit
+    (pinned by test), where live_set is the set of vectors the stored
+    index still carries: a hot-bucket cap drops its overflow at WRITE
+    time, so a vector capped out of every table is gone from the index
+    and no later rebuild can resurrect it (the documented recall
+    trade of capping; rebuild from ``corpus`` to re-file dropped
+    vectors). Buckets swap first, then conf: the
+    cross-directory crash window (new buckets under the old conf's
+    planes) degrades recall but is HEALED by re-running rebuild — the
+    bucket rows always carry the full live vector set regardless of
+    how they are bucketed. The tombstone dir is dropped at the end
+    (the rebuild is also a compaction)."""
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        atomic_swap_write,
+    )
+
+    conf = spark.read.parquet(f"{path}/conf").collect()[0]
+    n_planes = conf.n_planes if n_planes is None else n_planes
+    n_tables = conf.n_tables if n_tables is None else n_tables
+    max_bucket = conf.max_bucket if max_bucket is None else max_bucket
+    stored = spark.read.parquet(f"{path}/buckets")
+    was_q = "qvec" in stored.columns
+    if corpus is None:
+        sid = _index_id_col(stored, ("table_idx", "bucket", "qvec", "scale"))
+        id_col = sid
+        # an LSH index stores up to n_tables copies of each vector —
+        # collapse to one per id before re-bucketing (copies are
+        # identical payloads, so any survivor is THE vector)
+        live = _apply_tombstones(stored, path, sid).dropDuplicates([sid])
+        if was_q:
+            corpus = dequantize_embeddings(live, id_col=sid, out_col=vec_col)
+        else:
+            vec_col = _index_vec_col(stored, ("table_idx", "bucket"))
+            corpus = live.select(F.col(sid), F.col(vec_col))
+    else:
+        corpus = corpus.select(id_col, vec_col)
+        tomb = _tombstone_df(spark, path)
+        if tomb is not None:
+            corpus = corpus.join(
+                tomb.withColumnRenamed("id", id_col), id_col, "left_anti"
+            )
+    corpus = corpus.persist()
+    capped = capped_lsh_buckets(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        dim=conf.dim,
+        max_bucket=max_bucket,
+    )
+    new_stored = capped.join(corpus, id_col)
+    if was_q:
+        new_stored = quantize_embeddings(
+            new_stored, id_col=id_col, vec_col=vec_col,
+            keep_cols=("table_idx", "bucket"),
+        )
+    _swap_rewrite(new_stored, f"{path}/buckets", ["table_idx", "bucket"])
+    conf_df = spark.createDataFrame(
+        [(n_planes, n_tables, conf.dim, max_bucket)],
+        "n_planes int, n_tables int, dim int, max_bucket int",
+    ).coalesce(1)
+    atomic_swap_write(conf_df, f"{path}/conf", [])
+    corpus.unpersist()
     import pathlib
     import shutil
 

@@ -101,7 +101,12 @@ def funnel(
     after the click is not a conversion. The constraint composes with
     the earliest-after rule as a plain upper bound on the same min:
     whenever ANY qualifying in-window event exists, the earliest one
-    is in-window too."""
+    is in-window too. Caveat: that guarantee is PER STEP given the
+    fixed anchor — the chain stays anchored at the user's EARLIEST
+    stage-1 event, so gap-constrained results can differ from
+    any-valid-chain funnel definitions (a@0, a@100, b@105 with
+    gap=30 counts depth 1 here: the a@100 anchor that would have
+    reached b is never considered)."""
     if len(stages) < 2:
         raise ValueError(f"funnel needs >= 2 stages, got {stages!r}")
     if max_gap_minutes is not None and (

@@ -359,25 +359,48 @@ def atomic_swap_write(
 ) -> None:
     """Rewrite a LIVE parquet directory atomically: write to
     `<path>.__compact__`, rename old → `.__old__`, new → path, delete
-    old — readers see the old file set or the new one, never a mix.
-    Shared by ``compact_table`` and the ANN index compactors.
+    old — a reader never sees a MIX of old and new files. Shared by
+    ``compact_table`` and the ANN index compactors.
 
-    Guards the two states a crashed prior run can leave behind: a
-    leftover `.__old__`/`.__compact__` is removed up front (the live
-    dir is intact whenever they exist, so they are garbage — and
-    moving onto an existing `.__old__` would otherwise NEST the live
-    dir inside it). Refuses to swap in an EMPTY result: a partitioned
-    write of zero rows emits no part files, so the swapped-in
-    directory would be unreadable (no schema) and the table bricked —
-    an empty rewrite means the caller is deleting the table, which
-    deserves an explicit rm, not a compaction."""
+    Atomicity caveat (local/posix rename path): between the two
+    renames there is a window where `path` does not exist, so a
+    CONCURRENT reader opening the directory in that instant gets
+    ENOENT — old-or-new is guaranteed, old-or-new-or-briefly-absent
+    is the precise contract. Serving stacks that cannot tolerate the
+    blink should resolve through their own indirection (symlink /
+    catalog pointer) or retry-once on ENOENT; queries already planned
+    from the previous file listing are unaffected.
+
+    Crash recovery distinguishes the rename window instead of
+    assuming leftovers are garbage: if the live `path` exists, any
+    `.__old__`/`.__compact__` is debris from a crash outside the
+    window and is removed (moving onto an existing `.__old__` would
+    otherwise NEST the live dir inside it). If `path` is MISSING and
+    `.__old__` exists, a prior run died inside the window and
+    `.__old__`/`.__compact__` hold the only copies: roll FORWARD when
+    the fully-written `.__compact__` is present (it is complete —
+    the first rename only happens after the write returns), else
+    restore `.__old__` as the live dir. Refuses to swap in an EMPTY
+    result: a partitioned write of zero rows emits no part files, so
+    the swapped-in directory would be unreadable (no schema) and the
+    table bricked — an empty rewrite means the caller is deleting the
+    table, which deserves an explicit rm, not a compaction."""
     import pathlib
     import shutil
 
     tmp, old = f"{path}.__compact__", f"{path}.__old__"
-    for leftover in (tmp, old):
-        if pathlib.Path(leftover).exists():
-            shutil.rmtree(leftover)
+    if pathlib.Path(path).exists():
+        for leftover in (tmp, old):
+            if pathlib.Path(leftover).exists():
+                shutil.rmtree(leftover)
+    elif pathlib.Path(old).exists():
+        # crashed mid-swap: .__old__ (and maybe .__compact__) are the
+        # ONLY copies — heal instead of deleting them
+        if pathlib.Path(tmp).exists():
+            shutil.move(tmp, path)  # finish the interrupted swap
+            shutil.rmtree(old)
+        else:
+            shutil.move(old, path)  # compact result lost; restore prior live
     if not df.take(1):
         raise ValueError(
             f"atomic_swap_write: rewrite of {path} would be EMPTY "

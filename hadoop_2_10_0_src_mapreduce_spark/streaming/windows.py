@@ -455,6 +455,34 @@ def stream_sessionize_stateful(
     timers."""
     import pandas as pd
 
+    # derive the key column's type from the INPUT schema (the bpe_encode
+    # convention): hardcoding `long` + int(key) would crash inside the
+    # stateful processor at runtime for, say, string user ids. Argument
+    # validation runs BEFORE the environment gate so a bad schema fails
+    # the same way on every host.
+    from pyspark.sql.types import StructType
+
+    in_fields = {f.name: f.dataType.simpleString()
+                 for f in StructType.fromDDL(schema).fields}
+    if user_col not in in_fields:
+        raise ValueError(
+            f"stream_sessionize_stateful: {user_col!r} not in schema {schema!r}"
+        )
+    user_type = in_fields[user_col]
+    _coerce_key = {
+        "tinyint": int, "smallint": int, "int": int, "bigint": int,
+        "string": str,
+    }.get(user_type)
+    if _coerce_key is None:
+        raise ValueError(
+            f"stream_sessionize_stateful: unsupported {user_col} type "
+            f"{user_type!r} (integral or string keys supported)"
+        )
+    out_schema = (
+        f"{user_col} {user_type}, session_start long, session_end long, "
+        "n_events long"
+    )
+
     try:
         from google.protobuf import descriptor as _descriptor  # noqa: F401
     except ImportError as e:
@@ -470,9 +498,6 @@ def stream_sessionize_stateful(
     )
 
     gap_ms = gap_minutes * 60_000
-    out_schema = (
-        f"{user_col} long, session_start long, session_end long, n_events long"
-    )
 
     class _Sessionizer(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -484,7 +509,7 @@ def stream_sessionize_stateful(
         def _row(self, key, start, last, n):
             return pd.DataFrame(
                 {
-                    user_col: [int(key[0])],
+                    user_col: [_coerce_key(key[0])],
                     "session_start": [int(start)],
                     "session_end": [int(last)],
                     "n_events": [int(n)],

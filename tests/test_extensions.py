@@ -2444,15 +2444,20 @@ def test_bpe_encode_handles_null_text_and_string_ids(spark):
 def test_rebuild_preserves_nondefault_id_column(spark, tmp_path):
     """Review fix pinned: rebuilding an index built with a non-default
     id column must keep that column name (renaming would fork the
-    schema for later appends/tombstones)."""
+    schema for later appends/tombstones) — and likewise detect a
+    non-default VECTOR column from the stored schema (the CLI's
+    `index rebuild` passes neither name)."""
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
-        F.col("vec_id").alias("item_id"), "embedding"
+        F.col("vec_id").alias("item_id"), F.col("embedding").alias("vec")
     )
     path = str(tmp_path / "ivf_named")
-    similarity.save_ivf_index(emb, path, id_col="item_id", n_centroids=4)
+    similarity.save_ivf_index(
+        emb, path, id_col="item_id", vec_col="vec", n_centroids=4
+    )
     similarity.rebuild_ivf_index(spark, path)
     cols = spark.read.parquet(f"{path}/lists").columns
     assert "item_id" in cols and "vec_id" not in cols
+    assert "vec" in cols and "embedding" not in cols
     # and the lifecycle keeps composing against the same directory
     similarity.delete_from_index(spark, path, [0], id_col="item_id")
     similarity.compact_ivf_index(spark, path)
@@ -2462,6 +2467,78 @@ def test_rebuild_preserves_nondefault_id_column(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_rebuild_lsh_index_equals_fresh_build_and_retunes_conf(spark, tmp_path):
+    """rebuild_lsh_index == save_lsh_index built fresh over the same
+    live set under the same conf (memberships row-for-row, served
+    results bit-for-bit), excludes tombstoned ids and drops the
+    tombstone dir, and a geometry change (n_tables/n_planes/
+    max_bucket) re-derives the md5 planes from the NEW conf — closing
+    the LSH/IVF maintenance asymmetry."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    original = emb.where(F.col("vec_id") % 3 != 0)
+    batch = emb.where((F.col("vec_id") % 3 == 0) & (F.col("vec_id") >= 6))
+    queries = emb.where(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    as_rows = lambda df: sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.sim) for r in df.collect()
+    )
+    members = lambda p: sorted(
+        (r.table_idx, r.bucket, r.vec_id)
+        for r in spark.read.parquet(f"{p}/buckets").collect()
+    )
+    # build UNcapped (max_bucket ≫ corpus) so the stored membership set
+    # carries every vector — a capped build permanently drops its cap
+    # losses, which rebuild-from-stored can then only preserve
+    path = str(tmp_path / "lsh_live")
+    similarity.save_lsh_index(
+        original, path, n_planes=4, n_tables=4, max_bucket=1024
+    )
+    similarity.append_to_lsh_index(batch, path)
+    similarity.delete_from_index(spark, path, [1, 2])
+
+    # retune: fewer planes, more tables, and a REAL cap this time
+    similarity.rebuild_lsh_index(
+        spark, path, n_planes=3, n_tables=6, max_bucket=24
+    )
+    import pathlib
+
+    assert not (pathlib.Path(path) / "tombstones").exists()
+    conf = spark.read.parquet(f"{path}/conf").collect()[0]
+    assert (conf.n_planes, conf.n_tables, conf.max_bucket) == (3, 6, 24)
+
+    live = original.unionByName(batch).where(~F.col("vec_id").isin(1, 2))
+    fresh = str(tmp_path / "lsh_fresh")
+    similarity.save_lsh_index(
+        live, fresh, n_planes=3, n_tables=6, max_bucket=24
+    )
+    assert members(path) == members(fresh)
+    a = as_rows(similarity.query_lsh_index(queries, path, k=5))
+    assert a and a == as_rows(similarity.query_lsh_index(queries, fresh, k=5))
+
+    # no-arg rebuild keeps the stored conf and stays a fixed point
+    before = members(path)
+    similarity.rebuild_lsh_index(spark, path)
+    conf2 = spark.read.parquet(f"{path}/conf").collect()[0]
+    assert (conf2.n_planes, conf2.n_tables, conf2.max_bucket) == (3, 6, 24)
+    assert members(path) == before
+
+    # nondefault id/vec column names survive a rebuild (detected from
+    # the stored schema, mirroring the IVF fix)
+    named = emb.select(
+        F.col("vec_id").alias("item_id"), F.col("embedding").alias("vec")
+    )
+    p_named = str(tmp_path / "lsh_named")
+    similarity.save_lsh_index(
+        named, p_named, id_col="item_id", vec_col="vec",
+        n_planes=3, n_tables=4, max_bucket=16,
+    )
+    similarity.rebuild_lsh_index(spark, p_named, n_tables=2)
+    cols = spark.read.parquet(f"{p_named}/buckets").columns
+    assert "item_id" in cols and "vec" in cols
+    assert "vec_id" not in cols and "embedding" not in cols
 
 
 def test_split_by_components_rejects_colliding_columns(spark):

@@ -390,6 +390,32 @@ def test_stream_dedup_survives_index_compaction(spark, tmp_path_factory):
     assert spark.read.parquet(idx).distinct().count() == 8
 
 
+def test_stream_sessionize_stateful_validates_key_type_up_front(spark):
+    """The output schema's key column derives from the INPUT schema
+    (string ids previously crashed inside the stateful processor at
+    runtime: the out schema hardcoded `long` and _row coerced int);
+    unsupported key types and missing key columns fail fast with a
+    clear ValueError on every host — BEFORE the protobuf environment
+    gate, so this is assertable even where TWS cannot run."""
+    with pytest.raises(ValueError, match="unsupported"):
+        sw.stream_sessionize_stateful(
+            spark, "/nonexistent", "user_id double, ts_ms long", "/tmp/x"
+        )
+    with pytest.raises(ValueError, match="not in schema"):
+        sw.stream_sessionize_stateful(
+            spark, "/nonexistent", "uid long, ts_ms long", "/tmp/x"
+        )
+    # a string key passes validation: on protobuf-less hosts the next
+    # failure is the documented environment gate, not a runtime crash
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            sw.stream_sessionize_stateful(
+                spark, "/nonexistent", "user_id string, ts_ms long", "/tmp/x"
+            )
+
+
 def test_stream_sessionize_stateful_timers_and_gap_closure(
     spark, tmp_path_factory
 ):

@@ -695,3 +695,31 @@ def test_interval_join_matches_naive_theta_and_plans_equi(spark):
         interval_join(left, left, "llo", "lhi", "llo", "lhi", bin_width=1.0)
     with _pytest.raises(ValueError, match="bin_width"):
         interval_join(left, right, "llo", "lhi", "rlo", "rhi", bin_width=0)
+
+
+def test_interval_join_fails_fast_on_missized_bin_width(spark):
+    """One interval much wider than bin_width would silently replicate
+    its row across millions of bins (and can overrun Spark's sequence
+    limit with an opaque executor error); past max_bins_per_row the
+    job must instead fail with the offending span and the knob to
+    turn, while the same data under an adequate cap still answers."""
+    import pytest as _pytest
+
+    from hadoop_2_10_0_src_mapreduce_spark.operators.joins import interval_join
+
+    left = spark.createDataFrame(
+        [(0, 0.0, 5.0), (1, 0.0, 1e5)], "lid long, llo double, lhi double"
+    )
+    right = spark.createDataFrame(
+        [(0, 1.0, 2.0)], "rid long, rlo double, rhi double"
+    )
+    bad = interval_join(
+        left, right, "llo", "lhi", "rlo", "rhi", bin_width=1.0
+    )
+    with _pytest.raises(Exception, match="max_bins_per_row"):
+        bad.collect()
+    ok = interval_join(
+        left, right, "llo", "lhi", "rlo", "rhi",
+        bin_width=1.0, max_bins_per_row=200_000,
+    )
+    assert sorted((r.lid, r.rid) for r in ok.collect()) == [(0, 0), (1, 0)]

@@ -389,3 +389,53 @@ def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
     # partition dirs survive (src=a / src=b layout)
     dirs = {p.name for p in pathlib.Path(path).iterdir() if p.is_dir()}
     assert {"src=a", "src=b"} <= dirs
+
+
+def test_atomic_swap_write_heals_crash_window(spark, tmp_path):
+    """A crash BETWEEN atomic_swap_write's two renames leaves the only
+    surviving copies in `.__old__` (+ a complete `.__compact__`); the
+    next call must roll the swap forward / restore the old live dir —
+    never rmtree them as debris (the round-5 advice finding). Debris
+    with the live dir intact is still cleaned. The healing is observed
+    directly by aborting the subsequent rewrite via the refuse-empty
+    guard."""
+    import pathlib
+    import shutil
+
+    import pytest
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        atomic_swap_write,
+    )
+
+    path = str(tmp_path / "t")
+    empty = spark.range(0).coalesce(1)
+
+    # state: crashed between renames, new data fully written
+    spark.range(10).coalesce(1).write.parquet(path)
+    shutil.move(path, path + ".__old__")
+    spark.range(100, 110).coalesce(1).write.parquet(path + ".__compact__")
+    with pytest.raises(ValueError, match="EMPTY"):
+        atomic_swap_write(empty, path, [])
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == list(
+        range(100, 110)
+    )  # rolled FORWARD to the completed compact result
+    assert not pathlib.Path(path + ".__old__").exists()
+    assert not pathlib.Path(path + ".__compact__").exists()
+
+    # state: crashed between renames, compact result lost -> restore old
+    shutil.move(path, path + ".__old__")
+    with pytest.raises(ValueError, match="EMPTY"):
+        atomic_swap_write(empty, path, [])
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == list(
+        range(100, 110)
+    )
+    # state: live dir intact -> leftovers are debris and a real swap runs
+    spark.range(5).coalesce(1).write.parquet(path + ".__compact__")
+    spark.range(7).coalesce(1).write.parquet(path + ".__old__")
+    atomic_swap_write(spark.range(200, 203).coalesce(1), path, [])
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == [
+        200, 201, 202,
+    ]
+    assert not pathlib.Path(path + ".__old__").exists()
+    assert not pathlib.Path(path + ".__compact__").exists()
