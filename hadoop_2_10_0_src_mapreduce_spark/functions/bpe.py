@@ -94,20 +94,86 @@ def train_bpe(
         .limit(max_words)
         .collect()
     )
-    vocab: dict[tuple[str, ...], int] = {
-        tuple(r.word): r["count"] for r in freq_rows
-    }
+    return _train_from_freqs(
+        [(r.word, r["count"]) for r in freq_rows],
+        num_merges,
+        min_pair_count=min_pair_count,
+    )
+
+
+def _train_from_freqs(
+    freqs: list[tuple[str, int]],
+    num_merges: int,
+    *,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """The driver-side merge loop over a word-frequency table,
+    INCREMENTAL (the standard BPE trainer optimization): a merge only
+    changes pair counts of words CONTAINING the merged pair, so carry
+    (pair -> count) and (pair -> word ids) across iterations and touch
+    just those words, instead of rescanning the full word table per
+    merge — at production vocab sizes (50k merges) the rescan is what
+    dominates, and per-merge work here is proportional to the affected
+    words' lengths only (tools/bpe_timing.py measures the two loops
+    side by side). Words are keyed by index (each word's symbols
+    always concatenate back to the word, so tuples stay distinct
+    anyway — ids make that structural)."""
+    import heapq
+
+    words: list[list] = [[tuple(w), n] for w, n in freqs]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wid, (syms, n) in enumerate(words):
+        for pr in zip(syms, syms[1:]):
+            pair_counts[pr] = pair_counts.get(pr, 0) + n
+            pair_words.setdefault(pr, set()).add(wid)
+
+    # lazy max-heap for the argmax: (-count, pair) entries, re-pushed
+    # whenever a pair's count changes; a popped entry is valid iff it
+    # matches the CURRENT count (value equality — an entry that equals
+    # the live count is a correct candidate no matter when it was
+    # pushed). Heap order (-count, pair) reproduces the deterministic
+    # count-desc-then-lexicographic tie-break exactly, and turns the
+    # per-merge argmax from O(#pairs) into O(log #pairs) amortized.
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
-        counts = _pair_counts(vocab)
-        if not counts:
-            break
-        # deterministic argmax: count desc, then lexicographic pair
-        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if counts[best] < min_pair_count:
+    while len(merges) < num_merges:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p) == -negc:
+                best, best_n = p, -negc
+                break
+        if best is None or best_n < min_pair_count:
             break
         merges.append(best)
-        vocab = {_merge_word(s, best): n for s, n in vocab.items()}
+        touched: set[tuple[str, str]] = set()
+        for wid in sorted(pair_words.get(best, ())):
+            syms, n = words[wid]
+            for pr in zip(syms, syms[1:]):
+                left = pair_counts[pr] - n
+                if left > 0:
+                    pair_counts[pr] = left
+                else:
+                    del pair_counts[pr]
+                touched.add(pr)
+                ws = pair_words.get(pr)
+                if ws is not None:
+                    ws.discard(wid)
+                    if not ws:
+                        del pair_words[pr]
+            new = _merge_word(syms, best)
+            words[wid][0] = new
+            for pr in zip(new, new[1:]):
+                pair_counts[pr] = pair_counts.get(pr, 0) + n
+                touched.add(pr)
+                pair_words.setdefault(pr, set()).add(wid)
+        for p in touched:
+            c = pair_counts.get(p)
+            if c:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 

@@ -699,6 +699,7 @@ def corpus_report(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str | None = None,
+    exact_dup_counts: bool = True,
 ) -> DataFrame:
     """Corpus REPORT CARD — the profile a pipeline operator reads
     before choosing mixture weights, quality thresholds, and dedup
@@ -715,7 +716,19 @@ def corpus_report(
     dup_frac = 1 − distinct normalized fingerprints / docs (exact-dup
     rate); percentiles are exact interpolated (``F.percentile``);
     top_lang breaks ties lexicographically so the report is
-    deterministic."""
+    deterministic.
+
+    ``exact_dup_counts=False`` swaps the fingerprint countDistinct for
+    ``approx_count_distinct`` (HLL++, rsd 0.01 → n_distinct_fp and
+    dup_frac within ~1–2%): the exact count is the report's ONE
+    full-width shuffle (every fingerprint scalar moves to its
+    source's reducer); the sketch makes the report near-free at
+    100 TB — partial HLL buffers merge map-side like the other
+    aggregates — at the cost of dup_frac no longer being exact
+    (tolerance-pinned by test). The exact default stays right for
+    gate-sized corpora; the integer-token percentiles stay exact in
+    both modes (their aggregation buffer is bounded by the distinct
+    token-count range, not the corpus)."""
     langs = sorted(T.STOPWORDS) + ["und", "zh"]
     src = (
         F.col(source_col) if source_col is not None else F.lit("all")
@@ -736,9 +749,14 @@ def corpus_report(
         F.sum(F.when(F.col("_lang") == lang, 1).otherwise(0)).alias(f"_c_{lang}")
         for lang in langs
     ]
+    distinct_fp = (
+        F.countDistinct("_fp")
+        if exact_dup_counts
+        else F.approx_count_distinct("_fp", 0.01)
+    )
     agg = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("_fp").alias("n_distinct_fp"),
+        distinct_fp.alias("n_distinct_fp"),
         F.sum("_nt").cast("long").alias("total_tokens"),
         F.percentile("_nt", 0.5).alias("_p50"),
         F.percentile("_nt", 0.9).alias("_p90"),

@@ -2330,6 +2330,33 @@ def test_corpus_report_matches_pandas_recomputation(spark):
     assert rep["srcX"].dup_frac > 0  # the planted dup registered
 
 
+def test_corpus_report_approx_dup_counts_within_tolerance(spark):
+    """exact_dup_counts=False swaps the fingerprint countDistinct (the
+    report's one full-width shuffle) for HLL++ with rsd 0.01:
+    n_distinct_fp and dup_frac must land within sketch tolerance of
+    the exact twin, and every other column must be IDENTICAL (only the
+    distinct aggregate changes)."""
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import corpus_report
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    exact = {r.source: r for r in
+             corpus_report(docs, source_col="source").collect()}
+    approx = {r.source: r for r in
+              corpus_report(docs, source_col="source",
+                            exact_dup_counts=False).collect()}
+    assert exact.keys() == approx.keys()
+    for src, e in exact.items():
+        a = approx[src]
+        # HLL++ at rsd=0.01: give 5% headroom for small groups
+        assert abs(a.n_distinct_fp - e.n_distinct_fp) <= max(
+            2, 0.05 * e.n_distinct_fp
+        ), src
+        assert abs(a.dup_frac - e.dup_frac) <= 0.05, src
+        for col in ("n_docs", "total_tokens", "p50_tokens", "p90_tokens",
+                    "mean_quality", "top_lang", "top_lang_frac"):
+            assert getattr(a, col) == getattr(e, col), (src, col)
+
+
 def test_temperature_budgets_interpolates_natural_to_uniform(spark):
     """alpha=1 -> budgets proportional to natural token counts; alpha=0
     -> uniform across sources; intermediate alpha upweights the small
