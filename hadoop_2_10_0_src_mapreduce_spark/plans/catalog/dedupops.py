@@ -2,10 +2,18 @@
 
 All 500 fixture document texts are distinct, so dedup queries run over
 a deterministically CONSTRUCTED corpus: the documents plus planted
-exact copies (doc_id+10000 for doc_id%10==0) and near-duplicates with
-the last 5 tokens dropped (doc_id+20000 for doc_id%7==0, only docs
-with >10 tokens). Both engines build the same corpus from the same
-expressions, so oracles stay exact.
+exact copies (doc_id+PLANT_OFFSET for doc_id%10==0) and
+near-duplicates with the last 5 tokens dropped (doc_id+2·PLANT_OFFSET
+for doc_id%7==0, only docs with >10 tokens). Both engines build the
+same corpus from the same expressions, so oracles stay exact.
+
+PLANT_OFFSET is 10M, far above any corpus these gates run at: the
+round-5 offsets (10000/20000) COLLIDED with real doc_ids once the
+corpus passed 10k docs — at sf1 the Spark side kept one xcut/lines row
+per corpus ROW while the oracle's GROUP BY doc_id collapsed the
+colliding ids, the first divergence the sf1 full-gate run surfaced
+(SURVEY §8 r6). Offsets that partition the id space are part of the
+fixture contract, so they must dominate the id range at every sf.
 """
 
 from __future__ import annotations
@@ -20,17 +28,20 @@ from hadoop_2_10_0_src_mapreduce_spark.plans.registry import register
 from hadoop_2_10_0_src_mapreduce_spark.sources.readers import load_table
 
 
+PLANT_OFFSET = 10_000_000
+
+
 def corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ exact copies ∪ truncated near-dups (see module doc)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     exact = d.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text"
     )
     toks = T.tokens("text")
     near = (
         d.where((F.col("doc_id") % 7 == 0) & (F.size(toks) > 10))
         .select(
-            (F.col("doc_id") + 20000).alias("doc_id"),
+            (F.col("doc_id") + 2 * PLANT_OFFSET).alias("doc_id"),
             F.array_join(F.slice(toks, 1, F.size(toks) - 5), " ").alias("text"),
         )
     )
@@ -42,9 +53,10 @@ _TOKS = f"regexp_extract_all(lower(text), '{T.TOKEN_PATTERN}')"
 _CORPUS_SQL = f"""
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    SELECT doc_id + {PLANT_OFFSET} AS doc_id, text
+    FROM documents WHERE doc_id % 10 = 0
     UNION ALL
-    SELECT doc_id + 20000 AS doc_id,
+    SELECT doc_id + {2 * PLANT_OFFSET} AS doc_id,
            array_to_string(({_TOKS})[1:len({_TOKS})-5], ' ') AS text
     FROM documents WHERE doc_id % 7 = 0 AND len({_TOKS}) > 10
 """
@@ -247,10 +259,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index must equal the exact branch row-for-row (the invariant the
     # oracle encodes by relabeling its exact CTE)
     incr = dedup.incremental_exact_dedup(
-        corpus.where(F.col("doc_id") >= 10000),
+        corpus.where(F.col("doc_id") >= PLANT_OFFSET),
         "text",
         "doc_id",
-        dedup.exact_dedup(corpus.where(F.col("doc_id") < 10000), "text", "doc_id"),
+        dedup.exact_dedup(
+            corpus.where(F.col("doc_id") < PLANT_OFFSET), "text", "doc_id"
+        ),
     ).select(F.lit("incr").alias("branch"), "fp", "keeper", "n_copies")
     # cross-document repeated-n-gram views over ONE shared flagged-
     # position index: 'xgram' = per-doc stats (doc id in fp, first
@@ -345,12 +359,23 @@ kept AS (
     SELECT doc_id, h FROM inv
     WHERE h IN (SELECT h FROM inv GROUP BY h HAVING COUNT(*) <= {_DF_CAP})
 ),
-capped AS (SELECT doc_id, list(h) AS sh FROM kept GROUP BY doc_id)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.sh, b.sh)) /
-             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-FROM capped a, capped b
-WHERE a.doc_id < b.doc_id
+-- intersection-count form of the same exact Jaccard: a thresholded
+-- pair must share >= 1 kept shingle, so generating candidates through
+-- the shared-shingle equi join (bounded by the df-cap: <= cap rows per
+-- shingle) and deriving |union| = |a| + |b| - |common| is EQUAL to the
+-- all-pairs cross join for every pair the branches keep — the round-5
+-- cross-join form was O(corpus^2) and infeasible at the sf1 gate
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+common AS (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_common
+    FROM kept x JOIN kept y ON x.h = y.h AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
 """
 
 _NGRAM_ORACLE = f"""
@@ -363,7 +388,7 @@ ORDER BY branch, id_a, id_b
 
 
 @register("dedup_ngram_jaccard", _NGRAM_ORACLE, tags=("dedup",),
-          doc="n-gram Jaccard near-dup pairs via TWO hash-checked branches: the plain inverted-index join at J≥0.6 and the prefix-filtered (AllPairs/PPJoin-style) join at J≥0.8 — its winning regime; oracle brute-forces O(n²) with the same df-cap at both thresholds.")
+          doc="n-gram Jaccard near-dup pairs via TWO hash-checked branches: the plain inverted-index join at J≥0.6 and the prefix-filtered (AllPairs/PPJoin-style) join at J≥0.8 — its winning regime; oracle derives the same exact Jaccard from shared-shingle intersection counts (equal to the all-pairs scan for thresholded pairs, and feasible at the sf1 gate) with the same df-cap at both thresholds.")
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Branch pattern (cf. scan_fixed_multi): both similarity-join
     # strategies share one driver slot, each hash-checked. 'prefix'
@@ -459,9 +484,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (engine-independent) instead of Spark's xxhash64: bit i of a token's
 # 64-bit hash is (hexdigit[i//4] >> (i%4)) & 1 over the first 16 hex
 # digits of md5(token) — the oracle recomputes the identical signatures
-# in DuckDB SQL (instr-on-hex-digit = Spark's conv), then brute-forces
-# every pair's hamming distance. All arithmetic is integer, so the
-# match is exact. The xxhash64 default stays the scale path.
+# in DuckDB SQL (instr-on-hex-digit = Spark's conv), then finds every
+# hamming<=6 pair through the pigeonhole chunk joins (first-equal-chunk
+# claiming; provably equal to the all-pairs scan). All arithmetic is
+# integer, so the match is exact. The xxhash64 default stays the scale
+# path.
 
 
 def _simhash_oracle() -> str:
@@ -475,7 +502,28 @@ def _simhash_oracle() -> str:
     sig_bits = ",\n           ".join(
         f"CASE WHEN s{i} > 0 THEN 1 ELSE 0 END AS t{i}" for i in range(64)
     )
-    hamming = " + ".join(f"abs(a.t{i} - b.t{i})" for i in range(64))
+    # the 64 bits packed into the same 7 pigeonhole chunks the engine
+    # blocks on (10+9·6): any hamming<=6 pair agrees on >= 1 whole
+    # chunk, so generating candidates through 7 chunk equi joins —
+    # each pair CLAIMED at its FIRST equal chunk (inequality guards on
+    # the earlier chunks), no distinct — is EQUAL to the all-pairs
+    # cross join, which was O(corpus^2) and infeasible at the sf1 gate
+    bounds = [(0, 10), (10, 19), (19, 28), (28, 37), (37, 46), (46, 55),
+              (55, 64)]
+    chunk_cols = ",\n           ".join(
+        " + ".join(f"t{i} * {1 << (i - lo)}" for i in range(lo, hi))
+        + f" AS c{j}"
+        for j, (lo, hi) in enumerate(bounds)
+    )
+    hamming = " + ".join(f"bit_count(xor(a.c{j}, b.c{j}))" for j in range(7))
+    claim_legs = "\n    UNION ALL\n".join(
+        f"""    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           {hamming} AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.c{j} = b.c{j} AND a.doc_id < b.doc_id"""
+        + "".join(f" AND a.c{jj} != b.c{jj}" for jj in range(j))
+        for j in range(7)
+    )
     return f"""
 WITH corpus AS ({_CORPUS_SQL}),
 toks AS (
@@ -491,11 +539,11 @@ sums AS (SELECT doc_id,
 bits AS (SELECT doc_id,
            {sig_bits}
          FROM sums),
+chunks AS (SELECT doc_id,
+           {chunk_cols}
+         FROM bits),
 pairs AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           {hamming} AS hamming
-    FROM bits a, bits b
-    WHERE a.doc_id < b.doc_id
+{claim_legs}
 )
 SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
 FROM pairs

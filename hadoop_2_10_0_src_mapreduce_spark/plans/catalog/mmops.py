@@ -205,11 +205,16 @@ def mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal face of exact dedup. Corpus = documents + planted copies
 # (dedupops.corpus_with_dups), so duplicate groups exist by construction.
 
-_FEATURE_DEDUP_ORACLE = """
+from hadoop_2_10_0_src_mapreduce_spark.plans.catalog.dedupops import (
+    PLANT_OFFSET,
+)
+
+_FEATURE_DEDUP_ORACLE = f"""
 WITH corpus AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    SELECT doc_id + {PLANT_OFFSET} AS doc_id, text
+    FROM documents WHERE doc_id % 10 = 0
 ),
 grps AS (
     SELECT COUNT(*) AS n, MIN(doc_id) AS keeper
@@ -227,7 +232,7 @@ FROM grps
 def mm_feature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     copies = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 10000).alias("doc_id"), "text", "n_chars"
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text", "n_chars"
     )
     corpus = docs.unionByName(copies)
 

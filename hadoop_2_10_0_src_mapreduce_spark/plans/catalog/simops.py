@@ -138,10 +138,15 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sim_ann_ivf), home-cell pair join + sequential cosine, recursive
 # reachability components — approximation and all.
 
-_CORPUS_PLANTED_SQL = """
+from hadoop_2_10_0_src_mapreduce_spark.plans.catalog.dedupops import (
+    PLANT_OFFSET,
+)
+
+_CORPUS_PLANTED_SQL = f"""
     SELECT vec_id, embedding FROM embeddings
     UNION ALL
-    SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+    SELECT vec_id + {PLANT_OFFSET} AS vec_id, embedding
+    FROM embeddings WHERE vec_id % 20 = 0
 """
 
 
@@ -194,7 +199,7 @@ ORDER BY branch, id_a, id_b
 def sim_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.where(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(planted)
     pairs = similarity.near_dup_pairs(corpus, threshold=0.99).select(

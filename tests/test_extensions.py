@@ -263,10 +263,14 @@ def test_simhash_finds_planted_exact_dups(spark, dup_corpus):
         (r.id_a, r.id_b): r.hamming
         for r in dedup.simhash_pairs(dup_corpus, "text", "doc_id").collect()
     }
+    from hadoop_2_10_0_src_mapreduce_spark.plans.catalog.dedupops import (
+        PLANT_OFFSET,
+    )
+
     planted = {
-        (r.doc_id, r.doc_id + 10000)
+        (r.doc_id, r.doc_id + PLANT_OFFSET)
         for r in dup_corpus.where(
-            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 10000)
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < PLANT_OFFSET)
         ).collect()
     }
     assert planted <= set(pairs)
