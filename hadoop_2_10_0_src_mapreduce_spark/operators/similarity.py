@@ -65,6 +65,98 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+# --- adaptive geometry (the sf1 scaling-gate fix) ---------------------
+# Fixed bucket/cell counts are quadratic time bombs: occupancy grows
+# with the corpus and within-bucket pair work grows with occupancy².
+# These rules scale the geometry with corpus size so occupancy — and
+# therefore per-row candidate work — stays bounded. Both rules are
+# integer arithmetic with an exact SQL twin (``*_sql``), so a DuckDB
+# oracle derives the IDENTICAL geometry from the same corpus and the
+# result stays hash-checkable at every scale. Constants are chosen so
+# the sf0.01/sf0.1 fixture corpora resolve to the historical fixed
+# geometry (16 cells, 6 planes) — pre-r6 results are bit-identical.
+
+LSH_MIN_PLANES = 6
+LSH_MAX_PLANES = 12
+LSH_TARGET_BUCKET = 32
+CELL_TARGET = 132
+CELL_FLOOR = 16
+
+
+def adaptive_centroids(
+    n: int, *, target_cell: int = CELL_TARGET, floor: int = CELL_FLOOR
+) -> int:
+    """SemDeDup/IVF cell-count rule: cells = ⌈n / target_cell⌉ (with a
+    floor), so E[cell size] ≈ target_cell regardless of corpus size and
+    the within-cell pair volume Σ|cell|² stays LINEAR in n (SemDeDup at
+    web scale runs c ~ √n or larger for the same reason)."""
+    return max(floor, (n + target_cell - 1) // target_cell)
+
+
+def adaptive_centroids_sql(
+    corpus: str = "e",
+    *,
+    target_cell: int = CELL_TARGET,
+    floor: int = CELL_FLOOR,
+) -> str:
+    """Scalar-subquery twin of ``adaptive_centroids`` over CTE/table
+    ``corpus`` — pure integer arithmetic (ceil = (n+t-1)//t), so both
+    engines agree exactly at every corpus size."""
+    return (
+        f"(SELECT GREATEST({floor}, (COUNT(*) + {target_cell - 1}) "
+        f"// {target_cell}) FROM {corpus})"
+    )
+
+
+def adaptive_planes(
+    n: int,
+    *,
+    target_bucket: int = LSH_TARGET_BUCKET,
+    min_planes: int = LSH_MIN_PLANES,
+    max_planes: int = LSH_MAX_PLANES,
+) -> int:
+    """LSH bit-count rule: the smallest p in [min, max] with
+    2^p · target_bucket ≥ n, i.e. just enough buckets per table to hold
+    E[occupancy] ≈ target_bucket. Candidate pairs per table ≈
+    buckets · occupancy²/2 ≈ n · target_bucket / 2 — LINEAR in n (the
+    fixed-p form is n²/buckets). More bits per table lowers per-table
+    recall for a fixed neighbor similarity (p_agree^bits); buy recall
+    back with more tables if needed — the standard LSH dial."""
+    p = min_planes
+    while p < max_planes and (1 << p) * target_bucket < n:
+        p += 1
+    return p
+
+
+def adaptive_planes_sql(
+    corpus: str = "e",
+    *,
+    target_bucket: int = LSH_TARGET_BUCKET,
+    min_planes: int = LSH_MIN_PLANES,
+    max_planes: int = LSH_MAX_PLANES,
+) -> str:
+    """Scalar-subquery twin of ``adaptive_planes``: a CASE over integer
+    thresholds (no float log2 — boundary counts can never straddle a
+    rounding difference between engines)."""
+    whens = "".join(
+        f" WHEN COUNT(*) <= {(1 << p) * target_bucket} THEN {p}"
+        for p in range(min_planes, max_planes)
+    )
+    return f"(SELECT CASE{whens} ELSE {max_planes} END FROM {corpus})"
+
+
+def _resolve_planes(emb: DataFrame, n_planes, **kw) -> int:
+    if n_planes == "auto":
+        return adaptive_planes(emb.count(), **kw)
+    return n_planes
+
+
+def _resolve_centroids(emb: DataFrame, n_centroids, **kw) -> int:
+    if n_centroids == "auto":
+        return adaptive_centroids(emb.count(), **kw)
+    return n_centroids
+
+
 def _seq_sq_norms(mat: np.ndarray) -> np.ndarray:
     """Per-row Σxᵈ² with one vectorized multiply-add per dimension,
     left to right — bit-identical to JVM ``aggregate(zip_with(v,v))``
@@ -333,7 +425,7 @@ def near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.99,
     round_digits: int = 6,
-    n_planes: int = 12,
+    n_planes: int | str = 12,
     n_tables: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ τ).
@@ -352,7 +444,13 @@ def near_dup_pairs(
     uncorrelated vectors expected candidates drop from n²·L/2⁷ to
     n²·L/2¹³, which is what keeps the bucket self-join sub-quadratic
     as the corpus grows. For lower thresholds drop n_planes / raise
-    n_tables (recall = 1-(1-p^b)^L)."""
+    n_tables (recall = 1-(1-p^b)^L). ``n_planes="auto"`` keeps
+    E[bucket] ≈ 8 as the corpus grows (≥ the fixed 12-bit floor), the
+    scale-safe setting past ~30k vectors."""
+    if n_planes == "auto":
+        n_planes = adaptive_planes(
+            emb.count(), target_bucket=8, min_planes=12, max_planes=30
+        )
     cands = _bucket_candidates(emb, id_col, vec_col, n_planes, n_tables)
     scored = _score_pairs(emb, cands, id_col, vec_col, round_digits)
     return scored.where(F.col("sim") >= threshold).select(
@@ -586,13 +684,17 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int | str = 6,
     n_tables: int = 16,
     dim: int = 64,
     max_bucket: int = 1024,
     round_digits: int = 6,
 ) -> DataFrame:
     """Approximate top-k: score only pairs sharing ≥1 LSH bucket.
+    ``n_planes="auto"`` derives the bit count from a corpus count via
+    ``adaptive_planes`` — the scale-safe default for growing corpora
+    (fixed bits ⇒ occupancy ∝ n ⇒ quadratic candidate work; measured
+    15.9× wall for 10× data at the sf1 gate before this rule).
     With 16 tables × 6 bits each vector probes ~L/2^b ≈ 1/4 of the
     corpus here (recall ≈ 0.5 on these weakly-correlated fixtures —
     measured in tests); on real embedding corpora with tight clusters
@@ -610,6 +712,7 @@ def ann_lsh_topk(
     max_bucket² per bucket, the vector table is read once and joined
     where it lives, and no applyInPandas group ever materializes an
     unbounded bucket."""
+    n_planes = _resolve_planes(emb, n_planes)
     # persist: both sides of the candidate self-join read the capped
     # memberships; without it the signature mapInPandas + cap window
     # subtree executes twice (measured ~0.5 s of the query at sf0.1)
@@ -874,7 +977,7 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     n_probe: int = 4,
     block_size: int = 4096,
     round_digits: int = 6,
@@ -913,6 +1016,7 @@ def ann_ivf_topk(
     treated as the same vector and excluded from its own neighbors,
     exactly like self-ANN). Everything else — sharding, bounded
     groups, per-block top-k, global re-rank — is identical."""
+    n_centroids = _resolve_centroids(emb, n_centroids)
     vecs = emb.select(id_col, vec_col)
     cents = train_ivf_centroids(
         vecs, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
@@ -1005,7 +1109,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     round_digits: int = 6,
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC duplicate pairs: spherical-k-means
@@ -1025,9 +1129,12 @@ def semantic_dedup_pairs(
     entire pair set — approximation included.
 
     Scale shape: candidate volume is Σ(list size)² — quadratic per
-    CELL, by construction of the algorithm; raise ``n_centroids`` so
-    lists stay bounded (E[list] ≈ n/c; SemDeDup at web scale runs
-    c ~ √n or larger). Only (id, list_id) rows enter the self-join;
+    CELL, by construction of the algorithm; ``n_centroids="auto"``
+    (``adaptive_centroids`` over a corpus count) holds E[list] ≈
+    constant so total pair volume stays LINEAR in n — the scale-safe
+    setting (a fixed cell count measured 18× wall for 10× data at the
+    sf1 gate; SemDeDup at web scale runs c ~ √n or larger for the
+    same reason). Only (id, list_id) rows enter the self-join;
     vectors join back where they live via the Arrow scorer, so a hot
     cell costs shuffle rows, never executor memory.
 
@@ -1035,6 +1142,7 @@ def semantic_dedup_pairs(
     referenced by the returned lazy frame (module caching contract) —
     long-lived sessions done with the results should
     ``spark.catalog.clearCache()`` at their batch boundary."""
+    n_centroids = _resolve_centroids(emb, n_centroids)
     vecs = emb.select(id_col, vec_col)
     cents = train_ivf_centroids(
         vecs, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
@@ -1067,7 +1175,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
 ) -> DataFrame:
     """Cluster membership view of ``semantic_dedup_pairs``: connected
     components over the pair graph → (id, rep) with rep = the smallest

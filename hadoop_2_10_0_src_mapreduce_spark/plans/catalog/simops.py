@@ -24,7 +24,7 @@ _COS = (
 def _ivf_cte_chain(
     corpus_sql: str,
     *,
-    n_centroids: int,
+    n_centroids: int | str,
     n_iters: int,
     n_probe: int,
     max_train: int,
@@ -39,7 +39,10 @@ def _ivf_cte_chain(
     list_inner_product(list(x ORDER BY id), ones), blanket
     renormalization), ``probes`` (stable n_probe fan-out), ``home``
     (probe_rank 0 filing). Shared by the IVF ANN oracle and the
-    semantic-dedup oracle — one replay of the trainer, two consumers."""
+    semantic-dedup oracle — one replay of the trainer, two consumers.
+    ``n_centroids`` may be an int literal or a scalar-subquery string
+    (e.g. ``similarity.adaptive_centroids_sql('e')``) so the cell
+    count can scale with the corpus exactly as the engine's does."""
     u32 = md5_u32_sql("CAST(vec_id AS VARCHAR)")
     parts = [f"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM ({corpus_sql})),
 vn AS MATERIALIZED (
@@ -152,8 +155,9 @@ _CORPUS_PLANTED_SQL = f"""
 
 def _neardup_oracle() -> str:
     chain = _ivf_cte_chain(
-        _CORPUS_PLANTED_SQL, n_centroids=16, n_iters=5, n_probe=1,
-        max_train=4096, dim=64,
+        _CORPUS_PLANTED_SQL,
+        n_centroids=similarity.adaptive_centroids_sql("e"),
+        n_iters=5, n_probe=1, max_train=4096, dim=64,
     )
     return f"""
 WITH RECURSIVE {chain},
@@ -205,8 +209,12 @@ def sim_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity.near_dup_pairs(corpus, threshold=0.99).select(
         F.lit("pairs").alias("branch"), "id_a", "id_b", "sim"
     )
+    # n_centroids="auto": cells scale with the corpus (16 at the
+    # sf≤0.1 fixtures — unchanged results there; 160 at sf1), keeping
+    # within-cell pair volume linear in n. The oracle derives the SAME
+    # count via adaptive_centroids_sql over its own corpus CTE.
     clusters = similarity.semantic_dedup(
-        corpus, threshold=0.95, n_centroids=16
+        corpus, threshold=0.95, n_centroids="auto"
     ).select(
         F.lit("semdedup").alias("branch"),
         F.col("id").alias("id_a"),
@@ -228,7 +236,6 @@ def sim_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_lsh_oracle(
     n_tables: int = 16,
-    n_planes: int = 6,
     dim: int = 64,
     max_bucket: int = 1024,
     k: int = 5,
@@ -240,12 +247,20 @@ def _ann_lsh_oracle(
         f"(instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
         for j in range(8)
     )
+    # Adaptive bit count: planes are BUILT at the structural max
+    # (range() takes only constants) but only the first p are USED,
+    # where p = adaptive_planes_sql — the identical integer-threshold
+    # rule the engine's n_planes="auto" applies, so buckets match
+    # bit-for-bit at every corpus size. Component (t,p,d) depends only
+    # on its own md5 key, so "first p of 12" == "built with p".
+    p_expr = similarity.adaptive_planes_sql("e")
     return f"""
 WITH raw AS (
     SELECT t.ti, p.pi, d.di,
            md5(CAST(t.ti AS VARCHAR) || ':' || CAST(p.pi AS VARCHAR) || ':' ||
                CAST(d.di AS VARCHAR)) AS h
-    FROM range({n_tables}) t(ti), range({n_planes}) p(pi), range({dim}) d(di)
+    FROM range({n_tables}) t(ti), range({similarity.LSH_MAX_PLANES}) p(pi),
+         range({dim}) d(di)
 ),
 comp AS (
     SELECT ti, pi, di, 2.0 * (({hex2int}) / 4294967296.0) - 1.0 AS c FROM raw
@@ -257,6 +272,7 @@ sigs AS (
            SUM(CASE WHEN list_inner_product(e.v, pl.plane) > 0
                THEN (1 << pl.pi) ELSE 0 END) AS bucket
     FROM e, planes pl
+    WHERE pl.pi < {p_expr}
     GROUP BY e.vec_id, pl.ti
 ),
 capped AS (
@@ -297,13 +313,19 @@ ORDER BY query_id, rnk
 
 
 @register("sim_ann_lsh", _ann_lsh_oracle(), tags=("similarity",),
-          doc="Approximate top-5 via multi-table LSH (16 tables x 6 bits, md5-derived hyperplanes, md5-ordered hot-bucket cap); oracle recomputes buckets+rescore exactly; recall unit test vs brute force.")
+          doc="Approximate top-5 via multi-table LSH (16 tables, adaptive bit count holding E[bucket]~32, md5-derived hyperplanes, md5-ordered hot-bucket cap); oracle recomputes buckets+rescore exactly; recall unit test vs brute force.")
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Measured variance note (round 3): 2.0 s warm on a quiet box,
     # 2.5–3.0 s in-bench under host contention — the spread is load,
     # not plan (signature subtree is cache-reused across bench passes).
+    # n_planes="auto": 6 bits at the sf≤0.1 fixtures (unchanged
+    # results there), 10 bits at sf1 — E[bucket occupancy] stays ~32
+    # so candidate-pair work is linear in n, not n²/buckets. The
+    # oracle masks its structural-max plane set with the same rule.
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ann_lsh_topk(emb, k=5).orderBy("query_id", "rnk")
+    return similarity.ann_lsh_topk(emb, k=5, n_planes="auto").orderBy(
+        "query_id", "rnk"
+    )
 
 
 # --- IVF ANN (data-learned lists; the other half of the ANN dial) ------

@@ -813,3 +813,41 @@ def test_interval_join_fails_fast_on_missized_bin_width(spark):
         bin_width=1.0, max_bins_per_row=200_000,
     )
     assert sorted((r.lid, r.rid) for r in ok.collect()) == [(0, 0), (1, 0)]
+
+
+def test_adaptive_geometry_matches_sql_twin_and_pins_fixture_scales():
+    """The r6 sf1 scaling gate found the two fixed-geometry queries
+    growing quadratically (18x / 15.9x wall for 10x bytes). The fix —
+    cell/bucket counts derived from a corpus count — is only
+    oracle-checkable if the engine's integer formula and the DuckDB
+    scalar-subquery twin agree EXACTLY at every corpus size, including
+    threshold boundaries; and bench/gate comparability requires the
+    historical fixture corpora to resolve to the historical fixed
+    geometry (16 cells, 6 planes)."""
+    import duckdb
+
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+        adaptive_centroids,
+        adaptive_centroids_sql,
+        adaptive_planes,
+        adaptive_planes_sql,
+    )
+
+    con = duckdb.connect()
+    # boundary sweep: around every plane threshold and the cell floor
+    ns = [1, 16, 525, 2000, 2100, 2112, 2113, 20000, 21000, 1_000_000]
+    for p in range(6, 12):
+        ns += [(1 << p) * 32 - 1, (1 << p) * 32, (1 << p) * 32 + 1]
+    for n in ns:
+        con.execute(f"CREATE OR REPLACE TABLE e AS SELECT * FROM range({n})")
+        kc = con.execute("SELECT " + adaptive_centroids_sql("e")).fetchone()[0]
+        pc = con.execute("SELECT " + adaptive_planes_sql("e")).fetchone()[0]
+        assert kc == adaptive_centroids(n), (n, kc)
+        assert pc == adaptive_planes(n), (n, pc)
+
+    # fixture pins: sf0.01 (525-vector planted corpus / 500 vectors)
+    # and sf0.1 (2100 / 2000) keep the pre-r6 geometry bit-for-bit;
+    # sf1 (21000 / 20000) scales to 160 cells / 10 bits.
+    assert adaptive_centroids(525) == 16 and adaptive_centroids(2100) == 16
+    assert adaptive_planes(500) == 6 and adaptive_planes(2000) == 6
+    assert adaptive_centroids(21000) == 160 and adaptive_planes(20000) == 10

@@ -9,8 +9,9 @@ bytes, the thing a 100 TB deployment cannot tolerate. Overhead-bound
 queries (t < floor at both sfs) are exempt: their ratio is stage
 overhead, not data cost.
 
-Usage: python tools/scaling_report.py [sf_a_dir] [sf_b_dir] [--json out]
-Defaults: /root/testdata/sf0.1 /root/repo/fixtures/sf1
+Usage: python tools/scaling_report.py [sf_a_dir] [sf_b_dir] [query ...]
+                                      [--json out]
+Defaults: /root/testdata/sf0.1 /root/repo/fixtures/sf1, all queries.
 """
 
 from __future__ import annotations
@@ -47,13 +48,15 @@ def _time_all(spark, qs, sf_dir: str, passes: int = 3) -> dict[str, float]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    out_json = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        out_json = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
     sf_a = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     sf_b = args[1] if len(args) > 1 else "/root/repo/fixtures/sf1"
-    out_json = None
-    for i, a in enumerate(sys.argv):
-        if a == "--json":
-            out_json = sys.argv[i + 1]
 
     from hadoop_2_10_0_src_mapreduce_spark.plans.registry import all_queries
     from hadoop_2_10_0_src_mapreduce_spark.session import get_spark
@@ -61,6 +64,12 @@ def main() -> int:
     spark = get_spark("scaling-report")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
+    only = set(args[2:])
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        qs = {n: f for n, f in qs.items() if n in only}
 
     bytes_a, bytes_b = _dir_bytes(sf_a), _dir_bytes(sf_b)
     bytes_ratio = bytes_b / bytes_a
