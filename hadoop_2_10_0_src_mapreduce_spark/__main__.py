@@ -31,6 +31,12 @@ def _conf_pairs(pairs: list[str]) -> dict[str, str]:
     return out
 
 
+def _int_or_auto(v: str):
+    """argparse type for geometry knobs: an int, or the literal
+    'auto' (adaptive geometry sized to the live corpus)."""
+    return v if v == "auto" else int(v)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="hadoop_2_10_0_src_mapreduce_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -100,8 +106,12 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--ids", help="delete: comma-separated vec_ids to tombstone")
     ix.add_argument("--n-tables", type=int, help="rebuild --family lsh: new "
                     "table count (omit to keep the stored conf)")
-    ix.add_argument("--n-planes", type=int, help="rebuild --family lsh: new "
-                    "planes per table")
+    ix.add_argument("--n-planes", type=_int_or_auto,
+                    help="rebuild --family lsh: new planes per table, or "
+                    "'auto' to re-size to the live corpus")
+    ix.add_argument("--n-centroids", type=_int_or_auto,
+                    help="rebuild --family ivf: new list count, or 'auto' "
+                    "to re-size to the live corpus")
     ix.add_argument("--max-bucket", type=int, help="rebuild --family lsh: new "
                     "global bucket cap")
     ix.add_argument("--limit", type=int, default=20, help="rows to print")
@@ -315,7 +325,9 @@ def main(argv: list[str] | None = None) -> int:
             print(_json.dumps(similarity.index_stats(spark, args.path)))
         elif args.action == "rebuild":
             if args.family == "ivf":
-                similarity.rebuild_ivf_index(spark, args.path)
+                similarity.rebuild_ivf_index(
+                    spark, args.path, n_centroids=args.n_centroids
+                )
             else:
                 similarity.rebuild_lsh_index(
                     spark, args.path,

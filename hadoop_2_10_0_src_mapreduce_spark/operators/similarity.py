@@ -1202,7 +1202,7 @@ def save_ivf_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     n_iters: int = 5,
     max_train: int = 4096,
     quantize: bool = False,
@@ -1237,7 +1237,13 @@ def save_ivf_index(
     them. ``append_to_ivf_index`` is the incremental equivalent (same
     result, no full rewrite); this parameter exists so that
     equivalence is testable and so periodic rebuilds can pin training
-    data explicitly."""
+    data explicitly.
+
+    ``n_centroids="auto"`` sizes the list count to the FILED corpus
+    (``adaptive_centroids``) so list occupancy — and with it both the
+    probed-scan fraction and any downstream within-list pair work —
+    stays bounded as the corpus grows."""
+    n_centroids = _resolve_centroids(emb, n_centroids)
     vecs = emb.select(id_col, vec_col)
     cents = train_ivf_centroids(
         train_df.select(id_col, vec_col) if train_df is not None else vecs,
@@ -1364,7 +1370,7 @@ def save_lsh_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 6,
+    n_planes: int | str = 6,
     n_tables: int = 16,
     dim: int = 64,
     max_bucket: int = 1024,
@@ -1389,7 +1395,13 @@ def save_lsh_index(
     dequantizes in the scan projection. The hot-bucket cap applies to
     the STORED side only (a capped member still probes as a query) —
     the correct serving semantics: storage is bounded, recall loss is
-    confined to buckets past the point where LSH discriminates."""
+    confined to buckets past the point where LSH discriminates.
+
+    ``n_planes="auto"`` sizes the bit count to the corpus
+    (``adaptive_planes``) so bucket occupancy stays bounded as the
+    corpus grows; the RESOLVED count is what the conf row stores, so
+    serving and appends replay it exactly."""
+    n_planes = _resolve_planes(emb, n_planes)
     spark = emb.sparkSession
     spark.createDataFrame(
         [(n_planes, n_tables, dim, max_bucket)],
@@ -1804,6 +1816,7 @@ def index_stats(
     tombstone_warn: float = 0.1,
     files_per_part_warn: float = 4.0,
     skew_warn: float = 4.0,
+    occupancy_warn: float = 4.0,
 ) -> dict:
     """Health report for a stored ANN index (IVF or LSH — detected
     from the directory layout) and the MAINTENANCE TRIGGER the serving
@@ -1838,7 +1851,13 @@ def index_stats(
     the footers it needs; IVF skew beyond ~4× the mean list says the
     centroids no longer describe the data (retrain), while LSH bucket
     skew is capped at build time so it signals append-cap drift
-    (compact re-applies the global cap)."""
+    (compact re-applies the global cap). ``occupancy_warn`` flags
+    GROWTH debt: a mean partition more than that multiple of the
+    adaptive-geometry target (``CELL_TARGET`` / ``LSH_TARGET_BUCKET``)
+    means the corpus outgrew the build-time cell/bit count — even a
+    perfectly balanced index then pays occupancy² candidate work —
+    and the recommendation names the rebuild with "auto" geometry
+    that restores the target."""
     import pathlib
 
     p = pathlib.Path(path)
@@ -1900,6 +1919,19 @@ def index_stats(
             else f"compact: hottest bucket holds {skew:.1f}x the mean — "
             "re-apply the global bucket cap"
         )
+    target = CELL_TARGET if family == "ivf" else LSH_TARGET_BUCKET
+    mean_rows = float(row.rows_mean or 0.0)
+    if mean_rows >= occupancy_warn * target:
+        rec.append(
+            f"retrain: mean partition holds {mean_rows:.0f} rows vs the "
+            f"~{target} adaptive-geometry target — the corpus outgrew the "
+            "build-time "
+            + (
+                "cell count; rebuild_ivf_index(n_centroids='auto')"
+                if family == "ivf"
+                else "bit count; rebuild_lsh_index(n_planes='auto')"
+            )
+        )
     return {
         "family": family,
         "rows_live": rows_live,
@@ -1923,7 +1955,7 @@ def rebuild_ivf_index(
     corpus: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int | None = None,
+    n_centroids: int | str | None = None,
     n_iters: int = 5,
     max_train: int = 4096,
 ) -> None:
@@ -1952,7 +1984,13 @@ def rebuild_ivf_index(
     regardless of how they are partitioned. A zero-downtime
     alternative at cluster scale is building a fresh directory and
     flipping a path pointer; this in-place form exists for the
-    single-writer maintenance schedule the CLI drives."""
+    single-writer maintenance schedule the CLI drives.
+
+    ``n_centroids="auto"`` re-sizes the list count to the LIVE corpus
+    (``adaptive_centroids``) — the growth half of the retrain story:
+    a corpus that outgrew its build-time cell count gets proportional
+    cells back, restoring bounded occupancy (``index_stats`` flags
+    this as its occupancy recommendation)."""
     from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
         atomic_swap_write,
     )
@@ -1991,7 +2029,7 @@ def rebuild_ivf_index(
         corpus,
         id_col=id_col,
         vec_col=vec_col,
-        n_centroids=n_centroids,
+        n_centroids=_resolve_centroids(corpus, n_centroids),
         n_iters=n_iters,
         max_train=max_train,
     )
@@ -2025,7 +2063,7 @@ def rebuild_lsh_index(
     corpus: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int | None = None,
+    n_planes: int | str | None = None,
     n_tables: int | None = None,
     max_bucket: int | None = None,
 ) -> None:
@@ -2088,6 +2126,9 @@ def rebuild_lsh_index(
                 tomb.withColumnRenamed("id", id_col), id_col, "left_anti"
             )
     corpus = corpus.persist()
+    # "auto": re-size the bit count to the LIVE corpus (growth story —
+    # same rule as save_lsh_index; the new conf row stores the result)
+    n_planes = _resolve_planes(corpus, n_planes)
     capped = capped_lsh_buckets(
         corpus,
         id_col=id_col,

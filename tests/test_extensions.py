@@ -2198,6 +2198,24 @@ def test_index_stats_reports_health_and_maintenance_triggers(spark, tmp_path):
     assert sl["family"] == "lsh" and sl["rows_live"] > 0
     assert sl["n_partitions"] > 8  # (table, bucket) grid
 
+    # occupancy (growth) trigger: mean partition rows beyond the
+    # adaptive-geometry target multiple flags the 'auto' rebuild —
+    # fires when the threshold is tightened under this index's actual
+    # occupancy, names the right action per family, and is absent at
+    # the default threshold for these fixture-sized (floor-geometry,
+    # occupancy ≈ target/2.5) indexes
+    assert not any("outgrew" in r for r in s3["recommendations"])
+    tight_ivf = similarity.index_stats(spark, path, occupancy_warn=0.01)
+    assert any(
+        "rebuild_ivf_index(n_centroids='auto')" in r
+        for r in tight_ivf["recommendations"]
+    )
+    tight_lsh = similarity.index_stats(spark, lsh_path, occupancy_warn=0.01)
+    assert any(
+        "rebuild_lsh_index(n_planes='auto')" in r
+        for r in tight_lsh["recommendations"]
+    )
+
 
 def test_rebuild_ivf_index_equals_fresh_build_and_heals_drift(spark, tmp_path):
     """rebuild_ivf_index == save_ivf_index built fresh over the same
@@ -2662,3 +2680,83 @@ def test_training_prep_last_mile_composes(spark, tmp_path):
     )
     back = spark.read.json(out)
     assert back.count() == len(rows)
+
+
+def test_auto_geometry_through_the_index_lifecycle(spark, tmp_path):
+    """The adaptive-geometry rule must reach the SERVING lifecycle,
+    not just the registered queries: 'auto' at build resolves through
+    the same formula (floor geometry at fixture sizes — bit-identical
+    to an explicit build), sizes PAST the floor once the corpus
+    outgrows it, persists the RESOLVED value in the LSH conf row so
+    appends/serving replay it, and rebuild with 'auto' re-sizes to
+    the LIVE corpus — the action index_stats' occupancy trigger
+    recommends."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    n = emb.count()  # 500 → floor geometry
+
+    # IVF: auto == explicit-floor build, served bit-for-bit equal
+    pa, pe = str(tmp_path / "ivf_auto"), str(tmp_path / "ivf_exp")
+    similarity.save_ivf_index(emb, pa, n_centroids="auto")
+    similarity.save_ivf_index(
+        emb, pe, n_centroids=similarity.adaptive_centroids(n)
+    )
+    assert (
+        spark.read.parquet(f"{pa}/centroids").count()
+        == similarity.adaptive_centroids(n)
+        == 16
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    rows = lambda p: sorted(  # noqa: E731
+        (r.query_id, r.rnk, r.neighbor_id, r.sim)
+        for r in similarity.query_ivf_index(queries, p, k=3).collect()
+    )
+    assert rows(pa) == rows(pe)
+
+    # LSH: conf row stores the RESOLVED bit count
+    la = str(tmp_path / "lsh_auto")
+    similarity.save_lsh_index(emb, la, n_planes="auto")
+    conf = spark.read.parquet(f"{la}/conf").collect()[0]
+    assert conf.n_planes == similarity.adaptive_planes(n) == 6
+
+    # growth: past the floor the cell count scales with the corpus...
+    emb = emb.select("vec_id", "embedding")
+    grown = emb.unionByName(
+        emb.sample(0.9, seed=7).select(
+            (F.col("vec_id") + 700000).alias("vec_id"), "embedding"
+        )
+    ).unionByName(
+        emb.sample(0.9, seed=11).select(
+            (F.col("vec_id") + 800000).alias("vec_id"), "embedding"
+        )
+    ).unionByName(
+        emb.sample(0.9, seed=13).select(
+            (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+        )
+    ).unionByName(
+        emb.sample(0.9, seed=17).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    n_grown = grown.count()
+    assert n_grown > 16 * 132, "growth fixture must exceed the cell floor"
+    pg = str(tmp_path / "ivf_grown")
+    similarity.save_ivf_index(grown, pg, n_centroids="auto")
+    assert (
+        spark.read.parquet(f"{pg}/centroids").count()
+        == similarity.adaptive_centroids(n_grown)
+        > 16
+    )
+
+    # ...and rebuild with 'auto' re-sizes to the LIVE corpus: after
+    # tombstoning enough rows to drop back under the floor threshold,
+    # the retrain shrinks the cell count to the floor again
+    doomed = [
+        r.vec_id
+        for r in grown.select("vec_id").orderBy("vec_id").collect()
+    ][: n_grown - 2000]
+    similarity.delete_from_index(spark, pg, doomed)
+    similarity.rebuild_ivf_index(spark, pg, n_centroids="auto")
+    assert spark.read.parquet(f"{pg}/centroids").count() == 16
+    assert spark.read.parquet(f"{pg}/lists").count() == 2000
