@@ -77,10 +77,19 @@ from pyspark.sql.window import Window
 # geometry (16 cells, 6 planes) — pre-r6 results are bit-identical.
 
 LSH_MIN_PLANES = 6
-LSH_MAX_PLANES = 12
+# 20-bit ceiling keeps the rule linear to 2^19·32 ≈ 16.7M vectors per
+# table; the only structural cost is the oracle's plane CTE (16·20·64
+# md5 rows — trivial). Past the ceiling, raise it or add tables.
+LSH_MAX_PLANES = 20
 LSH_TARGET_BUCKET = 32
 CELL_TARGET = 132
 CELL_FLOOR = 16
+# adaptive_centroids never asks for more cells than the k-means
+# trainer can seed: init takes the first k vectors of the bounded
+# training sample (max_train, default 4096), so k beyond it would
+# starve. Past n ≈ CELL_CAP·CELL_TARGET (~540k vectors) raise
+# max_train alongside if strict target occupancy matters.
+CELL_CAP = 4096
 
 
 def adaptive_centroids(
@@ -89,8 +98,9 @@ def adaptive_centroids(
     """SemDeDup/IVF cell-count rule: cells = ⌈n / target_cell⌉ (with a
     floor), so E[cell size] ≈ target_cell regardless of corpus size and
     the within-cell pair volume Σ|cell|² stays LINEAR in n (SemDeDup at
-    web scale runs c ~ √n or larger for the same reason)."""
-    return max(floor, (n + target_cell - 1) // target_cell)
+    web scale runs c ~ √n or larger for the same reason). Capped at
+    ``CELL_CAP`` — the trainer's sample bound (see constant note)."""
+    return max(floor, min(CELL_CAP, (n + target_cell - 1) // target_cell))
 
 
 def adaptive_centroids_sql(
@@ -103,8 +113,8 @@ def adaptive_centroids_sql(
     ``corpus`` — pure integer arithmetic (ceil = (n+t-1)//t), so both
     engines agree exactly at every corpus size."""
     return (
-        f"(SELECT GREATEST({floor}, (COUNT(*) + {target_cell - 1}) "
-        f"// {target_cell}) FROM {corpus})"
+        f"(SELECT GREATEST({floor}, LEAST({CELL_CAP}, "
+        f"(COUNT(*) + {target_cell - 1}) // {target_cell})) FROM {corpus})"
     )
 
 

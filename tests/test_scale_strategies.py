@@ -833,11 +833,23 @@ def test_adaptive_geometry_matches_sql_twin_and_pins_fixture_scales():
         adaptive_planes_sql,
     )
 
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+        CELL_CAP,
+        CELL_TARGET,
+        LSH_MAX_PLANES,
+        LSH_MIN_PLANES,
+        LSH_TARGET_BUCKET,
+    )
+
     con = duckdb.connect()
-    # boundary sweep: around every plane threshold and the cell floor
-    ns = [1, 16, 525, 2000, 2100, 2112, 2113, 20000, 21000, 1_000_000]
-    for p in range(6, 12):
-        ns += [(1 << p) * 32 - 1, (1 << p) * 32, (1 << p) * 32 + 1]
+    # boundary sweep: around every plane threshold, the cell floor,
+    # and the cell cap (the trainer's sample bound)
+    ns = [1, 16, 525, 2000, 2100, 2112, 2113, 20000, 21000, 1_000_000,
+          CELL_CAP * CELL_TARGET - 1, CELL_CAP * CELL_TARGET,
+          CELL_CAP * CELL_TARGET + 1]
+    for p in range(LSH_MIN_PLANES, LSH_MAX_PLANES):
+        b = (1 << p) * LSH_TARGET_BUCKET
+        ns += [b - 1, b, b + 1]
     for n in ns:
         con.execute(f"CREATE OR REPLACE TABLE e AS SELECT * FROM range({n})")
         kc = con.execute("SELECT " + adaptive_centroids_sql("e")).fetchone()[0]
