@@ -86,14 +86,14 @@ def main(argv: list[str] | None = None) -> int:
                     metavar="key=value", help="Spark conf override")
 
     ix = sub.add_parser(
-        "index", help="build / query a persisted ANN index (IVF or LSH)"
+        "index", help="build / query a persisted ANN index (IVF, LSH, or IVF-PQ)"
     )
     ix.add_argument(
         "action",
         choices=("build", "query", "append", "delete", "compact", "stats",
                  "rebuild"),
     )
-    ix.add_argument("--family", choices=("ivf", "lsh"), default="ivf")
+    ix.add_argument("--family", choices=("ivf", "lsh", "ivfpq"), default="ivf")
     ix.add_argument("--path", required=True, help="index directory")
     ix.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ix.add_argument("--quantize", action="store_true",
@@ -293,9 +293,13 @@ def main(argv: list[str] | None = None) -> int:
         emb = load_table(spark, args.sf_dir, "embeddings").select(
             "vec_id", "embedding"
         )
+        from hadoop_2_10_0_src_mapreduce_spark.operators import pq as pqmod
+
         if args.action == "build":
             if args.family == "ivf":
                 similarity.save_ivf_index(emb, args.path, quantize=args.quantize)
+            elif args.family == "ivfpq":
+                pqmod.save_ivfpq_index(emb, args.path)
             else:
                 similarity.save_lsh_index(emb, args.path, quantize=args.quantize)
             print(f"built {args.family} index at {args.path}")
@@ -303,6 +307,8 @@ def main(argv: list[str] | None = None) -> int:
             batch = emb.where(args.where) if args.where else emb
             if args.family == "ivf":
                 similarity.append_to_ivf_index(batch, args.path)
+            elif args.family == "ivfpq":
+                pqmod.append_to_ivfpq_index(batch, args.path)
             else:
                 similarity.append_to_lsh_index(batch, args.path)
             print(f"appended to {args.family} index at {args.path}")
@@ -314,7 +320,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(f"tombstoned {args.ids} in {args.path}")
         elif args.action == "compact":
-            if args.family == "ivf":
+            if args.family in ("ivf", "ivfpq"):
                 similarity.compact_ivf_index(spark, args.path)
             else:
                 similarity.compact_lsh_index(spark, args.path)
@@ -324,7 +330,11 @@ def main(argv: list[str] | None = None) -> int:
 
             print(_json.dumps(similarity.index_stats(spark, args.path)))
         elif args.action == "rebuild":
-            if args.family == "ivf":
+            if args.family == "ivfpq":
+                # codes are not invertible enough to retrain from:
+                # rebuild = re-save over the source-of-truth embeddings
+                pqmod.save_ivfpq_index(emb, args.path)
+            elif args.family == "ivf":
                 similarity.rebuild_ivf_index(
                     spark, args.path, n_centroids=args.n_centroids
                 )
@@ -338,11 +348,14 @@ def main(argv: list[str] | None = None) -> int:
             print(f"rebuilt {args.family} index at {args.path}")
         else:
             queries = emb.where(F.col("vec_id") < args.n_queries)
-            serve = (
-                similarity.query_ivf_index
-                if args.family == "ivf"
-                else similarity.query_lsh_index
-            )
+            if args.family == "ivfpq":
+                serve = lambda q, p, k: pqmod.query_ivfpq_index(
+                    q, p, k=k, rescore=emb
+                )
+            elif args.family == "ivf":
+                serve = similarity.query_ivf_index
+            else:
+                serve = similarity.query_lsh_index
             serve(queries, args.path, k=args.k).orderBy(
                 "query_id", "rnk"
             ).show(args.limit, truncate=False)

@@ -227,6 +227,105 @@ def pq_decode(
     )
 
 
+def _collect_query_batch(
+    queries: DataFrame, id_col: str, vec_col: str, max_queries: int, who: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Collect and normalize the SMALL serving-side query batch
+    (guarded by ``max_queries`` — the same bounded-driver contract as
+    ``brute_force_topk``'s broadcast side)."""
+    n_q = queries.count()
+    if n_q == 0:
+        raise ValueError(f"{who}: empty query batch")
+    if n_q > max_queries:
+        raise ValueError(
+            f"{who}: {n_q} queries > max_queries={max_queries}; ADC "
+            "broadcasts one LUT row per query — batch the queries, or "
+            "raise max_queries if the LUT (q·m·k_codes doubles) fits"
+        )
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    qids = qpdf[id_col].to_numpy()
+    qmat = _normalize_rows(
+        np.stack(qpdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+    )
+    return qids, qmat
+
+
+def _adc_lut(qmat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """LUT[q, s, c] = dot(query_sub_s, codebook[s, c]) — after this,
+    every corpus approximate dot is m lookups + adds."""
+    m, k_codes, dsub = codebooks.shape
+    lut = np.empty((len(qmat), m, k_codes))
+    for s in range(m):
+        lut[:, s, :] = qmat[:, s * dsub : (s + 1) * dsub] @ codebooks[s].T
+    return lut
+
+
+def _adc_per_partition(
+    codes_df: DataFrame,
+    qids: np.ndarray,
+    lut: np.ndarray,
+    *,
+    id_col: str,
+    codes_col: str,
+    n_cand: int,
+    round_digits: int,
+    probe_ok: np.ndarray | None = None,
+    list_col: str = "list_id",
+) -> DataFrame:
+    """The ADC scan: each corpus partition scores its own rows against
+    the broadcast LUT (m lookups + adds per (row, query)) and emits
+    only its per-query top-``n_cand`` — the corpus never shuffles and
+    never leaves its executors. ``probe_ok`` ([q, n_lists] bool) masks
+    rows outside a query's probed lists (the IVF-PQ mode); rows tie-
+    break and round exactly like ``_pairs_topk`` so rankings are
+    deterministic."""
+    m = lut.shape[1]
+    bc = codes_df.sparkSession.sparkContext.broadcast((qids, lut, probe_ok))
+    scale = 10.0**round_digits
+    cols = [id_col, codes_col] + ([list_col] if probe_ok is not None else [])
+
+    def batches(it):
+        b_qids, b_lut, b_ok = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy()
+            codes = np.stack(pdf[codes_col].map(np.asarray))
+            # sims[q, row] = Σ_s LUT[q, s, codes[row, s]]
+            sims = np.zeros((len(b_qids), len(cids)))
+            for s in range(m):
+                sims += b_lut[:, s, :][:, codes[:, s]]
+            sims[:, :] = np.copysign(
+                np.floor(np.abs(sims) * scale + 0.5), sims
+            ) / scale
+            if b_ok is not None:
+                lists = pdf[list_col].to_numpy()
+                sims[~b_ok[:, lists]] = -np.inf
+            sims[b_qids[:, None] == cids[None, :]] = -np.inf
+            kk = min(n_cand, sims.shape[1])
+            out_q, out_n, out_s = [], [], []
+            for i in range(len(b_qids)):
+                top = np.lexsort((cids, -sims[i]))[:kk]
+                top = top[sims[i, top] != -np.inf]
+                out_q.extend([b_qids[i]] * len(top))
+                out_n.extend(cids[top])
+                out_s.extend(sims[i, top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, dtype=qids.dtype),
+                    "neighbor_id": np.asarray(out_n, dtype=cids.dtype),
+                    "sim": np.asarray(out_s, dtype=np.float64),
+                }
+            )
+
+    id_type = {f.name: f.dataType.simpleString() for f in codes_df.schema.fields}[
+        id_col
+    ]
+    return codes_df.select(*cols).mapInPandas(
+        batches, f"query_id {id_type}, neighbor_id {id_type}, sim double"
+    )
+
+
 def pq_topk(
     codes_df: DataFrame,
     queries: DataFrame,
@@ -261,67 +360,236 @@ def pq_topk(
     vectors live) and the final top-k ranks by TRUE cosine. sim is
     then exact for every returned row; ADC error can only cost recall,
     never precision."""
-    n_q = queries.count()
-    if n_q == 0:
-        raise ValueError("pq_topk: empty query batch")
-    if n_q > max_queries:
-        raise ValueError(
-            f"pq_topk: {n_q} queries > max_queries={max_queries}; ADC "
-            "broadcasts one LUT row per query — batch the queries, or "
-            "raise max_queries if the LUT (q·m·k_codes doubles) fits"
-        )
-    m, k_codes, dsub = codebooks.shape
-    qpdf = queries.select(id_col, vec_col).toPandas()
-    qids = qpdf[id_col].to_numpy()
-    qmat = _normalize_rows(
-        np.stack(qpdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+    qids, qmat = _collect_query_batch(
+        queries, id_col, vec_col, max_queries, "pq_topk"
     )
-    lut = np.empty((len(qids), m, k_codes))
-    for s in range(m):
-        lut[:, s, :] = qmat[:, s * dsub : (s + 1) * dsub] @ codebooks[s].T
-    bc = codes_df.sparkSession.sparkContext.broadcast((qids, lut))
+    lut = _adc_lut(qmat, codebooks)
     n_cand = k * (oversample if rescore is not None else 1)
-    scale = 10.0**round_digits
-
-    def batches(it):
-        b_qids, b_lut = bc.value
-        for pdf in it:
-            if not len(pdf):
-                continue
-            cids = pdf[id_col].to_numpy()
-            codes = np.stack(pdf[codes_col].map(np.asarray))
-            # sims[q, row] = Σ_s LUT[q, s, codes[row, s]]
-            sims = np.zeros((len(b_qids), len(cids)))
-            for s in range(m):
-                sims += b_lut[:, s, :][:, codes[:, s]]
-            sims[:, :] = np.copysign(
-                np.floor(np.abs(sims) * scale + 0.5), sims
-            ) / scale
-            sims[b_qids[:, None] == cids[None, :]] = -np.inf
-            kk = min(n_cand, sims.shape[1])
-            out_q, out_n, out_s = [], [], []
-            for i in range(len(b_qids)):
-                top = np.lexsort((cids, -sims[i]))[:kk]
-                top = top[sims[i, top] != -np.inf]
-                out_q.extend([b_qids[i]] * len(top))
-                out_n.extend(cids[top])
-                out_s.extend(sims[i, top])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.asarray(out_q, dtype=qids.dtype),
-                    "neighbor_id": np.asarray(out_n, dtype=cids.dtype),
-                    "sim": np.asarray(out_s, dtype=np.float64),
-                }
-            )
-
-    id_type = {f.name: f.dataType.simpleString() for f in codes_df.schema.fields}[
-        id_col
-    ]
-    per_part = codes_df.select(id_col, codes_col).mapInPandas(
-        batches, f"query_id {id_type}, neighbor_id {id_type}, sim double"
+    per_part = _adc_per_partition(
+        codes_df, qids, lut,
+        id_col=id_col, codes_col=codes_col,
+        n_cand=n_cand, round_digits=round_digits,
     )
     if rescore is None:
         return _global_topk(per_part, k)
     cands = _global_topk(per_part, n_cand).select("query_id", "neighbor_id")
     exact = _score_pairs(rescore, cands, id_col, vec_col, round_digits)
     return _global_topk(exact, k)
+
+
+# --- persisted IVF-PQ index: build / serve / append / compact -----------
+# The 100 TB serving composition: IVF routing prunes the SCAN to the
+# probed list directories (same partition-pruned layout as
+# save_ivf_index) and PQ shrinks what those directories HOLD to m
+# smallints per vector — together a query batch reads p/c of a 32×-
+# smaller store. Tombstone deletes (delete_from_index) and compaction
+# reuse the shared id-based machinery; the layout is
+#   <path>/centroids   (list_id, centroid array<double>)   — kilobytes
+#   <path>/codebooks   (subspace, code, codeword array<double>) — ~MB
+#   <path>/lists       (id, pq_codes) PARTITIONED BY list_id
+# Full-precision vectors are NOT stored: rescore-grade serving passes
+# the source-of-truth embedding table via ``rescore=``, and rebuilds
+# re-run save_ivfpq_index over that table (codes are not invertible
+# enough to retrain from).
+
+
+def save_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | str = 16,
+    n_subspaces: int = 8,
+    n_codes: int = 256,
+    n_iters: int = 5,
+    max_train: int = 4096,
+    train_df: DataFrame | None = None,
+) -> None:
+    """Build and persist an IVF-PQ index: train centroids + codebooks
+    on the same bounded md5-stride sample (``train_df`` pins training
+    to a different frame, the rebuild/append-equivalence shape, exactly
+    like ``save_ivf_index``), file each vector into its home list, and
+    store only its PQ codes under the list partition. Writes cluster on
+    the partition column (one file set per directory)."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+        _resolve_centroids,
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    vecs = emb.select(id_col, vec_col)
+    train = train_df.select(id_col, vec_col) if train_df is not None else vecs
+    # "auto" sizes to the FILED corpus (same rule as save_ivf_index)
+    n_centroids = _resolve_centroids(vecs, n_centroids)
+    cents = train_ivf_centroids(
+        train, id_col=id_col, vec_col=vec_col,
+        n_centroids=n_centroids, max_train=max_train,
+    )
+    books = train_pq_codebooks(
+        train, id_col=id_col, vec_col=vec_col,
+        n_subspaces=n_subspaces, n_codes=n_codes,
+        n_iters=n_iters, max_train=max_train,
+    )
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in books[s, c]])
+            for s in range(books.shape[0])
+            for c in range(books.shape[1])
+        ],
+        "subspace int, code int, codeword array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    home = (
+        ivf_assign(vecs, cents, vec_col=vec_col, n_probe=1, keep_vec=True)
+        .where(F.col("probe_rank") == 0)
+        .drop("probe_rank")
+    )
+    codes = pq_encode(
+        home, books, id_col=id_col, vec_col=vec_col, keep_cols=("list_id",)
+    )
+    codes.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/lists")
+
+
+def _load_pq_codebooks(spark, path: str) -> np.ndarray:
+    rows = (
+        spark.read.parquet(f"{path}/codebooks")
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    m = max(r.subspace for r in rows) + 1
+    k = max(r.code for r in rows) + 1
+    dsub = len(rows[0].codeword)
+    books = np.empty((m, k, dsub))
+    for r in rows:
+        books[r.subspace, r.code] = np.asarray(r.codeword, dtype=np.float64)
+    return books
+
+
+def query_ivfpq_index(
+    queries: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    round_digits: int = 6,
+    rescore: DataFrame | None = None,
+    oversample: int = 4,
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Serve a query batch from a ``save_ivfpq_index`` directory.
+
+    Routing happens DRIVER-side on the kilobyte centroid table (the
+    query batch is already bounded-collected for its ADC LUT), the
+    probed list-id set becomes a literal IN filter on the partition
+    column — unprobed directories are never read (PartitionFilters,
+    same unconditional skip as ``query_ivf_index``) — and each probed
+    partition ADC-scores its own rows against the broadcast LUT with a
+    per-query probe mask, emitting only per-partition top-k. Probing
+    with the SAME stable ranking as ``ivf_assign`` (sequential dots,
+    ties toward the lower list id) keeps routing consistent with how
+    the corpus was filed. Tombstoned ids drop out before scoring.
+
+    ``rescore`` = the source-of-truth float vector table: ADC picks
+    k·oversample candidates, the exact sequential cosine re-ranks —
+    returned sims are then true cosines (the index itself stores no
+    full-precision vectors to rescore against)."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+        _apply_tombstones,
+        _load_ivf_centroids,
+        _seq_matdot,
+    )
+
+    spark = queries.sparkSession
+    cents = _load_ivf_centroids(spark, path)
+    books = _load_pq_codebooks(spark, path)
+    qids, qmat = _collect_query_batch(
+        queries, id_col, vec_col, max_queries, "query_ivfpq_index"
+    )
+    order = np.argsort(-_seq_matdot(qmat, cents), axis=1, kind="stable")[
+        :, : min(n_probe, len(cents))
+    ]
+    probe_ok = np.zeros((len(qids), len(cents)), dtype=bool)
+    for i in range(len(qids)):
+        probe_ok[i, order[i]] = True
+    probed = sorted(int(x) for x in np.unique(order))
+    stored = _apply_tombstones(
+        spark.read.parquet(f"{path}/lists").where(
+            F.col("list_id").isin(probed)
+        ),
+        path,
+        id_col,
+    )
+    lut = _adc_lut(qmat, books)
+    n_cand = k * (oversample if rescore is not None else 1)
+    per_part = _adc_per_partition(
+        stored, qids, lut,
+        id_col=id_col, codes_col="pq_codes",
+        n_cand=n_cand, round_digits=round_digits,
+        probe_ok=probe_ok,
+    )
+    if rescore is None:
+        return _global_topk(per_part, k)
+    cands = _global_topk(per_part, n_cand).select("query_id", "neighbor_id")
+    exact = _score_pairs(rescore, cands, id_col, vec_col, round_digits)
+    return _global_topk(exact, k)
+
+
+def append_to_ivfpq_index(
+    new_emb: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold a NEW vector batch into an existing IVF-PQ index without
+    retraining: centroids AND codebooks stay fixed (the PQ analogue of
+    the fixed-partition-function contract — re-deriving codebooks
+    would silently re-mean every stored code), the batch assigns to
+    home lists and encodes under the stored codebooks, and the filed
+    codes append to the list partitions. Equals a fresh
+    ``save_ivfpq_index(union, train_df=original)`` bit for bit (pinned
+    by test). Same novel-id contract as the IVF/LSH appends: tombstone
+    first to update."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+        _load_ivf_centroids,
+        ivf_assign,
+    )
+
+    spark = new_emb.sparkSession
+    cents = _load_ivf_centroids(spark, path)
+    books = _load_pq_codebooks(spark, path)
+    home = (
+        ivf_assign(
+            new_emb.select(id_col, vec_col), cents, vec_col=vec_col,
+            n_probe=1, keep_vec=True,
+        )
+        .where(F.col("probe_rank") == 0)
+        .drop("probe_rank")
+    )
+    codes = pq_encode(
+        home, books, id_col=id_col, vec_col=vec_col, keep_cols=("list_id",)
+    )
+    codes.repartition("list_id").write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/lists")
+
+
+def compact_ivfpq_index(spark, path: str) -> None:
+    """Physically apply tombstones and defragment the code store —
+    the PQ codes layout satisfies ``compact_ivf_index``'s layout
+    detection (the id column is the only scalar outside the layout),
+    so this is the same atomic-swap rewrite."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+        compact_ivf_index,
+    )
+
+    compact_ivf_index(spark, path)

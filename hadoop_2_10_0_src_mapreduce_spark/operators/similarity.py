@@ -1872,7 +1872,9 @@ def index_stats(
 
     p = pathlib.Path(path)
     if (p / "centroids").exists():
-        family, live = "ivf", f"{path}/lists"
+        # an IVF-PQ dir shares the IVF layout plus a codebooks subdir
+        family = "ivfpq" if (p / "codebooks").exists() else "ivf"
+        live = f"{path}/lists"
         part_cols = ["list_id"]
     elif (p / "conf").exists():
         family, live = "lsh", f"{path}/buckets"
@@ -1925,22 +1927,23 @@ def index_stats(
         rec.append(
             f"retrain: hottest partition holds {skew:.1f}x the mean — "
             "centroids no longer fit the data"
-            if family == "ivf"
+            if family != "lsh"
             else f"compact: hottest bucket holds {skew:.1f}x the mean — "
             "re-apply the global bucket cap"
         )
-    target = CELL_TARGET if family == "ivf" else LSH_TARGET_BUCKET
+    target = CELL_TARGET if family != "lsh" else LSH_TARGET_BUCKET
     mean_rows = float(row.rows_mean or 0.0)
     if mean_rows >= occupancy_warn * target:
+        rebuild_hint = {
+            "ivf": "cell count; rebuild_ivf_index(n_centroids='auto')",
+            "ivfpq": "cell count; re-run save_ivfpq_index over the "
+            "source-of-truth embeddings (codes cannot retrain)",
+            "lsh": "bit count; rebuild_lsh_index(n_planes='auto')",
+        }[family]
         rec.append(
             f"retrain: mean partition holds {mean_rows:.0f} rows vs the "
             f"~{target} adaptive-geometry target — the corpus outgrew the "
-            "build-time "
-            + (
-                "cell count; rebuild_ivf_index(n_centroids='auto')"
-                if family == "ivf"
-                else "bit count; rebuild_lsh_index(n_planes='auto')"
-            )
+            "build-time " + rebuild_hint
         )
     return {
         "family": family,
