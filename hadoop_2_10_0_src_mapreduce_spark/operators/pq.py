@@ -144,6 +144,18 @@ def train_pq_codebooks(
     return np.stack(books)
 
 
+def _codes_matrix(col: pd.Series) -> np.ndarray:
+    """Decode a codes column into an [n, m] int array, accepting both
+    layouts: array<smallint> rows and PACKED binary rows (one byte per
+    code — the persisted-store layout when n_codes ≤ 256)."""
+    first = col.iloc[0]
+    if isinstance(first, (bytes, bytearray)):
+        return np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in col]
+        ).astype(np.int64)
+    return np.stack(col.map(np.asarray)).astype(np.int64)
+
+
 def pq_encode(
     emb: DataFrame,
     codebooks: np.ndarray,
@@ -152,14 +164,29 @@ def pq_encode(
     vec_col: str = "embedding",
     codes_col: str = "pq_codes",
     keep_cols: tuple[str, ...] = (),
+    packed: bool = False,
 ) -> DataFrame:
     """Encode each vector as its per-subspace nearest-code ids:
-    (id, codes array<smallint> of length m, *keep_cols). Runs where the
-    vectors live (Arrow-batched mapInPandas, broadcast codebook) — the
-    corpus never shuffles, and the emitted payload is m smallints per
-    row instead of d floats. smallint (not tinyint) so n_codes up to
-    32k work and 256 stays unsigned-safe."""
-    m, _, dsub = codebooks.shape
+    (id, codes, *keep_cols). Runs where the vectors live (Arrow-batched
+    mapInPandas, broadcast codebook) — the corpus never shuffles, and
+    the emitted payload is m code ids per row instead of d floats.
+
+    ``packed=False`` (default) emits array<smallint> — n_codes up to
+    32k, and the layout parquet stores BEST: each subspace column has
+    ≤ n_codes distinct values, so dictionary+RLE bit-packs it below
+    even the raw m bytes (measured on the 20k-vector sf1 fixture,
+    single file: float 5.25 MB, array<smallint> 249 kB = 21×, packed
+    binary 297 kB — mostly-unique blobs can't dictionary-encode, so
+    packing LOSES on disk and stays only for callers that want the
+    narrower Arrow/in-memory transfer; requires n_codes ≤ 256). Every
+    scoring/decoding kernel accepts both layouts transparently
+    (``_codes_matrix``)."""
+    m, k_codes, dsub = codebooks.shape
+    if packed and k_codes > 256:
+        raise ValueError(
+            f"packed codes need n_codes <= 256 (one byte per code); "
+            f"codebook has {k_codes}"
+        )
     bc = emb.sparkSession.sparkContext.broadcast(codebooks)
 
     def batches(it):
@@ -175,7 +202,12 @@ def pq_encode(
                 d2 = -2.0 * (sub @ books[s].T) + (books[s] * books[s]).sum(axis=1)[None, :]
                 codes[:, s] = d2.argmin(axis=1).astype(np.int16)
             out = pdf[[id_col, *keep_cols]].copy()
-            out[codes_col] = list(codes)
+            if packed:
+                out[codes_col] = [
+                    row.astype(np.uint8).tobytes() for row in codes
+                ]
+            else:
+                out[codes_col] = list(codes)
             yield out
 
     keep_schema = "".join(
@@ -184,8 +216,9 @@ def pq_encode(
         if f.name in keep_cols
     )
     id_type = {f.name: f.dataType.simpleString() for f in emb.schema.fields}[id_col]
+    codes_type = "binary" if packed else "array<smallint>"
     return emb.select(id_col, vec_col, *keep_cols).mapInPandas(
-        batches, f"{id_col} {id_type}{keep_schema}, {codes_col} array<smallint>"
+        batches, f"{id_col} {id_type}{keep_schema}, {codes_col} {codes_type}"
     )
 
 
@@ -211,7 +244,7 @@ def pq_decode(
         for pdf in it:
             if not len(pdf):
                 continue
-            codes = np.stack(pdf[codes_col].map(np.asarray))
+            codes = _codes_matrix(pdf[codes_col])
             rec = np.concatenate(
                 [flat[s][codes[:, s]] for s in range(m)], axis=1
             )
@@ -290,7 +323,7 @@ def _adc_per_partition(
             if not len(pdf):
                 continue
             cids = pdf[id_col].to_numpy()
-            codes = np.stack(pdf[codes_col].map(np.asarray))
+            codes = _codes_matrix(pdf[codes_col])
             # sims[q, row] = Σ_s LUT[q, s, codes[row, s]]
             sims = np.zeros((len(b_qids), len(cids)))
             for s in range(m):
@@ -449,6 +482,8 @@ def save_ivfpq_index(
         .where(F.col("probe_rank") == 0)
         .drop("probe_rank")
     )
+    # unpacked codes: parquet dictionary+RLE beats raw bytes on disk
+    # (see pq_encode's measured note); kernels accept either layout
     codes = pq_encode(
         home, books, id_col=id_col, vec_col=vec_col, keep_cols=("list_id",)
     )
@@ -575,8 +610,11 @@ def append_to_ivfpq_index(
         .where(F.col("probe_rank") == 0)
         .drop("probe_rank")
     )
+    stored_schema = spark.read.parquet(f"{path}/lists").schema
+    stored_packed = stored_schema["pq_codes"].dataType.simpleString() == "binary"
     codes = pq_encode(
-        home, books, id_col=id_col, vec_col=vec_col, keep_cols=("list_id",)
+        home, books, id_col=id_col, vec_col=vec_col, keep_cols=("list_id",),
+        packed=stored_packed,
     )
     codes.repartition("list_id").write.mode("append").partitionBy(
         "list_id"

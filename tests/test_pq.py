@@ -247,3 +247,48 @@ def test_ivfpq_append_equals_rebuild_and_tombstones_vanish(spark, emb, tmp_path)
     assert victim not in {
         r.vec_id for r in spark.read.parquet(f"{grown}/lists").collect()
     }
+
+
+def test_packed_codes_equal_unpacked(spark, emb, books, tmp_path):
+    """packed=True stores one m-byte binary per vector; every kernel
+    must read it identically to the array<smallint> layout, and the
+    persisted store (which packs automatically at n_codes<=256) must
+    keep the layout across appends."""
+    unpacked = pq.pq_encode(emb, books)
+    packed = pq.pq_encode(emb, books, packed=True)
+    assert dict(packed.dtypes)["pq_codes"] == "binary"
+    a = {r.vec_id: tuple(r.pq_codes) for r in unpacked.collect()}
+    b = {r.vec_id: tuple(r.pq_codes) for r in packed.collect()}
+    assert a == b
+
+    queries = emb.where(F.col("vec_id") < 10)
+    as_rows = lambda df: sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.sim) for r in df.collect()
+    )
+    assert as_rows(pq.pq_topk(packed, queries, books, k=5)) == as_rows(
+        pq.pq_topk(unpacked, queries, books, k=5)
+    )
+    rec_a = {r.vec_id: tuple(r.embedding)
+             for r in pq.pq_decode(unpacked, books).collect()}
+    rec_b = {r.vec_id: tuple(r.embedding)
+             for r in pq.pq_decode(packed, books).collect()}
+    assert rec_a == rec_b
+
+    # the persisted store writes UNPACKED (parquet dictionary+RLE
+    # beats raw bytes — measured in pq_encode's note), and appends
+    # follow the STORED layout rather than re-deriving it
+    path = str(tmp_path / "pk")
+    pq.save_ivfpq_index(
+        emb.where(F.col("vec_id") < 400), path,
+        n_centroids=8, n_subspaces=8, n_codes=64,
+    )
+    stored = spark.read.parquet(f"{path}/lists")
+    assert dict(stored.dtypes)["pq_codes"] == "array<smallint>"
+    pq.append_to_ivfpq_index(emb.where(F.col("vec_id") >= 400), path)
+    again = spark.read.parquet(f"{path}/lists")
+    assert dict(again.dtypes)["pq_codes"] == "array<smallint>"
+    assert again.count() == 500
+
+    with pytest.raises(ValueError, match="256"):
+        big = np.zeros((8, 300, 8))
+        pq.pq_encode(emb, big, packed=True)
