@@ -98,6 +98,10 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ix.add_argument("--quantize", action="store_true",
                     help="store int8 vectors (4-8x smaller index)")
+    ix.add_argument("--residual", action="store_true",
+                    help="build --family ivfpq: encode residuals vs the "
+                    "home centroid (classic IVF-PQ; tighter codes on "
+                    "clustered corpora)")
     ix.add_argument("--k", type=int, default=5)
     ix.add_argument("--n-queries", type=int, default=10,
                     help="query: serve the first N embedding rows")
@@ -299,7 +303,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.family == "ivf":
                 similarity.save_ivf_index(emb, args.path, quantize=args.quantize)
             elif args.family == "ivfpq":
-                pqmod.save_ivfpq_index(emb, args.path)
+                pqmod.save_ivfpq_index(emb, args.path, residual=args.residual)
             else:
                 similarity.save_lsh_index(emb, args.path, quantize=args.quantize)
             print(f"built {args.family} index at {args.path}")

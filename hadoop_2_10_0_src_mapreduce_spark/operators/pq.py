@@ -107,6 +107,7 @@ def train_pq_codebooks(
     n_codes: int = 256,
     n_iters: int = 5,
     max_train: int = 4096,
+    centers: np.ndarray | None = None,
 ) -> np.ndarray:
     """Train the [n_subspaces, n_codes, dim/n_subspaces] PQ codebook
     on the same BOUNDED deterministic sample as ``train_ivf_centroids``
@@ -120,7 +121,14 @@ def train_pq_codebooks(
     When the sample has fewer than ``n_codes`` vectors the codebook
     holds one code per sample vector (reconstruction is then exact on
     the sample); the returned array's second axis reflects the actual
-    code count."""
+    code count.
+
+    ``centers`` switches to RESIDUAL training (classic IVF-PQ): each
+    sample vector is assigned to its nearest center with the same
+    stable ranking as ``ivf_assign`` and the codebooks train on
+    ``x_norm − center(home)`` — quantization then spends its bits on
+    the within-cell detail the coarse centroids already explain away,
+    instead of re-describing cluster positions."""
     sample = emb.select(id_col, vec_col)
     n = sample.count()
     if n > max_train:
@@ -137,6 +145,15 @@ def train_pq_codebooks(
     mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
     dsub = _pq_geometry(mat.shape[1], n_subspaces)
     mat = _normalize_rows(mat)
+    if centers is not None:
+        from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+            _seq_matdot,
+        )
+
+        assign = np.argsort(
+            -_seq_matdot(mat, centers), axis=1, kind="stable"
+        )[:, 0]
+        mat = mat - centers[assign]
     books = [
         _kmeans_l2(ids, mat[:, s * dsub : (s + 1) * dsub], n_codes, n_iters)
         for s in range(n_subspaces)
@@ -165,6 +182,8 @@ def pq_encode(
     codes_col: str = "pq_codes",
     keep_cols: tuple[str, ...] = (),
     packed: bool = False,
+    centers: np.ndarray | None = None,
+    center_col: str = "list_id",
 ) -> DataFrame:
     """Encode each vector as its per-subspace nearest-code ids:
     (id, codes, *keep_cols). Runs where the vectors live (Arrow-batched
@@ -180,22 +199,29 @@ def pq_encode(
     packing LOSES on disk and stays only for callers that want the
     narrower Arrow/in-memory transfer; requires n_codes ≤ 256). Every
     scoring/decoding kernel accepts both layouts transparently
-    (``_codes_matrix``)."""
+    (``_codes_matrix``).
+
+    ``centers`` encodes RESIDUALS: after normalizing, each row's
+    center (indexed by its ``center_col`` value — the home list id)
+    is subtracted before code lookup. The codebooks must have been
+    trained with the same ``centers`` (``train_pq_codebooks``)."""
     m, k_codes, dsub = codebooks.shape
     if packed and k_codes > 256:
         raise ValueError(
             f"packed codes need n_codes <= 256 (one byte per code); "
             f"codebook has {k_codes}"
         )
-    bc = emb.sparkSession.sparkContext.broadcast(codebooks)
+    bc = emb.sparkSession.sparkContext.broadcast((codebooks, centers))
 
     def batches(it):
-        books = bc.value
+        books, cents = bc.value
         for pdf in it:
             if not len(pdf):
                 continue
             mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
             mat = _normalize_rows(mat)
+            if cents is not None:
+                mat = mat - cents[pdf[center_col].to_numpy()]
             codes = np.empty((len(pdf), m), dtype=np.int16)
             for s in range(m):
                 sub = mat[:, s * dsub : (s + 1) * dsub]
@@ -217,7 +243,10 @@ def pq_encode(
     )
     id_type = {f.name: f.dataType.simpleString() for f in emb.schema.fields}[id_col]
     codes_type = "binary" if packed else "array<smallint>"
-    return emb.select(id_col, vec_col, *keep_cols).mapInPandas(
+    in_cols = [id_col, vec_col, *keep_cols]
+    if centers is not None and center_col not in in_cols:
+        in_cols.append(center_col)
+    return emb.select(*in_cols).mapInPandas(
         batches, f"{id_col} {id_type}{keep_schema}, {codes_col} {codes_type}"
     )
 
@@ -304,6 +333,7 @@ def _adc_per_partition(
     round_digits: int,
     probe_ok: np.ndarray | None = None,
     list_col: str = "list_id",
+    list_offsets: np.ndarray | None = None,
 ) -> DataFrame:
     """The ADC scan: each corpus partition scores its own rows against
     the broadcast LUT (m lookups + adds per (row, query)) and emits
@@ -311,14 +341,19 @@ def _adc_per_partition(
     never leaves its executors. ``probe_ok`` ([q, n_lists] bool) masks
     rows outside a query's probed lists (the IVF-PQ mode); rows tie-
     break and round exactly like ``_pairs_topk`` so rankings are
-    deterministic."""
+    deterministic. ``list_offsets`` ([q, n_lists]) adds the
+    query·centroid term per row — the residual-encoding mode, where
+    the approximate dot is dot(q, c_home) + Σ LUT_res[codes]."""
     m = lut.shape[1]
-    bc = codes_df.sparkSession.sparkContext.broadcast((qids, lut, probe_ok))
+    bc = codes_df.sparkSession.sparkContext.broadcast(
+        (qids, lut, probe_ok, list_offsets)
+    )
     scale = 10.0**round_digits
-    cols = [id_col, codes_col] + ([list_col] if probe_ok is not None else [])
+    need_list = probe_ok is not None or list_offsets is not None
+    cols = [id_col, codes_col] + ([list_col] if need_list else [])
 
     def batches(it):
-        b_qids, b_lut, b_ok = bc.value
+        b_qids, b_lut, b_ok, b_off = bc.value
         for pdf in it:
             if not len(pdf):
                 continue
@@ -328,11 +363,15 @@ def _adc_per_partition(
             sims = np.zeros((len(b_qids), len(cids)))
             for s in range(m):
                 sims += b_lut[:, s, :][:, codes[:, s]]
+            lists = pdf[list_col].to_numpy() if (
+                b_ok is not None or b_off is not None
+            ) else None
+            if b_off is not None:  # residual mode: + dot(q, c_home)
+                sims += b_off[:, lists]
             sims[:, :] = np.copysign(
                 np.floor(np.abs(sims) * scale + 0.5), sims
             ) / scale
             if b_ok is not None:
-                lists = pdf[list_col].to_numpy()
                 sims[~b_ok[:, lists]] = -np.inf
             sims[b_qids[:, None] == cids[None, :]] = -np.inf
             kk = min(n_cand, sims.shape[1])
@@ -438,13 +477,22 @@ def save_ivfpq_index(
     n_iters: int = 5,
     max_train: int = 4096,
     train_df: DataFrame | None = None,
+    residual: bool = False,
 ) -> None:
     """Build and persist an IVF-PQ index: train centroids + codebooks
     on the same bounded md5-stride sample (``train_df`` pins training
     to a different frame, the rebuild/append-equivalence shape, exactly
     like ``save_ivf_index``), file each vector into its home list, and
     store only its PQ codes under the list partition. Writes cluster on
-    the partition column (one file set per directory)."""
+    the partition column (one file set per directory).
+
+    ``residual=True`` is classic IVF-PQ: codebooks train on and encode
+    ``x_norm − centroid(home list)``, so the quantizer's bits describe
+    within-cell detail instead of re-describing cluster positions —
+    measurably tighter reconstructions on clustered corpora (pinned by
+    test on planted clusters). The flag is recorded in ``<path>/conf``
+    and the query/append paths follow it; serving adds the
+    query·centroid term back per probed list."""
     from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
         _resolve_centroids,
         ivf_assign,
@@ -463,8 +511,13 @@ def save_ivfpq_index(
         train, id_col=id_col, vec_col=vec_col,
         n_subspaces=n_subspaces, n_codes=n_codes,
         n_iters=n_iters, max_train=max_train,
+        centers=cents if residual else None,
     )
     spark = emb.sparkSession
+    spark.createDataFrame(
+        [(int(books.shape[0]), int(books.shape[1]), bool(residual))],
+        "n_subspaces int, n_codes int, residual boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/conf")
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "list_id int, centroid array<double>",
@@ -485,11 +538,23 @@ def save_ivfpq_index(
     # unpacked codes: parquet dictionary+RLE beats raw bytes on disk
     # (see pq_encode's measured note); kernels accept either layout
     codes = pq_encode(
-        home, books, id_col=id_col, vec_col=vec_col, keep_cols=("list_id",)
+        home, books, id_col=id_col, vec_col=vec_col, keep_cols=("list_id",),
+        centers=cents if residual else None,
     )
     codes.repartition("list_id").write.mode("overwrite").partitionBy(
         "list_id"
     ).parquet(f"{path}/lists")
+
+
+def _ivfpq_conf(spark, path: str) -> dict:
+    """The stored build conf; indexes written before the conf file
+    existed read as the original non-residual layout."""
+    import pathlib
+
+    if not (pathlib.Path(path) / "conf").exists():
+        return {"residual": False}
+    r = spark.read.parquet(f"{path}/conf").collect()[0]
+    return r.asDict()
 
 
 def _load_pq_codebooks(spark, path: str) -> np.ndarray:
@@ -546,10 +611,12 @@ def query_ivfpq_index(
     spark = queries.sparkSession
     cents = _load_ivf_centroids(spark, path)
     books = _load_pq_codebooks(spark, path)
+    residual = _ivfpq_conf(spark, path)["residual"]
     qids, qmat = _collect_query_batch(
         queries, id_col, vec_col, max_queries, "query_ivfpq_index"
     )
-    order = np.argsort(-_seq_matdot(qmat, cents), axis=1, kind="stable")[
+    q_dot_c = _seq_matdot(qmat, cents)
+    order = np.argsort(-q_dot_c, axis=1, kind="stable")[
         :, : min(n_probe, len(cents))
     ]
     probe_ok = np.zeros((len(qids), len(cents)), dtype=bool)
@@ -570,6 +637,7 @@ def query_ivfpq_index(
         id_col=id_col, codes_col="pq_codes",
         n_cand=n_cand, round_digits=round_digits,
         probe_ok=probe_ok,
+        list_offsets=q_dot_c if residual else None,
     )
     if rescore is None:
         return _global_topk(per_part, k)
@@ -612,9 +680,11 @@ def append_to_ivfpq_index(
     )
     stored_schema = spark.read.parquet(f"{path}/lists").schema
     stored_packed = stored_schema["pq_codes"].dataType.simpleString() == "binary"
+    residual = _ivfpq_conf(spark, path)["residual"]
     codes = pq_encode(
         home, books, id_col=id_col, vec_col=vec_col, keep_cols=("list_id",),
         packed=stored_packed,
+        centers=cents if residual else None,
     )
     codes.repartition("list_id").write.mode("append").partitionBy(
         "list_id"
