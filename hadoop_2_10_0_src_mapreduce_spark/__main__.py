@@ -91,7 +91,7 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument(
         "action",
         choices=("build", "query", "append", "delete", "compact", "stats",
-                 "rebuild"),
+                 "rebuild", "maintain"),
     )
     ix.add_argument("--family", choices=("ivf", "lsh", "ivfpq"), default="ivf")
     ix.add_argument("--path", required=True, help="index directory")
@@ -333,6 +333,10 @@ def main(argv: list[str] | None = None) -> int:
             import json as _json
 
             print(_json.dumps(similarity.index_stats(spark, args.path)))
+        elif args.action == "maintain":
+            import json as _json
+
+            print(_json.dumps(similarity.maintain_index(spark, args.path)))
         elif args.action == "rebuild":
             if args.family == "ivfpq":
                 # codes are not invertible enough to retrain from:

@@ -1961,6 +1961,44 @@ def index_stats(
     }
 
 
+def maintain_index(
+    spark: SparkSession,
+    path: str,
+    **stat_thresholds,
+) -> dict:
+    """The scheduled-maintenance one-shot: run ``index_stats`` and
+    APPLY every compact-class recommendation (tombstone debt, append
+    fragmentation, LSH cap drift) with the family's compactor, then
+    re-measure. Retrain-class recommendations are REPORTED but never
+    auto-applied — retraining changes served results, so it stays a
+    deliberate operator action (``rebuild_{ivf,lsh}_index``, or a
+    re-save for IVF-PQ whose codes cannot retrain).
+
+    Returns {"family", "before", "actions", "after"}: the stats rows
+    either side and the action strings executed. A healthy index is a
+    no-op ("actions": []), so this is safe to run on a cron cadence —
+    the same idempotent-maintenance shape as compact_table.
+    ``stat_thresholds`` pass through to ``index_stats``
+    (tombstone_warn / files_per_part_warn / skew_warn /
+    occupancy_warn)."""
+    before = index_stats(spark, path, **stat_thresholds)
+    actions: list[str] = []
+    if any(r.startswith("compact:") for r in before["recommendations"]):
+        if before["family"] == "lsh":
+            compact_lsh_index(spark, path)
+            actions.append("compact_lsh_index")
+        else:  # ivf and ivfpq share the layout-agnostic compactor
+            compact_ivf_index(spark, path)
+            actions.append("compact_ivf_index")
+    after = index_stats(spark, path, **stat_thresholds) if actions else before
+    return {
+        "family": before["family"],
+        "before": before,
+        "actions": actions,
+        "after": after,
+    }
+
+
 def rebuild_ivf_index(
     spark: SparkSession,
     path: str,

@@ -2760,3 +2760,57 @@ def test_auto_geometry_through_the_index_lifecycle(spark, tmp_path):
     similarity.rebuild_ivf_index(spark, pg, n_centroids="auto")
     assert spark.read.parquet(f"{pg}/centroids").count() == 16
     assert spark.read.parquet(f"{pg}/lists").count() == 2000
+
+
+def test_maintain_index_applies_compact_recs_and_reports_retrain(spark, tmp_path):
+    """maintain_index is the idempotent cron one-shot: healthy index
+    -> no action; compact-class debt (tombstones/fragments) -> the
+    family compactor runs and the after-stats are clean; retrain-class
+    recommendations are reported, never auto-applied (retraining
+    changes served results)."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    path = str(tmp_path / "m_ivf")
+    similarity.save_ivf_index(emb.where(F.col("vec_id") < 400), path,
+                              n_centroids=8)
+
+    healthy = similarity.maintain_index(spark, path)
+    assert healthy["actions"] == []
+    assert healthy["before"] == healthy["after"]
+
+    similarity.append_to_ivf_index(emb.where(F.col("vec_id") >= 400), path)
+    similarity.delete_from_index(spark, path, list(range(80)))
+    ran = similarity.maintain_index(spark, path)
+    assert ran["actions"] == ["compact_ivf_index"]
+    assert ran["before"]["n_tombstones"] == 80
+    assert ran["after"]["n_tombstones"] == 0
+    assert ran["after"]["rows_live"] == 420
+    assert not any(
+        r.startswith("compact:") for r in ran["after"]["recommendations"]
+    )
+
+    # retrain-class only: occupancy trigger fires but nothing runs
+    tight = similarity.maintain_index(spark, path, occupancy_warn=0.01)
+    assert tight["actions"] == []
+    assert any("outgrew" in r for r in tight["before"]["recommendations"])
+
+    # ivfpq family routes to the shared layout-agnostic compactor
+    from hadoop_2_10_0_src_mapreduce_spark.operators import pq
+
+    pq_path = str(tmp_path / "m_pq")
+    pq.save_ivfpq_index(emb, pq_path, n_centroids=8, n_codes=64)
+    similarity.delete_from_index(spark, pq_path, list(range(100)))
+    ran_pq = similarity.maintain_index(spark, pq_path)
+    assert ran_pq["family"] == "ivfpq"
+    assert ran_pq["actions"] == ["compact_ivf_index"]
+    assert ran_pq["after"]["rows_live"] == 400
+
+    # lsh family routes to its own compactor (re-applies the global
+    # cap); LSH tombstone_frac counts ids against MEMBERSHIP rows
+    # (one id lives in up to n_tables partitions), so tighten the
+    # threshold rather than deleting most of the corpus
+    lsh_path = str(tmp_path / "m_lsh")
+    similarity.save_lsh_index(emb, lsh_path)
+    similarity.delete_from_index(spark, lsh_path, list(range(100)))
+    ran_lsh = similarity.maintain_index(spark, lsh_path, tombstone_warn=0.01)
+    assert ran_lsh["actions"] == ["compact_lsh_index"]
+    assert ran_lsh["after"]["n_tombstones"] == 0
