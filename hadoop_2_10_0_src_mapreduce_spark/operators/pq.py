@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
     _global_topk,
     _md5_key,
-    _score_pairs,
+    _score_pairs_arrow,
     _seq_sq_norms,
 )
 
@@ -428,10 +428,11 @@ def pq_topk(
     ``rescore`` (the float vector table, e.g. the original embeddings)
     turns the ADC ranking into candidates-then-exact: the top
     k·oversample ADC candidates per query join back to their float
-    vectors (``_score_pairs`` — exact sequential cosine where the
-    vectors live) and the final top-k ranks by TRUE cosine. sim is
-    then exact for every returned row; ADC error can only cost recall,
-    never precision."""
+    vectors (``_score_pairs_arrow`` — exact sequential cosine where
+    the vectors live; the QUERY side re-reads from the query batch, so
+    external query ids that never lived in the corpus rescore too) and
+    the final top-k ranks by TRUE cosine. sim is then exact for every
+    returned row; ADC error can only cost recall, never precision."""
     qids, qmat = _collect_query_batch(
         queries, id_col, vec_col, max_queries, "pq_topk"
     )
@@ -445,7 +446,10 @@ def pq_topk(
     if rescore is None:
         return _global_topk(per_part, k)
     cands = _global_topk(per_part, n_cand).select("query_id", "neighbor_id")
-    exact = _score_pairs(rescore, cands, id_col, vec_col, round_digits)
+    exact = _score_pairs_arrow(
+        queries.select(id_col, vec_col), cands, id_col, vec_col,
+        round_digits, emb_right=rescore.select(id_col, vec_col),
+    )
     return _global_topk(exact, k)
 
 
@@ -598,10 +602,12 @@ def query_ivfpq_index(
     ties toward the lower list id) keeps routing consistent with how
     the corpus was filed. Tombstoned ids drop out before scoring.
 
-    ``rescore`` = the source-of-truth float vector table: ADC picks
-    k·oversample candidates, the exact sequential cosine re-ranks —
-    returned sims are then true cosines (the index itself stores no
-    full-precision vectors to rescore against)."""
+    ``rescore`` = the source-of-truth float vector table for the
+    NEIGHBOR side: ADC picks k·oversample candidates, the exact
+    sequential cosine re-ranks with query vectors re-read from the
+    query batch itself (external query ids need not appear in the
+    corpus) — returned sims are then true cosines (the index itself
+    stores no full-precision vectors to rescore against)."""
     from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
         _apply_tombstones,
         _load_ivf_centroids,
@@ -642,7 +648,10 @@ def query_ivfpq_index(
     if rescore is None:
         return _global_topk(per_part, k)
     cands = _global_topk(per_part, n_cand).select("query_id", "neighbor_id")
-    exact = _score_pairs(rescore, cands, id_col, vec_col, round_digits)
+    exact = _score_pairs_arrow(
+        queries.select(id_col, vec_col), cands, id_col, vec_col,
+        round_digits, emb_right=rescore.select(id_col, vec_col),
+    )
     return _global_topk(exact, k)
 
 

@@ -608,17 +608,31 @@ def stream_index_vectors(
     are folded in on a cadence instead of by a separate scheduler.
     Monitor with ``index_stats`` either way. Appends inherit the
     stored-vector-type cast, so a double-typed JSON stream lands
-    correctly in a float-built index."""
+    correctly in a float-built index.
+
+    The family is AUTO-DETECTED from the directory layout (a
+    ``codebooks`` subdir marks IVF-PQ): an IVF-PQ target streams
+    through the identical novel-id filter and appends CODES under the
+    fixed centroids AND codebooks (``append_to_ivfpq_index`` — same
+    fixed-filing contract), with compaction routed to the shared
+    layout-agnostic compactor."""
+    import pathlib
+
     from pyspark.errors import AnalysisException
 
     from hadoop_2_10_0_src_mapreduce_spark.operators.dedup import (
         filter_novel_fps,
+    )
+    from hadoop_2_10_0_src_mapreduce_spark.operators.pq import (
+        append_to_ivfpq_index,
     )
     from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
         _index_id_col,
         append_to_ivf_index,
         compact_ivf_index,
     )
+
+    is_pq = (pathlib.Path(index_path) / "codebooks").exists()
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -627,17 +641,16 @@ def stream_index_vectors(
             stored = s.read.parquet(f"{index_path}/lists")
         except AnalysisException as e:
             raise ValueError(
-                f"stream_index_vectors needs an existing IVF index at "
-                f"{index_path} (save_ivf_index builds one; the centroids "
-                "define where appended vectors are filed)"
+                f"stream_index_vectors needs an existing IVF/IVF-PQ index "
+                f"at {index_path} (save_ivf_index / save_ivfpq_index builds "
+                "one; the centroids define where appended vectors are filed)"
             ) from e
         sid = _index_id_col(stored, ("list_id", "qvec", "scale"))
         seen = stored.select(F.col(sid).alias(id_col))
         novel = filter_novel_fps(batch, seen, fp_col=id_col).localCheckpoint()
         if novel.take(1):
-            append_to_ivf_index(
-                novel, index_path, id_col=id_col, vec_col=vec_col
-            )
+            append = append_to_ivfpq_index if is_pq else append_to_ivf_index
+            append(novel, index_path, id_col=id_col, vec_col=vec_col)
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_ivf_index(s, index_path)
 

@@ -617,3 +617,74 @@ def test_stream_index_vectors_appends_novel_and_serves(spark, tmp_path_factory):
     )
     got = similarity.query_ivf_index(probe, idx, k=1, n_probe=8)
     assert [r.neighbor_id for r in got.collect()] == [302]
+
+
+def test_stream_index_vectors_into_ivfpq(spark, tmp_path_factory):
+    """The same continuous-ingestion contract against an IVF-PQ
+    target, auto-detected from the directory layout: streamed novel
+    ids are ENCODED under the fixed centroids+codebooks and appended
+    as codes; dups (offline or earlier-batch) are dropped; the
+    streamed vector is immediately servable through the rescored
+    path."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hadoop_2_10_0_src_mapreduce_spark.operators import pq
+
+    base = tmp_path_factory.mktemp("stream_ivfpq")
+    src = base / "vecs"
+    src.mkdir()
+    idx, ckpt = str(base / "index"), str(base / "ckpt")
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pq.save_ivfpq_index(
+        emb.where(F.col("vec_id") < 300), idx, n_centroids=8, n_codes=64
+    )
+    dim = len(emb.take(1)[0].embedding)
+    schema = "vec_id long, embedding array<double>"
+
+    def vec(i):
+        import math
+
+        a = i / 10.0
+        return [math.cos(a), math.sin(a)] + [0.0] * (dim - 2)
+
+    rows = [{"vec_id": i, "embedding": vec(i)} for i in (300, 301, 5)]
+    (src / "w1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    q = sw.stream_index_vectors(
+        spark, str(src), schema, idx, checkpoint_dir=ckpt
+    )
+    q.awaitTermination(120)
+    stored = spark.read.parquet(f"{idx}/lists")
+    assert dict(stored.dtypes)["pq_codes"] == "array<smallint>"
+    counts = {
+        r.vec_id: r.c
+        for r in stored.groupBy("vec_id").agg(F.count("*").alias("c")).collect()
+    }
+    assert counts.get(300) == 1 and counts.get(301) == 1
+    assert counts.get(5) == 1  # the offline copy only
+    assert len(counts) == 302
+
+    # the streamed vector serves through the rescored path (raw ADC at
+    # 64 non-residual codes quantizes this planted 2-plane vector into
+    # a broad tie group, so the candidate set needs width; rescore is
+    # the documented serving grade): top-1 is the exact self-match at
+    # cosine 1.0
+    probe = spark.createDataFrame(
+        [(900000, vec(301))], "vec_id long, embedding array<double>"
+    )
+    truth = emb.where(F.col("vec_id") < 300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(
+        spark.createDataFrame(
+            [(i, vec(i)) for i in (300, 301)],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    got = pq.query_ivfpq_index(
+        probe, idx, k=1, n_probe=8, rescore=truth, oversample=64
+    )
+    rows = got.collect()
+    assert [r.neighbor_id for r in rows] == [301]
+    assert rows[0].sim == 1.0
