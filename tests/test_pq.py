@@ -408,3 +408,41 @@ def test_residual_append_equals_fresh_and_conf_backcompat(spark, clustered, tmp_
     assert pq._ivfpq_conf(spark, legacy) == {"residual": False}
     queries = clustered.where(F.col("vec_id") < 5)
     assert pq.query_ivfpq_index(queries, legacy, k=3, n_probe=5).count() > 0
+
+
+def test_text_to_ivfpq_serving_composition(spark, tmp_path):
+    """The model-free text serving path end to end: hash_embeddings
+    vectorizes a corpus, save_ivfpq_index stores it as codes, and a
+    rescored query over a PARAPHRASED probe retrieves the original
+    document first — the retrieval shape a reference-era user would
+    build from these parts."""
+    from hadoop_2_10_0_src_mapreduce_spark.functions.text import hash_embeddings
+
+    target = ("the quick brown fox jumps over the lazy dog near the "
+              "river bank today")
+    docs = [(0, target)]
+    for i in range(1, 60):
+        docs.append((i, f"unrelated filler document number {i} about "
+                        f"spark shuffle partitions and parquet footers "
+                        f"topic{i % 7} section{i % 5}"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    emb = hash_embeddings(df, "text", "doc_id", dim=64).persist()
+
+    path = str(tmp_path / "textpq")
+    pq.save_ivfpq_index(
+        emb, path, id_col="doc_id", n_centroids=4, n_subspaces=8,
+        n_codes=32, residual=True,
+    )
+    probe_text = ("quick brown fox jumps over the lazy dog by the "
+                  "river bank")
+    probe = hash_embeddings(
+        spark.createDataFrame([(999, probe_text)], ["doc_id", "text"]),
+        "text", "doc_id", dim=64,
+    )
+    got = pq.query_ivfpq_index(
+        probe, path, id_col="doc_id", k=3, n_probe=4,
+        rescore=emb, oversample=8,
+    ).orderBy("rnk").collect()
+    assert got[0].neighbor_id == 0, got
+    assert got[0].sim > 0.8
+    assert all(r.sim < 0.5 for r in got[1:])
