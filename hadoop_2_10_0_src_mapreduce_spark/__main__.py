@@ -340,8 +340,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.action == "rebuild":
             if args.family == "ivfpq":
                 # codes are not invertible enough to retrain from:
-                # rebuild = re-save over the source-of-truth embeddings
-                pqmod.save_ivfpq_index(emb, args.path)
+                # rebuild re-saves from the source-of-truth embeddings,
+                # carrying the stored conf (residual, code geometry)
+                pqmod.rebuild_ivfpq_index(
+                    spark, args.path, emb, n_centroids=args.n_centroids
+                )
             elif args.family == "ivf":
                 similarity.rebuild_ivf_index(
                     spark, args.path, n_centroids=args.n_centroids

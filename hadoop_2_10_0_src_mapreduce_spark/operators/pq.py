@@ -75,17 +75,17 @@ def _normalize_rows(mat: np.ndarray) -> np.ndarray:
 
 
 def _kmeans_l2(
-    ids: np.ndarray, sub: np.ndarray, n_codes: int, n_iters: int
+    init: list[int], sub: np.ndarray, n_codes: int, n_iters: int
 ) -> np.ndarray:
     """Deterministic L2 k-means for ONE subspace: init = the first
-    ``n_codes`` sample subvectors ordered by (md5(id), id) — the same
-    seeding trick as ``_kmeans_spherical`` — assignment by min
+    ``n_codes`` sample subvectors in the caller's (md5(id), id) order
+    — the same seeding trick as ``_kmeans_spherical``, hashed ONCE per
+    training run rather than per subspace — assignment by min
     squared-L2 with ties toward the lowest code index (stable argmin),
     empty codes keep their previous centroid. Plain numpy reductions:
     PQ has no SQL oracle to replay, so the sequential-accumulation
     discipline of the IVF trainer isn't needed here."""
-    init = sorted(range(len(ids)), key=lambda i: _md5_key(ids[i]))
-    k = min(n_codes, len(ids))
+    k = min(n_codes, len(sub))
     codes = sub[init[:k]].copy()
     for _ in range(n_iters):
         # ||x - c||² = ||x||² - 2x·c + ||c||²; ||x||² is rank-constant
@@ -154,8 +154,9 @@ def train_pq_codebooks(
             -_seq_matdot(mat, centers), axis=1, kind="stable"
         )[:, 0]
         mat = mat - centers[assign]
+    init = sorted(range(len(ids)), key=lambda i: _md5_key(ids[i]))
     books = [
-        _kmeans_l2(ids, mat[:, s * dsub : (s + 1) * dsub], n_codes, n_iters)
+        _kmeans_l2(init, mat[:, s * dsub : (s + 1) * dsub], n_codes, n_iters)
         for s in range(n_subspaces)
     ]
     return np.stack(books)
@@ -258,17 +259,25 @@ def pq_decode(
     id_col: str = "vec_id",
     codes_col: str = "pq_codes",
     out_col: str = "embedding",
+    centers: np.ndarray | None = None,
+    center_col: str = "list_id",
 ) -> DataFrame:
     """Reconstruct the (unit-normalized) vector each code row stands
     for: concat of the m looked-up codewords. The PQ analogue of
     ``dequantize_embeddings`` — used for audits and tests; production
     scoring goes through ``pq_topk``'s LUT instead of materializing
-    reconstructions."""
+    reconstructions.
+
+    RESIDUAL-encoded rows (``save_ivfpq_index(residual=True)``) must
+    pass the index's ``centers`` so the home-list centroid is added
+    back — decoding residual codes without it returns near-zero
+    residuals, not vectors (check ``_ivfpq_conf(path)["residual"]``
+    when auditing a stored index)."""
     m, _, dsub = codebooks.shape
-    bc = codes_df.sparkSession.sparkContext.broadcast(codebooks)
+    bc = codes_df.sparkSession.sparkContext.broadcast((codebooks, centers))
 
     def batches(it):
-        books = bc.value
+        books, cents = bc.value
         flat = books.reshape(m, -1, dsub)
         for pdf in it:
             if not len(pdf):
@@ -277,6 +286,8 @@ def pq_decode(
             rec = np.concatenate(
                 [flat[s][codes[:, s]] for s in range(m)], axis=1
             )
+            if cents is not None:
+                rec = rec + cents[pdf[center_col].to_numpy()]
             out = pdf[[id_col]].copy()
             out[out_col] = list(rec)
             yield out
@@ -284,7 +295,8 @@ def pq_decode(
     id_type = {f.name: f.dataType.simpleString() for f in codes_df.schema.fields}[
         id_col
     ]
-    return codes_df.select(id_col, codes_col).mapInPandas(
+    in_cols = [id_col, codes_col] + ([center_col] if centers is not None else [])
+    return codes_df.select(*in_cols).mapInPandas(
         batches, f"{id_col} {id_type}, {out_col} array<double>"
     )
 
@@ -301,8 +313,10 @@ def _collect_query_batch(
     if n_q > max_queries:
         raise ValueError(
             f"{who}: {n_q} queries > max_queries={max_queries}; ADC "
-            "broadcasts one LUT row per query — batch the queries, or "
-            "raise max_queries if the LUT (q·m·k_codes doubles) fits"
+            "broadcasts one LUT row per query AND scores a "
+            "[queries, row-slice] block per task (the slice is capped "
+            "at 4096 rows) — batch the queries, or raise max_queries "
+            "if q·m·k_codes LUT doubles plus q·4096 block doubles fit"
         )
     qpdf = queries.select(id_col, vec_col).toPandas()
     qids = qpdf[id_col].to_numpy()
@@ -320,6 +334,10 @@ def _adc_lut(qmat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     for s in range(m):
         lut[:, s, :] = qmat[:, s * dsub : (s + 1) * dsub] @ codebooks[s].T
     return lut
+
+
+# per-task sims-block row bound for the ADC scan (see docstring)
+_ADC_ROW_SLICE = 4096
 
 
 def _adc_per_partition(
@@ -343,7 +361,14 @@ def _adc_per_partition(
     break and round exactly like ``_pairs_topk`` so rankings are
     deterministic. ``list_offsets`` ([q, n_lists]) adds the
     query·centroid term per row — the residual-encoding mode, where
-    the approximate dot is dot(q, c_home) + Σ LUT_res[codes]."""
+    the approximate dot is dot(q, c_home) + Σ LUT_res[codes].
+
+    Memory shape: the sims block is [q, rows] float64, so Arrow
+    batches are processed in ≤``_ADC_ROW_SLICE``-row slices — the
+    per-task peak is q·slice doubles regardless of batch size, and
+    per-slice top-n_cand rows lose nothing (any global top-k neighbor
+    is top-n_cand within its slice, the per-partition argument one
+    level down)."""
     m = lut.shape[1]
     bc = codes_df.sparkSession.sparkContext.broadcast(
         (qids, lut, probe_ok, list_offsets)
@@ -355,40 +380,42 @@ def _adc_per_partition(
     def batches(it):
         b_qids, b_lut, b_ok, b_off = bc.value
         for pdf in it:
-            if not len(pdf):
-                continue
-            cids = pdf[id_col].to_numpy()
-            codes = _codes_matrix(pdf[codes_col])
-            # sims[q, row] = Σ_s LUT[q, s, codes[row, s]]
-            sims = np.zeros((len(b_qids), len(cids)))
-            for s in range(m):
-                sims += b_lut[:, s, :][:, codes[:, s]]
-            lists = pdf[list_col].to_numpy() if (
-                b_ok is not None or b_off is not None
-            ) else None
-            if b_off is not None:  # residual mode: + dot(q, c_home)
-                sims += b_off[:, lists]
-            sims[:, :] = np.copysign(
-                np.floor(np.abs(sims) * scale + 0.5), sims
-            ) / scale
-            if b_ok is not None:
-                sims[~b_ok[:, lists]] = -np.inf
-            sims[b_qids[:, None] == cids[None, :]] = -np.inf
-            kk = min(n_cand, sims.shape[1])
-            out_q, out_n, out_s = [], [], []
-            for i in range(len(b_qids)):
-                top = np.lexsort((cids, -sims[i]))[:kk]
-                top = top[sims[i, top] != -np.inf]
-                out_q.extend([b_qids[i]] * len(top))
-                out_n.extend(cids[top])
-                out_s.extend(sims[i, top])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.asarray(out_q, dtype=qids.dtype),
-                    "neighbor_id": np.asarray(out_n, dtype=cids.dtype),
-                    "sim": np.asarray(out_s, dtype=np.float64),
-                }
-            )
+            for lo in range(0, len(pdf), _ADC_ROW_SLICE):
+                sl = pdf.iloc[lo : lo + _ADC_ROW_SLICE]
+                if not len(sl):
+                    continue
+                cids = sl[id_col].to_numpy()
+                codes = _codes_matrix(sl[codes_col])
+                # sims[q, row] = Σ_s LUT[q, s, codes[row, s]]
+                sims = np.zeros((len(b_qids), len(cids)))
+                for s in range(m):
+                    sims += b_lut[:, s, :][:, codes[:, s]]
+                lists = sl[list_col].to_numpy() if (
+                    b_ok is not None or b_off is not None
+                ) else None
+                if b_off is not None:  # residual mode: + dot(q, c_home)
+                    sims += b_off[:, lists]
+                sims[:, :] = np.copysign(
+                    np.floor(np.abs(sims) * scale + 0.5), sims
+                ) / scale
+                if b_ok is not None:
+                    sims[~b_ok[:, lists]] = -np.inf
+                sims[b_qids[:, None] == cids[None, :]] = -np.inf
+                kk = min(n_cand, sims.shape[1])
+                out_q, out_n, out_s = [], [], []
+                for i in range(len(b_qids)):
+                    top = np.lexsort((cids, -sims[i]))[:kk]
+                    top = top[sims[i, top] != -np.inf]
+                    out_q.extend([b_qids[i]] * len(top))
+                    out_n.extend(cids[top])
+                    out_s.extend(sims[i, top])
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.asarray(out_q, dtype=b_qids.dtype),
+                        "neighbor_id": np.asarray(out_n, dtype=cids.dtype),
+                        "sim": np.asarray(out_s, dtype=np.float64),
+                    }
+                )
 
     id_type = {f.name: f.dataType.simpleString() for f in codes_df.schema.fields}[
         id_col
@@ -505,8 +532,9 @@ def save_ivfpq_index(
 
     vecs = emb.select(id_col, vec_col)
     train = train_df.select(id_col, vec_col) if train_df is not None else vecs
-    # "auto" sizes to the FILED corpus (same rule as save_ivf_index)
-    n_centroids = _resolve_centroids(vecs, n_centroids)
+    # "auto" sizes to the FILED corpus (same rule as save_ivf_index),
+    # capped at this build's trainer sample bound
+    n_centroids = _resolve_centroids(vecs, n_centroids, cap=max_train)
     cents = train_ivf_centroids(
         train, id_col=id_col, vec_col=vec_col,
         n_centroids=n_centroids, max_train=max_train,
@@ -698,6 +726,69 @@ def append_to_ivfpq_index(
     codes.repartition("list_id").write.mode("append").partitionBy(
         "list_id"
     ).parquet(f"{path}/lists")
+
+
+def rebuild_ivfpq_index(
+    spark,
+    path: str,
+    source_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | str | None = None,
+    n_iters: int = 5,
+    max_train: int = 4096,
+) -> None:
+    """RETRAIN an IVF-PQ index from its source-of-truth embeddings —
+    the rebuild ``index_stats`` recommends when the corpus outgrows
+    the build-time geometry. PQ codes cannot retrain from themselves
+    (quantization already threw the detail away), so unlike
+    ``rebuild_ivf_index`` the source table is REQUIRED; everything
+    else mirrors it: tombstoned ids are excluded (the rebuild IS a
+    compaction — the tombstone dir is dropped), the stored conf's
+    n_subspaces / n_codes / residual carry over so a rebuild can't
+    silently fork the index's quality contract, and ``n_centroids``
+    defaults to "auto" (re-size to the live corpus).
+
+    The fresh index builds in a sibling ``.__rebuild__`` dir and each
+    subdir swaps in via rename; a crash mid-swap is healed by
+    re-running the rebuild (same recipe as the IVF twin)."""
+    import pathlib
+    import shutil
+
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+        _tombstone_df,
+    )
+
+    conf = _ivfpq_conf(spark, path)
+    live = source_df.select(id_col, vec_col)
+    tomb = _tombstone_df(spark, path)
+    if tomb is not None:
+        live = live.join(
+            tomb.withColumnRenamed("id", id_col), id_col, "left_anti"
+        )
+    tmp = f"{path}.__rebuild__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    save_ivfpq_index(
+        live, tmp, id_col=id_col, vec_col=vec_col,
+        n_centroids="auto" if n_centroids is None else n_centroids,
+        n_subspaces=conf.get("n_subspaces", 8),
+        n_codes=conf.get("n_codes", 256),
+        n_iters=n_iters, max_train=max_train,
+        residual=conf["residual"],
+    )
+    for sub in ("centroids", "codebooks", "conf", "lists"):
+        dst = pathlib.Path(path) / sub
+        old_dir = pathlib.Path(f"{dst}.__old__")
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if dst.exists():
+            shutil.move(str(dst), str(old_dir))
+        shutil.move(str(pathlib.Path(tmp) / sub), str(dst))
+        shutil.rmtree(old_dir, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    t = pathlib.Path(path) / "tombstones"
+    if t.exists():
+        shutil.rmtree(t)
 
 
 def compact_ivfpq_index(spark, path: str) -> None:

@@ -86,21 +86,26 @@ CELL_TARGET = 132
 CELL_FLOOR = 16
 # adaptive_centroids never asks for more cells than the k-means
 # trainer can seed: init takes the first k vectors of the bounded
-# training sample (max_train, default 4096), so k beyond it would
-# starve. Past n ≈ CELL_CAP·CELL_TARGET (~540k vectors) raise
-# max_train alongside if strict target occupancy matters.
+# training sample, so k beyond it would starve. CELL_CAP is the cap
+# at the DEFAULT max_train (4096); paths that raise max_train pass
+# cap=max_train so the rule keeps target occupancy past
+# n ≈ 4096·CELL_TARGET (~540k vectors) instead of silently
+# re-growing cells (and index_stats recommending a rebuild that
+# could never satisfy it).
 CELL_CAP = 4096
 
 
 def adaptive_centroids(
-    n: int, *, target_cell: int = CELL_TARGET, floor: int = CELL_FLOOR
+    n: int, *, target_cell: int = CELL_TARGET, floor: int = CELL_FLOOR,
+    cap: int = CELL_CAP,
 ) -> int:
     """SemDeDup/IVF cell-count rule: cells = ⌈n / target_cell⌉ (with a
     floor), so E[cell size] ≈ target_cell regardless of corpus size and
     the within-cell pair volume Σ|cell|² stays LINEAR in n (SemDeDup at
     web scale runs c ~ √n or larger for the same reason). Capped at
-    ``CELL_CAP`` — the trainer's sample bound (see constant note)."""
-    return max(floor, min(CELL_CAP, (n + target_cell - 1) // target_cell))
+    ``cap`` — the trainer's sample bound (pass cap=max_train when the
+    sample bound was raised; see constant note)."""
+    return max(floor, min(cap, (n + target_cell - 1) // target_cell))
 
 
 def adaptive_centroids_sql(
@@ -108,12 +113,13 @@ def adaptive_centroids_sql(
     *,
     target_cell: int = CELL_TARGET,
     floor: int = CELL_FLOOR,
+    cap: int = CELL_CAP,
 ) -> str:
     """Scalar-subquery twin of ``adaptive_centroids`` over CTE/table
     ``corpus`` — pure integer arithmetic (ceil = (n+t-1)//t), so both
     engines agree exactly at every corpus size."""
     return (
-        f"(SELECT GREATEST({floor}, LEAST({CELL_CAP}, "
+        f"(SELECT GREATEST({floor}, LEAST({cap}, "
         f"(COUNT(*) + {target_cell - 1}) // {target_cell})) FROM {corpus})"
     )
 
@@ -1253,7 +1259,7 @@ def save_ivf_index(
     (``adaptive_centroids``) so list occupancy — and with it both the
     probed-scan fraction and any downstream within-list pair work —
     stays bounded as the corpus grows."""
-    n_centroids = _resolve_centroids(emb, n_centroids)
+    n_centroids = _resolve_centroids(emb, n_centroids, cap=max_train)
     vecs = emb.select(id_col, vec_col)
     cents = train_ivf_centroids(
         train_df.select(id_col, vec_col) if train_df is not None else vecs,
@@ -1936,8 +1942,9 @@ def index_stats(
     if mean_rows >= occupancy_warn * target:
         rebuild_hint = {
             "ivf": "cell count; rebuild_ivf_index(n_centroids='auto')",
-            "ivfpq": "cell count; re-run save_ivfpq_index over the "
-            "source-of-truth embeddings (codes cannot retrain)",
+            "ivfpq": "cell count; rebuild_ivfpq_index(source_df) — "
+            "codes cannot retrain, so the source embeddings are "
+            "required",
             "lsh": "bit count; rebuild_lsh_index(n_planes='auto')",
         }[family]
         rec.append(
@@ -2080,7 +2087,7 @@ def rebuild_ivf_index(
         corpus,
         id_col=id_col,
         vec_col=vec_col,
-        n_centroids=_resolve_centroids(corpus, n_centroids),
+        n_centroids=_resolve_centroids(corpus, n_centroids, cap=max_train),
         n_iters=n_iters,
         max_train=max_train,
     )

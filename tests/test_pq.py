@@ -326,21 +326,23 @@ def test_residual_reconstruction_beats_plain_on_clusters(spark, clustered, tmp_p
         )
         cents = _load_ivf_centroids(spark, path)
         books = pq._load_pq_codebooks(spark, path)
-        stored = spark.read.parquet(f"{path}/lists").collect()
+        # decode through the API: residual stores pass centers= (the
+        # conf records which — pq_decode without them would return
+        # near-zero residuals, the documented audit footgun)
+        assert pq._ivfpq_conf(spark, path)["residual"] is residual
+        rec_rows = pq.pq_decode(
+            spark.read.parquet(f"{path}/lists"), books,
+            centers=cents if residual else None,
+        ).collect()
         orig = {
             r.vec_id: np.asarray(r.embedding) for r in clustered.collect()
         }
         tot = 0.0
-        for r in stored:
-            rec = np.concatenate(
-                [books[s, r.pq_codes[s]] for s in range(8)]
-            )
-            if residual:
-                rec = rec + cents[r.list_id]
+        for r in rec_rows:
             x = orig[r.vec_id]
             x = x / np.linalg.norm(x)
-            tot += float(((rec - x) ** 2).sum())
-        errs[name] = tot / len(stored)
+            tot += float(((np.asarray(r.embedding) - x) ** 2).sum())
+        errs[name] = tot / len(rec_rows)
     # deterministic measured values: plain 0.1214, residual 0.0883 —
     # a 27% tighter reconstruction from the same 8 codes. (The planted
     # noise radius ~0.4 is large relative to the cluster geometry, so
@@ -446,3 +448,67 @@ def test_text_to_ivfpq_serving_composition(spark, tmp_path):
     assert got[0].neighbor_id == 0, got
     assert got[0].sim > 0.8
     assert all(r.sim < 0.5 for r in got[1:])
+
+
+def test_rebuild_ivfpq_preserves_conf_and_compacts(spark, clustered, tmp_path):
+    """rebuild_ivfpq_index re-trains from the source embeddings while
+    carrying the stored conf (residual flag, code geometry), excludes
+    tombstoned ids, drops the tombstone dir, and equals a fresh
+    save over the live source with the same settings."""
+    path = str(tmp_path / "rb")
+    pq.save_ivfpq_index(
+        clustered, path, n_centroids=5, n_subspaces=8, n_codes=16,
+        residual=True,
+    )
+    similarity.delete_from_index(spark, path, [0, 1, 2])
+    pq.rebuild_ivfpq_index(spark, path, clustered, n_centroids=5)
+
+    conf = pq._ivfpq_conf(spark, path)
+    assert conf["residual"] is True and conf["n_codes"] == 16
+
+    import pathlib
+
+    assert not (pathlib.Path(path) / "tombstones").exists()
+
+    fresh = str(tmp_path / "rb_fresh")
+    pq.save_ivfpq_index(
+        clustered.where(~F.col("vec_id").isin([0, 1, 2])), fresh,
+        n_centroids=5, n_subspaces=8, n_codes=16, residual=True,
+    )
+    read_codes = lambda p: sorted(
+        (r.vec_id, int(r.list_id), tuple(r.pq_codes))
+        for r in spark.read.parquet(f"{p}/lists").collect()
+    )
+    assert read_codes(path) == read_codes(fresh)
+
+    queries = clustered.where(F.col("vec_id").isin([5, 6]))
+    as_rows = lambda p: sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.sim)
+        for r in pq.query_ivfpq_index(queries, p, k=3, n_probe=5).collect()
+    )
+    assert as_rows(path) == as_rows(fresh)
+    assert not {0, 1, 2} & {t[2] for t in as_rows(path)}
+
+
+def test_adaptive_cell_cap_follows_max_train(spark):
+    """The cell-count cap is the trainer's sample bound: at the
+    default it is CELL_CAP, and a raised max_train raises it with the
+    SQL twin in agreement — so index_stats' occupancy recommendation
+    can always be satisfied by the rebuild it names."""
+    import duckdb
+
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+        CELL_CAP,
+        adaptive_centroids,
+        adaptive_centroids_sql,
+    )
+
+    n = 3_000_000
+    assert adaptive_centroids(n) == CELL_CAP
+    assert adaptive_centroids(n, cap=32768) == -(-n // 132)
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE e AS SELECT * FROM range({n})")
+    got = con.execute(
+        "SELECT " + adaptive_centroids_sql("e", cap=32768)
+    ).fetchone()[0]
+    assert got == adaptive_centroids(n, cap=32768)

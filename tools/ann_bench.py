@@ -2,7 +2,7 @@
 
 Builds every serving-grade index family over the SAME embedding
 corpus, serves the SAME query batch from each, and reports, per
-family: build wall, serve wall (min-of-N, warm), index bytes on disk,
+family: build wall, serve wall (min-of-N, warm), WHOLE-index bytes on disk,
 and recall@k against brute force — the evidence a 100 TB user needs
 to pick a family (and the judge needs to check the perf story) as one
 JSON line instead of a plan reading.
@@ -108,7 +108,7 @@ def main() -> int:
         },
     }
 
-    def bench(name, build, serve, index_sub):
+    def bench(name, build, serve):
         path = f"{work}/{name}"
         t0 = time.time()
         build(path)
@@ -121,7 +121,9 @@ def main() -> int:
         out["families"][name] = {
             "build_sec": build_wall,
             "serve_sec": round(min(walls), 3),
-            "index_bytes": du(f"{path}/{index_sub}"),
+            # the WHOLE index dir — codebooks/centroids/conf included,
+            # so families pay for their auxiliary state in the size row
+            "index_bytes": du(path),
             "recall": recall_at_k(rows, exact_rows, k),
         }
 
@@ -129,7 +131,6 @@ def main() -> int:
         "ivf",
         lambda p: similarity.save_ivf_index(emb, p, n_centroids="auto"),
         lambda p: similarity.query_ivf_index(queries, p, k=k, n_probe=n_probe),
-        "lists",
     )
     bench(
         "ivf_int8",
@@ -137,13 +138,11 @@ def main() -> int:
             emb, p, n_centroids="auto", quantize=True
         ),
         lambda p: similarity.query_ivf_index(queries, p, k=k, n_probe=n_probe),
-        "lists",
     )
     bench(
         "lsh",
         lambda p: similarity.save_lsh_index(emb, p, n_planes="auto"),
         lambda p: similarity.query_lsh_index(queries, p, k=k),
-        "buckets",
     )
     bench(
         "ivfpq",
@@ -151,7 +150,6 @@ def main() -> int:
         lambda p: pq.query_ivfpq_index(
             queries, p, k=k, n_probe=n_probe, rescore=emb, oversample=4
         ),
-        "lists",
     )
     bench(
         "ivfpq_res",
@@ -161,7 +159,6 @@ def main() -> int:
         lambda p: pq.query_ivfpq_index(
             queries, p, k=k, n_probe=n_probe, rescore=emb, oversample=4
         ),
-        "lists",
     )
 
     shutil.rmtree(work, ignore_errors=True)
