@@ -1391,20 +1391,28 @@ def save_lsh_index(
     dim: int = 64,
     max_bucket: int = 1024,
     quantize: bool = False,
+    bucket_dirs: bool = False,
 ) -> None:
     """Build and PERSIST the LSH half of the ANN dial (the offline
     mirror of ``save_ivf_index``):
 
     - ``<path>/conf`` — one row of (n_planes, n_tables, dim,
-      max_bucket): the hyperplanes themselves need NO storage — they
-      are md5-derived (``md5_planes``), so the server recomputes them
-      bit-identically from the conf alone.
+      max_bucket, bucket_dirs): the hyperplanes themselves need NO
+      storage — they are md5-derived (``md5_planes``), so the server
+      recomputes them bit-identically from the conf alone.
     - ``<path>/buckets`` — the capped bucket memberships WITH a vector
-      copy per membership row, parquet PARTITIONED BY (table_idx,
-      bucket): an LSH index stores L copies of each vector by
-      construction; partition dirs are bounded by n_tables·2^n_planes,
-      and a query batch reads only its probed (table, bucket) pairs
-      via partition pruning.
+      copy per membership row. DEFAULT layout (``bucket_dirs=False``):
+      parquet PARTITIONED BY table_idx only, rows SORTED by bucket
+      within each table's file — the probed-bucket predicate pushes to
+      parquet and sorted row-group min/max stats skip unprobed buckets
+      WITHOUT paying a directory per bucket. The per-(table, bucket)
+      directory layout (``bucket_dirs=True``) is kept for workloads
+      whose buckets are individually huge, but it was MEASURED
+      read-bound at adaptive geometry: 16·2¹⁰ = 16k tiny directories
+      made a bare count() of a 20k-vector index take 37 s and serving
+      35 s; the flat layout reads the same probe set in ~1 s (numbers
+      in SURVEY §8). Pre-existing indexes (conf without the column)
+      read as bucket_dirs=True.
 
     ``quantize=True`` stores int8 qvec + per-vector scale instead of
     the float vector — offsets the L-fold copy cost 4–8×; the server
@@ -1420,8 +1428,9 @@ def save_lsh_index(
     n_planes = _resolve_planes(emb, n_planes)
     spark = emb.sparkSession
     spark.createDataFrame(
-        [(n_planes, n_tables, dim, max_bucket)],
-        "n_planes int, n_tables int, dim int, max_bucket int",
+        [(n_planes, n_tables, dim, max_bucket, bool(bucket_dirs))],
+        "n_planes int, n_tables int, dim int, max_bucket int, "
+        "bucket_dirs boolean",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/conf")
     capped = capped_lsh_buckets(
         emb,
@@ -1438,11 +1447,31 @@ def save_lsh_index(
             stored, id_col=id_col, vec_col=vec_col,
             keep_cols=("table_idx", "bucket"),
         )
-    stored.repartition("table_idx", "bucket").write.mode(
-        "overwrite"
-    ).partitionBy("table_idx", "bucket").parquet(
-        f"{path}/buckets"
-    )
+    _write_lsh_buckets(stored, path, bucket_dirs, mode="overwrite")
+
+
+def _lsh_bucket_dirs(conf_row) -> bool:
+    """The stored bucket layout; confs written before the column
+    existed are the original per-(table, bucket) directory layout."""
+    try:
+        return bool(conf_row.bucket_dirs)
+    except AttributeError:
+        return True
+
+
+def _write_lsh_buckets(
+    stored: DataFrame, path: str, bucket_dirs: bool, *, mode: str
+) -> None:
+    if bucket_dirs:
+        stored.repartition("table_idx", "bucket").write.mode(
+            mode
+        ).partitionBy("table_idx", "bucket").parquet(f"{path}/buckets")
+    else:
+        stored.repartition("table_idx").sortWithinPartitions(
+            "bucket"
+        ).write.mode(mode).partitionBy("table_idx").parquet(
+            f"{path}/buckets"
+        )
 
 
 def query_lsh_index(
@@ -1714,9 +1743,7 @@ def append_to_lsh_index(
         stored = stored.withColumn(
             vec_col, F.col(vec_col).cast(bucket_schema[vec_col].dataType)
         )
-    stored.repartition("table_idx", "bucket").write.mode(
-        "append"
-    ).partitionBy("table_idx", "bucket").parquet(f"{path}/buckets")
+    _write_lsh_buckets(stored, path, _lsh_bucket_dirs(conf), mode="append")
 
 
 def delete_from_index(
@@ -1751,20 +1778,27 @@ def delete_from_index(
     df.write.mode("append").parquet(f"{path}/tombstones")
 
 
-def _swap_rewrite(df: DataFrame, live: str, partition_cols: list[str]) -> None:
+def _swap_rewrite(
+    df: DataFrame, live: str, partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
     """Atomic-swap rewrite of one index subdirectory — delegates to the
     shared ``sources.writers.atomic_swap_write`` (leftover-dir guards,
     refuse-empty-rewrite: compacting away the LAST vector would brick
     the index; delete the directory instead). The rewrite is clustered
     on the partition columns first so each directory comes out as ONE
     file set — compaction that reproduced the input's fragmentation
-    would defeat its own purpose."""
+    would defeat its own purpose. ``sort_cols`` sorts rows WITHIN each
+    partition's file (the flat-bucket LSH layout: tight parquet
+    min/max ranges per row group for the probed-bucket filter)."""
     from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
         atomic_swap_write,
     )
 
     if partition_cols:
         df = df.repartition(*partition_cols)
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
     atomic_swap_write(df, live, partition_cols)
 
 
@@ -1819,7 +1853,10 @@ def compact_lsh_index(spark: SparkSession, path: str) -> None:
         .where(F.col("_rn") <= conf.max_bucket)
         .drop("_rn", "_capkey")
     )
-    _swap_rewrite(df, live, ["table_idx", "bucket"])
+    if _lsh_bucket_dirs(conf):
+        _swap_rewrite(df, live, ["table_idx", "bucket"])
+    else:
+        _swap_rewrite(df, live, ["table_idx"], sort_cols=["bucket"])
     t = pathlib.Path(path) / "tombstones"
     if t.exists():
         shutil.rmtree(t)
@@ -2202,10 +2239,18 @@ def rebuild_lsh_index(
             new_stored, id_col=id_col, vec_col=vec_col,
             keep_cols=("table_idx", "bucket"),
         )
-    _swap_rewrite(new_stored, f"{path}/buckets", ["table_idx", "bucket"])
+    bucket_dirs = _lsh_bucket_dirs(conf)
+    if bucket_dirs:
+        _swap_rewrite(new_stored, f"{path}/buckets", ["table_idx", "bucket"])
+    else:
+        _swap_rewrite(
+            new_stored, f"{path}/buckets", ["table_idx"],
+            sort_cols=["bucket"],
+        )
     conf_df = spark.createDataFrame(
-        [(n_planes, n_tables, conf.dim, max_bucket)],
-        "n_planes int, n_tables int, dim int, max_bucket int",
+        [(n_planes, n_tables, conf.dim, max_bucket, bucket_dirs)],
+        "n_planes int, n_tables int, dim int, max_bucket int, "
+        "bucket_dirs boolean",
     ).coalesce(1)
     atomic_swap_write(conf_df, f"{path}/conf", [])
     corpus.unpersist()

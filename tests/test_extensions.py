@@ -2814,3 +2814,62 @@ def test_maintain_index_applies_compact_recs_and_reports_retrain(spark, tmp_path
     ran_lsh = similarity.maintain_index(spark, lsh_path, tombstone_warn=0.01)
     assert ran_lsh["actions"] == ["compact_lsh_index"]
     assert ran_lsh["after"]["n_tombstones"] == 0
+
+
+def test_lsh_flat_bucket_layout_serves_identically(spark, tmp_path):
+    """The default flat bucket layout (partition per table, rows
+    sorted by bucket) must serve bit-for-bit what the per-(table,
+    bucket) directory layout serves — it only changes WHERE the
+    probed-bucket skip happens (sorted parquet row-group stats vs
+    16·2^p directories, measured 13× at the sf1 fixture, SURVEY §8).
+    Appends and compaction follow the stored layout; a conf row
+    without the column (pre-layout indexes) reads as the directory
+    layout."""
+    import pathlib
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    flat, dirs = str(tmp_path / "flat"), str(tmp_path / "dirs")
+    similarity.save_lsh_index(emb, flat, n_tables=4, n_planes=4)
+    similarity.save_lsh_index(
+        emb, dirs, n_tables=4, n_planes=4, bucket_dirs=True
+    )
+    as_rows = lambda p: sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.sim)
+        for r in similarity.query_lsh_index(queries, p, k=5).collect()
+    )
+    got = as_rows(flat)
+    assert got == as_rows(dirs)
+    assert got, "serving returned no rows"
+
+    # layout on disk: one partition dir per TABLE, no bucket= dirs
+    subdirs = [d.name for d in pathlib.Path(f"{flat}/buckets").iterdir()
+               if d.is_dir()]
+    assert sorted(subdirs) == [f"table_idx={t}" for t in range(4)]
+    dir_subdirs = [d.name for d in pathlib.Path(f"{dirs}/buckets").iterdir()
+                   if d.is_dir()]
+    assert all(d.startswith("table_idx=") for d in dir_subdirs)
+    assert any(
+        p.name.startswith("bucket=")
+        for p in pathlib.Path(f"{dirs}/buckets/{dir_subdirs[0]}").iterdir()
+    )
+
+    # append + compact keep the flat layout and stay correct
+    extra = emb.where(F.col("vec_id") >= 450)
+    base = str(tmp_path / "base")
+    similarity.save_lsh_index(
+        emb.where(F.col("vec_id") < 450), base, n_tables=4, n_planes=4
+    )
+    similarity.append_to_lsh_index(extra, base)
+    similarity.delete_from_index(spark, base, [0])
+    similarity.compact_lsh_index(spark, base)
+    subdirs = [d.name for d in pathlib.Path(f"{base}/buckets").iterdir()
+               if d.is_dir()]
+    assert sorted(subdirs) == [f"table_idx={t}" for t in range(4)]
+    served = similarity.query_lsh_index(queries, base, k=5).collect()
+    assert served and 0 not in {r.neighbor_id for r in served}
+
+    # pre-layout conf (no bucket_dirs column) reads as the dir layout
+    legacy_conf = spark.read.parquet(f"{dirs}/conf").drop("bucket_dirs")
+    r = legacy_conf.collect()[0]
+    assert similarity._lsh_bucket_dirs(r) is True
