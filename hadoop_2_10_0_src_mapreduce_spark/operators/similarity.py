@@ -1212,6 +1212,32 @@ def semantic_dedup(
     return duplicate_components(pairs)
 
 
+def _ivf_list_dirs(path: str) -> bool:
+    """The stored lists layout: directory-per-list (original) vs flat
+    (partitionless, list_id-sorted files — same trade as the LSH
+    flat layout). Detected from the directory shape, so pre-layout
+    indexes and every maintenance op agree without a conf change."""
+    import pathlib
+
+    lists = pathlib.Path(path) / "lists"
+    return any(
+        d.name.startswith("list_id=") for d in lists.iterdir() if d.is_dir()
+    )
+
+
+def _write_ivf_lists(
+    filed: DataFrame, path: str, list_dirs: bool, *, mode: str
+) -> None:
+    if list_dirs:
+        filed.repartition("list_id").write.mode(mode).partitionBy(
+            "list_id"
+        ).parquet(f"{path}/lists")
+    else:
+        filed.repartition("list_id").sortWithinPartitions(
+            "list_id"
+        ).write.mode(mode).parquet(f"{path}/lists")
+
+
 def save_ivf_index(
     emb: DataFrame,
     path: str,
@@ -1223,6 +1249,7 @@ def save_ivf_index(
     max_train: int = 4096,
     quantize: bool = False,
     train_df: DataFrame | None = None,
+    list_dirs: bool = True,
 ) -> None:
     """Build and PERSIST an IVF index — the offline half of the
     serving lifecycle (build once on the 100 TB corpus, answer query
@@ -1258,7 +1285,16 @@ def save_ivf_index(
     ``n_centroids="auto"`` sizes the list count to the FILED corpus
     (``adaptive_centroids``) so list occupancy — and with it both the
     probed-scan fraction and any downstream within-list pair work —
-    stays bounded as the corpus grows."""
+    stays bounded as the corpus grows.
+
+    ``list_dirs=False`` stores the lists FLAT (no partition dirs, one
+    list_id-sorted file set): the probed-list IN filter then skips via
+    sorted parquet row-group stats instead of directories — the same
+    trade the LSH flat layout measured at 13× (SURVEY §8). The default
+    stays directory-per-list (the partition-pruning shape the plan
+    tests pin); flip it when the list count grows past ~1k and
+    directory listing starts to dominate serves. Maintenance ops
+    detect the layout from the directory shape."""
     n_centroids = _resolve_centroids(emb, n_centroids, cap=max_train)
     vecs = emb.select(id_col, vec_col)
     cents = train_ivf_centroids(
@@ -1287,9 +1323,7 @@ def save_ivf_index(
     # cluster the write by the partition column: one task owns each
     # list, so each directory gets ONE file set instead of one per
     # shuffle task (the small-files debt index_stats would later flag)
-    home.repartition("list_id").write.mode("overwrite").partitionBy(
-        "list_id"
-    ).parquet(f"{path}/lists")
+    _write_ivf_lists(home, path, list_dirs, mode="overwrite")
 
 
 def query_ivf_index(
@@ -1687,9 +1721,7 @@ def append_to_ivf_index(
         home = home.withColumn(
             vec_col, F.col(vec_col).cast(stored_schema[vec_col].dataType)
         )
-    home.repartition("list_id").write.mode("append").partitionBy(
-        "list_id"
-    ).parquet(f"{path}/lists")
+    _write_ivf_lists(home, path, _ivf_list_dirs(path), mode="append")
 
 
 def append_to_lsh_index(
@@ -1819,7 +1851,13 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     if tomb is not None:
         id_col = _index_id_col(df, ("list_id", "qvec", "scale"))
         df = df.join(tomb.withColumnRenamed("id", id_col), id_col, "left_anti")
-    _swap_rewrite(df, live, ["list_id"])
+    if _ivf_list_dirs(path):
+        _swap_rewrite(df, live, ["list_id"])
+    else:
+        # cluster-then-sort by hand (no partition cols to trigger it)
+        _swap_rewrite(
+            df.repartition("list_id"), live, [], sort_cols=["list_id"]
+        )
     t = pathlib.Path(path) / "tombstones"
     if t.exists():
         shutil.rmtree(t)
@@ -2137,7 +2175,13 @@ def rebuild_ivf_index(
         home = quantize_embeddings(
             home, id_col=id_col, vec_col=vec_col, keep_cols=("list_id",)
         )
-    _swap_rewrite(home, f"{path}/lists", ["list_id"])
+    if _ivf_list_dirs(path):
+        _swap_rewrite(home, f"{path}/lists", ["list_id"])
+    else:
+        _swap_rewrite(
+            home.repartition("list_id"), f"{path}/lists", [],
+            sort_cols=["list_id"],
+        )
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "list_id int, centroid array<double>",

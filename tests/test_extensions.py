@@ -2873,3 +2873,47 @@ def test_lsh_flat_bucket_layout_serves_identically(spark, tmp_path):
     legacy_conf = spark.read.parquet(f"{dirs}/conf").drop("bucket_dirs")
     r = legacy_conf.collect()[0]
     assert similarity._lsh_bucket_dirs(r) is True
+
+
+def test_ivf_flat_lists_layout_serves_identically(spark, tmp_path):
+    """The opt-in flat lists layout (no list_id dirs, sorted file) —
+    the IVF twin of the LSH flat-bucket dial for indexes whose list
+    count outgrows directory listing — serves bit-for-bit what the
+    directory layout serves, and append/delete/compact/rebuild detect
+    and keep it."""
+    import pathlib
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    dirs, flat = str(tmp_path / "d"), str(tmp_path / "f")
+    similarity.save_ivf_index(
+        emb.where(F.col("vec_id") < 450), dirs, n_centroids=8
+    )
+    similarity.save_ivf_index(
+        emb.where(F.col("vec_id") < 450), flat, n_centroids=8,
+        list_dirs=False,
+    )
+    assert similarity._ivf_list_dirs(dirs) and not similarity._ivf_list_dirs(flat)
+    as_rows = lambda p: sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.sim)
+        for r in similarity.query_ivf_index(queries, p, k=5, n_probe=4).collect()
+    )
+    got = as_rows(flat)
+    assert got == as_rows(dirs) and got
+
+    # the maintenance cycle keeps the flat shape and the dirs results
+    for p in (dirs, flat):
+        similarity.append_to_ivf_index(emb.where(F.col("vec_id") >= 450), p)
+        similarity.delete_from_index(spark, p, [3])
+        similarity.compact_ivf_index(spark, p)
+    assert not any(
+        d.name.startswith("list_id=")
+        for d in pathlib.Path(f"{flat}/lists").iterdir() if d.is_dir()
+    )
+    got = as_rows(flat)
+    assert got == as_rows(dirs) and got
+    assert 3 not in {t[2] for t in got}
+
+    similarity.rebuild_ivf_index(spark, flat, n_centroids=8)
+    assert not similarity._ivf_list_dirs(flat)
+    assert as_rows(flat), "flat rebuild stopped serving"
