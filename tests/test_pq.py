@@ -512,3 +512,33 @@ def test_adaptive_cell_cap_follows_max_train(spark):
         "SELECT " + adaptive_centroids_sql("e", cap=32768)
     ).fetchone()[0]
     assert got == adaptive_centroids(n, cap=32768)
+
+
+def test_ivfpq_flat_lists_layout(spark, emb, tmp_path):
+    """The flat lists dial on the PQ store: identical serving, layout
+    detected and kept by append and rebuild."""
+    import pathlib
+
+    dirs, flat = str(tmp_path / "pd"), str(tmp_path / "pf")
+    base = emb.where(F.col("vec_id") < 400)
+    pq.save_ivfpq_index(base, dirs, n_centroids=8, n_codes=64)
+    pq.save_ivfpq_index(base, flat, n_centroids=8, n_codes=64,
+                        list_dirs=False)
+    assert not similarity._ivf_list_dirs(flat)
+    queries = emb.where(F.col("vec_id") < 10)
+    as_rows = lambda p: sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.sim)
+        for r in pq.query_ivfpq_index(queries, p, k=5, n_probe=8).collect()
+    )
+    got = as_rows(flat)
+    assert got == as_rows(dirs) and got
+
+    pq.append_to_ivfpq_index(emb.where(F.col("vec_id") >= 400), flat)
+    assert not similarity._ivf_list_dirs(flat)
+    pq.rebuild_ivfpq_index(spark, flat, emb, n_centroids=8)
+    assert not similarity._ivf_list_dirs(flat)
+    assert not any(
+        d.name.startswith("list_id=")
+        for d in pathlib.Path(f"{flat}/lists").iterdir() if d.is_dir()
+    )
+    assert as_rows(flat), "flat rebuild stopped serving"

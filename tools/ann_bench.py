@@ -10,6 +10,8 @@ JSON line instead of a plan reading.
 Families:
   brute      brute_force_topk (the exact anchor; no index — "build" is 0)
   ivf        save_ivf_index / query_ivf_index (float store)
+  ivf_flat   the same with list_dirs=False (flat list-sorted store —
+             the dial for list counts past ~1k)
   ivf_int8   save_ivf_index(quantize=True) (int8 store)
   lsh        save_lsh_index / query_lsh_index
   ivfpq      save_ivfpq_index / query_ivfpq_index, rescored against
@@ -18,7 +20,9 @@ Families:
 
 Usage:  python tools/ann_bench.py [sf_dir] [--queries N] [--k K]
                                   [--n-probe P] [--reps R]
-Defaults: /root/testdata/sf0.1, 100 queries, k=10, n_probe=4, reps=3.
+                                  [--families a,b,c]
+Defaults: /root/testdata/sf0.1, 100 queries, k=10, n_probe=4, reps=3,
+all families.
 Prints ONE JSON line (bench.py convention). Adaptive geometry sizes
 every index ("auto"), so the comparison holds shape at any sf.
 """
@@ -71,6 +75,10 @@ def main() -> int:
     k = opt("k", 10)
     n_probe = opt("n-probe", 4)
     reps = opt("reps", 3)
+    fam_filter = None
+    for a in sys.argv[1:]:
+        if a.startswith("--families="):
+            fam_filter = set(a.split("=", 1)[1].split(","))
 
     spark = get_spark(
         "ann_bench",
@@ -109,6 +117,8 @@ def main() -> int:
     }
 
     def bench(name, build, serve):
+        if fam_filter is not None and name not in fam_filter:
+            return
         path = f"{work}/{name}"
         t0 = time.time()
         build(path)
@@ -130,6 +140,13 @@ def main() -> int:
     bench(
         "ivf",
         lambda p: similarity.save_ivf_index(emb, p, n_centroids="auto"),
+        lambda p: similarity.query_ivf_index(queries, p, k=k, n_probe=n_probe),
+    )
+    bench(
+        "ivf_flat",
+        lambda p: similarity.save_ivf_index(
+            emb, p, n_centroids="auto", list_dirs=False
+        ),
         lambda p: similarity.query_ivf_index(queries, p, k=k, n_probe=n_probe),
     )
     bench(
