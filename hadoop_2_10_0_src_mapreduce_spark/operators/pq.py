@@ -769,11 +769,8 @@ def rebuild_ivfpq_index(
     import shutil
 
     from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
-        _tombstone_df,
-    )
-
-    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
         _ivf_list_dirs,
+        _tombstone_df,
     )
 
     conf = _ivfpq_conf(spark, path)

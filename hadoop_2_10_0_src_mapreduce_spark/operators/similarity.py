@@ -1216,13 +1216,21 @@ def _ivf_list_dirs(path: str) -> bool:
     """The stored lists layout: directory-per-list (original) vs flat
     (partitionless, list_id-sorted files — same trade as the LSH
     flat layout). Detected from the directory shape, so pre-layout
-    indexes and every maintenance op agree without a conf change."""
+    indexes and every maintenance op agree without a conf change.
+    A missing lists dir (a crash inside a rebuild's swap window)
+    falls back to the ``.__old__`` copy's shape, then to the default
+    directory layout — heal-by-re-run must not die on detection."""
     import pathlib
 
-    lists = pathlib.Path(path) / "lists"
-    return any(
-        d.name.startswith("list_id=") for d in lists.iterdir() if d.is_dir()
-    )
+    for name in ("lists", "lists.__old__"):
+        lists = pathlib.Path(path) / name
+        if lists.exists():
+            return any(
+                d.name.startswith("list_id=")
+                for d in lists.iterdir()
+                if d.is_dir()
+            )
+    return True
 
 
 def _write_ivf_lists(
@@ -1501,8 +1509,13 @@ def _write_lsh_buckets(
             mode
         ).partitionBy("table_idx", "bucket").parquet(f"{path}/buckets")
     else:
+        # sort by (table_idx, bucket): the file writer requires output
+        # ordered by the partition column and would otherwise insert
+        # its OWN Sort(table_idx), leaving bucket order to sort
+        # stability — an implementation detail, not a contract, and
+        # the row-group skip silently dies without the order
         stored.repartition("table_idx").sortWithinPartitions(
-            "bucket"
+            "table_idx", "bucket"
         ).write.mode(mode).partitionBy("table_idx").parquet(
             f"{path}/buckets"
         )
@@ -1894,7 +1907,9 @@ def compact_lsh_index(spark: SparkSession, path: str) -> None:
     if _lsh_bucket_dirs(conf):
         _swap_rewrite(df, live, ["table_idx", "bucket"])
     else:
-        _swap_rewrite(df, live, ["table_idx"], sort_cols=["bucket"])
+        _swap_rewrite(
+            df, live, ["table_idx"], sort_cols=["table_idx", "bucket"]
+        )
     t = pathlib.Path(path) / "tombstones"
     if t.exists():
         shutil.rmtree(t)
@@ -2289,7 +2304,7 @@ def rebuild_lsh_index(
     else:
         _swap_rewrite(
             new_stored, f"{path}/buckets", ["table_idx"],
-            sort_cols=["bucket"],
+            sort_cols=["table_idx", "bucket"],
         )
     conf_df = spark.createDataFrame(
         [(n_planes, n_tables, conf.dim, max_bucket, bucket_dirs)],

@@ -542,3 +542,24 @@ def test_ivfpq_flat_lists_layout(spark, emb, tmp_path):
         for d in pathlib.Path(f"{flat}/lists").iterdir() if d.is_dir()
     )
     assert as_rows(flat), "flat rebuild stopped serving"
+
+
+def test_rebuild_heals_crash_inside_swap_window(spark, clustered, tmp_path):
+    """A crash between 'move lists aside' and 'move fresh lists in'
+    leaves no <path>/lists at all; re-running the rebuild must heal
+    (layout detection falls back to the .__old__ copy) rather than
+    die on detection."""
+    import pathlib
+    import shutil
+
+    path = str(tmp_path / "crash")
+    pq.save_ivfpq_index(clustered, path, n_centroids=5, n_codes=16,
+                        residual=True)
+    # simulate the crash window
+    shutil.move(f"{path}/lists", f"{path}/lists.__old__")
+    assert not pathlib.Path(f"{path}/lists").exists()
+    pq.rebuild_ivfpq_index(spark, path, clustered, n_centroids=5)
+    assert pathlib.Path(f"{path}/lists").exists()
+    assert pq._ivfpq_conf(spark, path)["residual"] is True
+    queries = clustered.where(F.col("vec_id") < 5)
+    assert pq.query_ivfpq_index(queries, path, k=3, n_probe=5).count() > 0

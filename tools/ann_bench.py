@@ -75,10 +75,19 @@ def main() -> int:
     k = opt("k", 10)
     n_probe = opt("n-probe", 4)
     reps = opt("reps", 3)
+    KNOWN = {"brute", "ivf", "ivf_flat", "ivf_int8", "lsh", "ivfpq",
+             "ivfpq_res"}
     fam_filter = None
     for a in sys.argv[1:]:
         if a.startswith("--families="):
             fam_filter = set(a.split("=", 1)[1].split(","))
+            bad = fam_filter - KNOWN
+            if bad:
+                raise SystemExit(
+                    f"unknown families {sorted(bad)}; pick from "
+                    f"{sorted(KNOWN)} (--families=a,b form — a bare "
+                    "'--families x' would be read as the sf_dir)"
+                )
 
     spark = get_spark(
         "ann_bench",
