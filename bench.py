@@ -37,6 +37,7 @@ BRANCHED: dict[str, tuple[str, dict[str, bool]]] = {
     "dedup_ngram_jaccard": ("branch", {"plain": True, "prefix": False}),
     "dedup_minhash_lsh": ("branch", {"pairs": True, "clusters": False}),
     "sim_near_dup_embeddings": ("branch", {"pairs": True, "semdedup": False}),
+    "sim_ann_ivf": ("branch", {"ivf": True, "ivfpq": False}),
     "text_fingerprint_rollup": ("branch", {
         "rollup": True, "decontam": False, "split": False,
         "gsplit": False, "chunk": False,

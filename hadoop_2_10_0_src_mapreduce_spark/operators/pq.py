@@ -37,9 +37,14 @@ Spark shapes, same posture as operators/similarity.py:
   table (``_score_pairs``) — vectors join where they live.
 
 PQ is pytest-verified (determinism, nearest-code invariant,
-reconstruction dominance over int8, recall pins vs brute force) — the
-same verification class as int8 quantization; ADC ranking is
-approximate by construction, so there is no exact SQL oracle twin.
+reconstruction dominance over int8, recall pins vs brute force) AND —
+since round 7 — oracle-replayable: every float reduction in the
+trainer, encoder, and ADC scorer is sequential (``_seq_matdot`` /
+``_seq_sq_norms`` / s-ordered lookup sums), so DuckDB reproduces the
+codebooks, the code assignments, and the ADC ranking bit-for-bit (the
+'ivfpq' branch of the ``sim_ann_ivf`` driver gate replays the whole
+path, approximation and all — the same md5-seeding philosophy as the
+IVF/LSH oracles).
 """
 
 from __future__ import annotations
@@ -53,6 +58,7 @@ from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
     _global_topk,
     _md5_key,
     _score_pairs_arrow,
+    _seq_matdot,
     _seq_sq_norms,
 )
 
@@ -74,6 +80,19 @@ def _normalize_rows(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
+def _l2_rank_dist(sub: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """The rank-equivalent squared-L2 block used EVERYWHERE a vector
+    meets a codebook: ||x − c||² = ||x||² − 2x·c + ||c||², and ||x||²
+    is rank-constant per row, so argmin ranks by −2·(x·c) + ||c||².
+    Both reductions are SEQUENTIAL (``_seq_matdot``/``_seq_sq_norms``),
+    so every cell is bit-identical to DuckDB's
+    ``-2.0*list_inner_product(x, c) + list_inner_product(c, c)`` — the
+    property the r7 driver-gate oracle replays (same discipline as the
+    IVF trainer; −2.0·a is exact, the one cross-term add rounds the
+    same way in both engines)."""
+    return -2.0 * _seq_matdot(sub, codes) + _seq_sq_norms(codes)[None, :]
+
+
 def _kmeans_l2(
     init: list[int], sub: np.ndarray, n_codes: int, n_iters: int
 ) -> np.ndarray:
@@ -81,20 +100,25 @@ def _kmeans_l2(
     ``n_codes`` sample subvectors in the caller's (md5(id), id) order
     — the same seeding trick as ``_kmeans_spherical``, hashed ONCE per
     training run rather than per subspace — assignment by min
-    squared-L2 with ties toward the lowest code index (stable argmin),
-    empty codes keep their previous centroid. Plain numpy reductions:
-    PQ has no SQL oracle to replay, so the sequential-accumulation
-    discipline of the IVF trainer isn't needed here."""
+    rank-distance with ties toward the lowest code index (stable
+    argmin), empty codes keep their previous centroid. Every float
+    reduction is sequential (rank block via ``_l2_rank_dist``; means
+    accumulate member rows in the caller's id-ascending row order,
+    then one correctly-rounded divide), so DuckDB replays the whole
+    trainer exactly: member-ordered mean ==
+    ``list_inner_product(list(x ORDER BY id), ones) / count`` — the
+    same trick as the IVF oracle's CTE chain."""
     k = min(n_codes, len(sub))
     codes = sub[init[:k]].copy()
     for _ in range(n_iters):
-        # ||x - c||² = ||x||² - 2x·c + ||c||²; ||x||² is rank-constant
-        d2 = -2.0 * (sub @ codes.T) + (codes * codes).sum(axis=1)[None, :]
-        assign = d2.argmin(axis=1)  # np.argmin returns the FIRST min
+        assign = _l2_rank_dist(sub, codes).argmin(axis=1)  # FIRST min
         for c in range(k):
             members = sub[assign == c]
             if len(members):
-                codes[c] = members.mean(axis=0)
+                acc = np.zeros(sub.shape[1])
+                for i in range(len(members)):
+                    acc += members[i]
+                codes[c] = acc / len(members)
     return codes
 
 
@@ -220,14 +244,23 @@ def pq_encode(
             if not len(pdf):
                 continue
             mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            if mat.shape[1] != m * dsub:
+                # fail fast like _pq_geometry does at train time:
+                # slicing would silently TRUNCATE longer vectors to
+                # wrong codes (shorter ones already raise on stack)
+                raise ValueError(
+                    f"pq_encode: vector dim {mat.shape[1]} != codebook "
+                    f"geometry n_subspaces*dsub = {m}*{dsub} = {m * dsub}"
+                )
             mat = _normalize_rows(mat)
             if cents is not None:
                 mat = mat - cents[pdf[center_col].to_numpy()]
             codes = np.empty((len(pdf), m), dtype=np.int16)
             for s in range(m):
                 sub = mat[:, s * dsub : (s + 1) * dsub]
-                d2 = -2.0 * (sub @ books[s].T) + (books[s] * books[s]).sum(axis=1)[None, :]
-                codes[:, s] = d2.argmin(axis=1).astype(np.int16)
+                codes[:, s] = (
+                    _l2_rank_dist(sub, books[s]).argmin(axis=1).astype(np.int16)
+                )
             out = pdf[[id_col, *keep_cols]].copy()
             if packed:
                 out[codes_col] = [
@@ -330,9 +363,20 @@ def _adc_lut(qmat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     """LUT[q, s, c] = dot(query_sub_s, codebook[s, c]) — after this,
     every corpus approximate dot is m lookups + adds."""
     m, k_codes, dsub = codebooks.shape
+    if qmat.shape[1] != m * dsub:
+        # same fail-fast as pq_encode: a longer query would silently
+        # score on a truncated prefix
+        raise ValueError(
+            f"ADC query dim {qmat.shape[1]} != codebook geometry "
+            f"n_subspaces*dsub = {m}*{dsub} = {m * dsub}"
+        )
     lut = np.empty((len(qmat), m, k_codes))
     for s in range(m):
-        lut[:, s, :] = qmat[:, s * dsub : (s + 1) * dsub] @ codebooks[s].T
+        # sequential dots: LUT cells bit-match list_inner_product, so
+        # the s-ordered lookup sum in _adc_per_partition replays too
+        lut[:, s, :] = _seq_matdot(
+            qmat[:, s * dsub : (s + 1) * dsub], codebooks[s]
+        )
     return lut
 
 
@@ -553,9 +597,21 @@ def save_ivfpq_index(
         centers=cents if residual else None,
     )
     spark = emb.sparkSession
+    # conf records the REQUESTED n_codes, not the trained count: a
+    # corpus smaller than n_codes trains a sample-limited codebook
+    # (books.shape[1] < n_codes), and recording that actual count
+    # would permanently pin every later rebuild to the degraded
+    # geometry even after the corpus grows far past it. The trained
+    # count is kept alongside for audits (index_stats / debugging);
+    # readers that need the real codebook shape read the codebooks
+    # table itself (_load_pq_codebooks).
     spark.createDataFrame(
-        [(int(books.shape[0]), int(books.shape[1]), bool(residual))],
-        "n_subspaces int, n_codes int, residual boolean",
+        [(
+            int(books.shape[0]), int(n_codes), int(books.shape[1]),
+            bool(residual),
+        )],
+        "n_subspaces int, n_codes int, n_codes_trained int, "
+        "residual boolean",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/conf")
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
@@ -588,14 +644,21 @@ def save_ivfpq_index(
 
 
 def _ivfpq_conf(spark, path: str) -> dict:
-    """The stored build conf; indexes written before the conf file
-    existed read as the original non-residual layout."""
+    """The stored build conf. A missing ``conf`` dir falls back to the
+    ``conf.__old__`` copy a crash inside a pre-r7 rebuild's sequential
+    swap could leave behind (mirroring ``_ivf_list_dirs``'s
+    ``lists.__old__`` fallback) — heal-by-re-run must recover the REAL
+    build contract, never silently default a residual index back to
+    non-residual. Only when neither exists (an index written before
+    the conf file did) does it read as the original non-residual
+    layout."""
     import pathlib
 
-    if not (pathlib.Path(path) / "conf").exists():
-        return {"residual": False}
-    r = spark.read.parquet(f"{path}/conf").collect()[0]
-    return r.asDict()
+    for name in ("conf", "conf.__old__"):
+        if (pathlib.Path(path) / name).exists():
+            r = spark.read.parquet(f"{path}/{name}").collect()[0]
+            return r.asDict()
+    return {"residual": False}
 
 
 def _load_pq_codebooks(spark, path: str) -> np.ndarray:
@@ -762,9 +825,17 @@ def rebuild_ivfpq_index(
     silently fork the index's quality contract, and ``n_centroids``
     defaults to "auto" (re-size to the live corpus).
 
-    The fresh index builds in a sibling ``.__rebuild__`` dir and each
-    subdir swaps in via rename; a crash mid-swap is healed by
-    re-running the rebuild (same recipe as the IVF twin)."""
+    The fresh index builds in a sibling ``.__rebuild__`` dir and swaps
+    in with ONE top-level rename of the index root (marked complete by
+    a ``__complete__`` file written after the last subdir lands), so a
+    concurrent reader can never see NEW codebooks under OLD codes or
+    any other mixed-subdir state — the pre-r7 per-subdir swap loop had
+    exactly that window, silently skewing ADC candidate ranking. The
+    one remaining reader-visible state is the whole-index ENOENT blink
+    between the two renames (the documented ``atomic_swap_write``
+    contract). A crash anywhere is healed by re-running the rebuild:
+    roll FORWARD when the sibling build completed, roll BACK to the
+    ``.__old__`` root otherwise."""
     import pathlib
     import shutil
 
@@ -772,6 +843,25 @@ def rebuild_ivfpq_index(
         _ivf_list_dirs,
         _tombstone_df,
     )
+
+    p = pathlib.Path(path)
+    tmp = f"{path}.__rebuild__"
+    old = f"{path}.__old__"
+    done = pathlib.Path(tmp) / "__complete__"
+    if not p.exists():
+        # heal a crash inside a previous rebuild's swap window
+        if done.exists():
+            shutil.move(tmp, path)  # roll forward: fresh build is whole
+        elif pathlib.Path(old).exists():
+            shutil.move(old, path)  # roll back: build never finished
+        else:
+            raise FileNotFoundError(
+                f"rebuild_ivfpq_index: no index at {path} and no "
+                "recoverable .__rebuild__/.__old__ sibling"
+            )
+    (p / "__complete__").unlink(missing_ok=True)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
 
     conf = _ivfpq_conf(spark, path)
     list_dirs = _ivf_list_dirs(path)
@@ -781,8 +871,6 @@ def rebuild_ivfpq_index(
         live = live.join(
             tomb.withColumnRenamed("id", id_col), id_col, "left_anti"
         )
-    tmp = f"{path}.__rebuild__"
-    shutil.rmtree(tmp, ignore_errors=True)
     save_ivfpq_index(
         live, tmp, id_col=id_col, vec_col=vec_col,
         n_centroids="auto" if n_centroids is None else n_centroids,
@@ -792,18 +880,13 @@ def rebuild_ivfpq_index(
         residual=conf["residual"],
         list_dirs=list_dirs,
     )
-    for sub in ("centroids", "codebooks", "conf", "lists"):
-        dst = pathlib.Path(path) / sub
-        old_dir = pathlib.Path(f"{dst}.__old__")
-        shutil.rmtree(old_dir, ignore_errors=True)
-        if dst.exists():
-            shutil.move(str(dst), str(old_dir))
-        shutil.move(str(pathlib.Path(tmp) / sub), str(dst))
-        shutil.rmtree(old_dir, ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
-    t = pathlib.Path(path) / "tombstones"
-    if t.exists():
-        shutil.rmtree(t)
+    done.touch()
+    # single top-level swap: rename is atomic per directory, so readers
+    # see the OLD index, ENOENT, or the NEW index — never a mix
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    (p / "__complete__").unlink(missing_ok=True)
+    shutil.rmtree(old)  # tombstones ride out with the old root
 
 
 def compact_ivfpq_index(spark, path: str) -> None:

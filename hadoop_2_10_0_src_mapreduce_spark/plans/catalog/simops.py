@@ -341,6 +341,138 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test_ivf_sharded_blocks_match_single_block), so the oracle computes
 # the global rank directly. Same md5-seeding philosophy as
 # _ann_lsh_oracle / dedup_simhash.
+#
+# Round 7 adds the 'ivfpq' branch: product-quantization ADC top-k +
+# exact rescore (operators/pq.py), the serving path the persisted
+# IVF-PQ index uses. Every float reduction in the PQ trainer, encoder,
+# and ADC scorer is sequential (pq._l2_rank_dist / _seq_matdot), so
+# the oracle replays the per-subspace L2 k-means codebooks (same
+# md5-stride sample + (md5(id), id) init order as the IVF trainer,
+# first-min ties toward the lower code id, member-ordered means,
+# empty codes carry), the corpus encoding, the per-query LUT, the
+# s-ordered ADC sums, the k·oversample candidate cut, and the exact
+# cosine re-rank — approximation and all.
+
+# PQ gate geometry: small codebooks keep the oracle's unrolled k-means
+# CTEs cheap at sf1 while still exercising every kernel; both sides
+# take the SAME literals.
+_PQ_M, _PQ_CODES, _PQ_ITERS, _PQ_OVERSAMPLE = 8, 32, 3, 4
+
+
+def _pq_cte_chain(
+    *,
+    n_subspaces: int,
+    n_codes: int,
+    n_iters: int,
+    dim: int,
+    query_pred: str,
+    k: int,
+    oversample: int,
+) -> str:
+    """PQ replay as CTEs appended AFTER ``_ivf_cte_chain`` — reuses its
+    ``e`` (raw DOUBLE[] corpus), ``vn`` (normalized), and ``samp``
+    (md5-stride bounded training sample): the PQ trainer samples and
+    normalizes exactly like the IVF trainer, so one replay feeds both.
+    Stages: per-subspace slices (``list_slice``), codebook init (first
+    n_codes sample subvectors by (md5(id), id)), ``n_iters`` unrolled
+    L2 k-means steps (assign by −2·lip(x,c)+lip(c,c) ASC with c-asc
+    ties — pq._l2_rank_dist's exact expression — member-ordered
+    sequential means, COALESCE carries empty codes), full-corpus
+    encoding, per-query LUT, s-ordered sequential ADC sums rounded at
+    6 digits, top-(k·oversample) candidates by (adc DESC, id), exact
+    sequential-cosine re-rank to top-k."""
+    dsub = dim // n_subspaces
+    parts = [f"""
+pqsub AS MATERIALIZED (
+    SELECT vec_id, s.si AS s,
+           list_slice(nv, s.si * {dsub} + 1, (s.si + 1) * {dsub}) AS sv
+    FROM samp CROSS JOIN range({n_subspaces}) s(si)
+),
+pqcb_0 AS MATERIALIZED (
+    SELECT s, rn - 1 AS c, sv AS cw FROM (
+        SELECT s, sv,
+               ROW_NUMBER() OVER (PARTITION BY s
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM pqsub) WHERE rn <= {n_codes}
+)"""]
+    for i in range(1, n_iters + 1):
+        parts.append(f""",
+pqa_{i} AS (
+    SELECT vec_id, s, c FROM (
+        SELECT p.vec_id, p.s, cb.c,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.s
+                   ORDER BY -2.0 * list_inner_product(p.sv, cb.cw)
+                            + list_inner_product(cb.cw, cb.cw), cb.c) AS rn
+        FROM pqsub p JOIN pqcb_{i - 1} cb ON cb.s = p.s) WHERE rn = 1
+),
+pqsums_{i} AS (
+    SELECT a.s, a.c, d.di,
+           list_inner_product(
+               list(p.sv[d.di + 1] ORDER BY p.vec_id),
+               list_transform(list(p.sv[d.di + 1] ORDER BY p.vec_id),
+                              y -> CAST(1 AS DOUBLE))) AS sm,
+           COUNT(*) AS cnt
+    FROM pqa_{i} a JOIN pqsub p ON p.vec_id = a.vec_id AND p.s = a.s
+    CROSS JOIN range({dsub}) d(di)
+    GROUP BY a.s, a.c, d.di
+),
+pqcb_{i} AS MATERIALIZED (
+    SELECT o.s, o.c, COALESCE(nw.cw, o.cw) AS cw
+    FROM pqcb_{i - 1} o LEFT JOIN
+         (SELECT s, c, list(sm / cnt ORDER BY di) AS cw
+          FROM pqsums_{i} GROUP BY s, c) nw
+         ON nw.s = o.s AND nw.c = o.c
+)""")
+    parts.append(f""",
+pqall AS MATERIALIZED (
+    SELECT vec_id, s.si AS s,
+           list_slice(nv, s.si * {dsub} + 1, (s.si + 1) * {dsub}) AS sv
+    FROM vn CROSS JOIN range({n_subspaces}) s(si)
+),
+pqcodes AS MATERIALIZED (
+    SELECT vec_id, s, c FROM (
+        SELECT p.vec_id, p.s, cb.c,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.s
+                   ORDER BY -2.0 * list_inner_product(p.sv, cb.cw)
+                            + list_inner_product(cb.cw, cb.cw), cb.c) AS rn
+        FROM pqall p JOIN pqcb_{n_iters} cb ON cb.s = p.s) WHERE rn = 1
+),
+pqlut AS MATERIALIZED (
+    SELECT qs.vec_id AS qid, cb.s, cb.c,
+           list_inner_product(qs.sv, cb.cw) AS term
+    FROM pqall qs JOIN pqcb_{n_iters} cb ON cb.s = qs.s
+    WHERE {query_pred.replace('vec_id', 'qs.vec_id')}
+),
+pqsims AS MATERIALIZED (
+    SELECT l.qid, pc.vec_id AS nid,
+           round(list_inner_product(
+               list(l.term ORDER BY l.s),
+               list_transform(list(l.term ORDER BY l.s),
+                              y -> CAST(1 AS DOUBLE))), 6) AS adc
+    FROM pqcodes pc JOIN pqlut l ON l.s = pc.s AND l.c = pc.c
+    WHERE l.qid <> pc.vec_id
+    GROUP BY l.qid, pc.vec_id
+),
+pqcand AS (
+    SELECT qid, nid FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adc DESC, nid) AS rn
+        FROM pqsims) WHERE rn <= {k * oversample}
+),
+pqranked AS (
+    SELECT query_id, neighbor_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM (
+        SELECT c.qid AS query_id, c.nid AS neighbor_id,
+               round({_COS}, 6) AS sim
+        FROM pqcand c
+        JOIN e a ON a.vec_id = c.qid
+        JOIN e b ON b.vec_id = c.nid)
+)""")
+    return "".join(parts)
+
 
 def _ann_ivf_oracle(
     n_centroids: int = 16,
@@ -354,6 +486,10 @@ def _ann_ivf_oracle(
         "SELECT vec_id, embedding FROM embeddings",
         n_centroids=n_centroids, n_iters=n_iters, n_probe=n_probe,
         max_train=max_train, dim=dim,
+    )
+    pq_chain = _pq_cte_chain(
+        n_subspaces=_PQ_M, n_codes=_PQ_CODES, n_iters=_PQ_ITERS,
+        dim=dim, query_pred="vec_id < 20", k=k, oversample=_PQ_OVERSAMPLE,
     )
     parts = [f"""
 WITH {chain}"""]
@@ -372,15 +508,38 @@ ranked AS (
            ROW_NUMBER() OVER (PARTITION BY query_id
                               ORDER BY sim DESC, neighbor_id) AS rnk
     FROM scored
-)
-SELECT query_id, rnk, neighbor_id, sim
+),
+{pq_chain.lstrip()}
+SELECT 'ivf' AS branch, query_id, rnk, neighbor_id, sim
 FROM ranked WHERE rnk <= {k}
-ORDER BY query_id, rnk""")
+UNION ALL
+SELECT 'ivfpq' AS branch, query_id, rnk, neighbor_id, sim
+FROM pqranked WHERE rnk <= {k}
+ORDER BY branch, query_id, rnk""")
     return "".join(parts)
 
 
 @register("sim_ann_ivf", _ann_ivf_oracle(), tags=("similarity",),
-          doc="Approximate top-5 via IVF: md5-seeded deterministic spherical k-means lists, queries probe 4/16 nearest lists; oracle unrolls the k-means iterations as CTE stages and replays probes+rescore exactly; recall unit test vs brute force.")
+          doc="Two hash-checked ANN strategies in one slot: 'ivf' (md5-seeded deterministic spherical k-means lists, queries probe 4/16 nearest lists) and 'ivfpq' (per-subspace L2 k-means codebooks, s-ordered sequential ADC sums, k·oversample candidates, exact cosine re-rank — the PQ serving path); oracle unrolls BOTH trainers as CTE stages and replays probes/codes/LUT/rescore exactly.")
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ann_ivf_topk(emb, k=5).orderBy("query_id", "rnk")
+    from hadoop_2_10_0_src_mapreduce_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ivf = similarity.ann_ivf_topk(emb, k=5).select(
+        F.lit("ivf").alias("branch"), "query_id", "rnk", "neighbor_id", "sim"
+    )
+    # 'ivfpq': in-session PQ — train codebooks on the shared bounded
+    # sample, encode the corpus (never shuffles), ADC-score a bounded
+    # query batch, exact-rescore the candidates. Same geometry
+    # literals as the oracle's _PQ_* constants.
+    books = pq.train_pq_codebooks(
+        emb, n_subspaces=_PQ_M, n_codes=_PQ_CODES, n_iters=_PQ_ITERS
+    )
+    codes = pq.pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") < 20)
+    ivfpq = pq.pq_topk(
+        codes, queries, books, k=5, rescore=emb, oversample=_PQ_OVERSAMPLE
+    ).select(
+        F.lit("ivfpq").alias("branch"), "query_id", "rnk", "neighbor_id", "sim"
+    )
+    return ivf.unionByName(ivfpq).orderBy("branch", "query_id", "rnk")

@@ -1,7 +1,10 @@
 """Product quantization: determinism, nearest-code invariant,
 reconstruction dominance over int8, ADC recall pins, scale-shape
-audit. PQ ranks approximately by construction, so it is
-pytest-verified (like int8 quantization) rather than oracle-hashed."""
+audit. Since round 7 the family is ALSO oracle-hashed (the 'ivfpq'
+branch of the sim_ann_ivf driver gate replays trainer+encode+ADC+
+rescore in DuckDB); the non-vacuity test here guards against the one
+failure the replaying oracle can't see — a degenerate collapse that
+both engines would faithfully agree on."""
 
 from __future__ import annotations
 
@@ -563,3 +566,55 @@ def test_rebuild_heals_crash_inside_swap_window(spark, clustered, tmp_path):
     assert pq._ivfpq_conf(spark, path)["residual"] is True
     queries = clustered.where(F.col("vec_id") < 5)
     assert pq.query_ivfpq_index(queries, path, k=3, n_probe=5).count() > 0
+
+
+def test_ivfpq_gate_branch_nonvacuous(spark, emb):
+    """The 'ivfpq' driver-gate branch replays its oracle bit-for-bit,
+    so hash-green alone can't rule out a DEGENERATE agreement (e.g. a
+    collapsed codebook both engines faithfully reproduce). Assert the
+    distribution is real: every query returns full-k exact-cosine
+    rows with distinct non-self neighbors, sims vary, the returned
+    sims ARE true cosines, and the gate-geometry codebook spreads the
+    corpus over many codes per subspace."""
+    from hadoop_2_10_0_src_mapreduce_spark.plans.catalog.simops import (
+        _PQ_CODES,
+        _PQ_ITERS,
+        _PQ_M,
+        sim_ann_ivf,
+    )
+
+    rows = [
+        r
+        for r in sim_ann_ivf(spark, SF_SMALL).collect()
+        if r.branch == "ivfpq"
+    ]
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 20  # every vec_id < 20 query answered
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.where(F.col("vec_id") < 1000).collect()
+    }
+    for qid, qr in by_q.items():
+        assert len(qr) == 5 and [r.rnk for r in sorted(qr, key=lambda r: r.rnk)] == [1, 2, 3, 4, 5]
+        assert len({r.neighbor_id for r in qr}) == 5
+        assert qid not in {r.neighbor_id for r in qr}
+        sims = [r.sim for r in sorted(qr, key=lambda r: r.rnk)]
+        assert sims == sorted(sims, reverse=True)
+        # spot-verify the rescore really is the exact cosine
+        top = sorted(qr, key=lambda r: r.rnk)[0]
+        if top.neighbor_id in vecs:
+            q, n = vecs[qid], vecs[top.neighbor_id]
+            exact = float(q @ n / (np.linalg.norm(q) * np.linalg.norm(n)))
+            assert abs(top.sim - exact) < 1e-5
+    assert len({r.sim for r in rows}) > 10  # not a constant-sim collapse
+    # codebook usage at the gate geometry: no subspace collapsed
+    books = pq.train_pq_codebooks(
+        emb, n_subspaces=_PQ_M, n_codes=_PQ_CODES, n_iters=_PQ_ITERS
+    )
+    codes = np.stack([
+        np.asarray(r.pq_codes) for r in pq.pq_encode(emb, books).collect()
+    ])
+    for s in range(_PQ_M):
+        assert len(np.unique(codes[:, s])) >= 8, f"subspace {s} collapsed"
