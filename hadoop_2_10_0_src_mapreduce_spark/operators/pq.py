@@ -553,7 +553,7 @@ def save_ivfpq_index(
     max_train: int = 4096,
     train_df: DataFrame | None = None,
     residual: bool = False,
-    list_dirs: bool = True,
+    list_dirs: bool | str = "auto",
 ) -> None:
     """Build and persist an IVF-PQ index: train centroids + codebooks
     on the same bounded md5-stride sample (``train_df`` pins training
@@ -570,13 +570,15 @@ def save_ivfpq_index(
     and the query/append paths follow it; serving adds the
     query·centroid term back per probed list.
 
-    ``list_dirs=False`` stores the code lists FLAT (list_id-sorted
-    files, row-group skip instead of a directory per list) — the same
-    dial as ``save_ivf_index``; flip it past ~1k lists (measured 2.3×
-    serve at 200k vectors / 1516 auto lists). Maintenance detects the
-    layout from the directory shape."""
+    ``list_dirs`` is the same layout dial as ``save_ivf_index``:
+    directory-per-list (True) vs flat list_id-sorted files with
+    row-group skip (False — measured 2.3× serve at 200k vectors /
+    1516 auto lists). Default "auto" resolves from the list count at
+    save time (dirs below 256 lists, flat at or above); maintenance
+    follows the stored layout."""
     from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
         _resolve_centroids,
+        _resolve_list_dirs,
         ivf_assign,
         train_ivf_centroids,
     )
@@ -586,6 +588,7 @@ def save_ivfpq_index(
     # "auto" sizes to the FILED corpus (same rule as save_ivf_index),
     # capped at this build's trainer sample bound
     n_centroids = _resolve_centroids(vecs, n_centroids, cap=max_train)
+    list_dirs = _resolve_list_dirs(list_dirs, n_centroids)
     cents = train_ivf_centroids(
         train, id_col=id_col, vec_col=vec_col,
         n_centroids=n_centroids, max_train=max_train,
@@ -683,13 +686,17 @@ def query_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_probe: int = 4,
+    n_probe: int | str = "auto",
     round_digits: int = 6,
     rescore: DataFrame | None = None,
     oversample: int = 4,
     max_queries: int = 4096,
 ) -> DataFrame:
     """Serve a query batch from a ``save_ivfpq_index`` directory.
+    ``n_probe`` defaults to "auto" (``adaptive_probes`` over the
+    stored list count — ceil(lists/32), floor 4), so an index whose
+    adaptive geometry grew the list count serves at matching recall
+    instead of silently probing a vanishing fraction.
 
     Routing happens DRIVER-side on the kilobyte centroid table (the
     query batch is already bounded-collected for its ADC LUT), the
@@ -718,6 +725,11 @@ def query_ivfpq_index(
     cents = _load_ivf_centroids(spark, path)
     books = _load_pq_codebooks(spark, path)
     residual = _ivfpq_conf(spark, path)["residual"]
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+        _resolve_probes,
+    )
+
+    n_probe = _resolve_probes(len(cents), n_probe)
     qids, qmat = _collect_query_batch(
         queries, id_col, vec_col, max_queries, "query_ivfpq_index"
     )

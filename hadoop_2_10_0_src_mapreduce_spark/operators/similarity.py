@@ -161,6 +161,53 @@ def adaptive_planes_sql(
     return f"(SELECT CASE{whens} ELSE {max_planes} END FROM {corpus})"
 
 
+PROBE_FLOOR = 4
+PROBE_FRACTION = 32
+
+
+def adaptive_probes(
+    n_lists: int, *, fraction: int = PROBE_FRACTION, floor: int = PROBE_FLOOR
+) -> int:
+    """IVF probe-count rule for ``n_probe="auto"``: ceil(n_lists /
+    fraction), floored at the historical default (4) and capped at the
+    list count. The scale story: ``adaptive_centroids`` grows the list
+    count linearly with the corpus to keep occupancy bounded, but a
+    FIXED probe count then covers a vanishing fraction of lists —
+    measured at the 200k-vector/1516-list corpus, n_probe=4 probes
+    0.26% of lists and recall@10 collapses to 0.10 (SURVEY §8). With
+    this rule the probed-row volume stays ≈ corpus/fraction (a
+    constant ~3% scan at CELL_TARGET occupancy) — serve time stays
+    linear while recall stops degrading with growth. Integer
+    arithmetic with an exact SQL twin (``adaptive_probes_sql``), same
+    contract as the other adaptive rules; at the historical 16-list
+    geometry it resolves to exactly 4, so every pre-r7 result is
+    bit-identical. May exceed n_lists at tiny list counts (floor
+    wins); every probe path already clamps to the lists that exist —
+    the historical n_probe=4 default relied on the same clamp."""
+    return max(floor, (n_lists + fraction - 1) // fraction)
+
+
+def adaptive_probes_sql(
+    n_lists_sql: str,
+    *,
+    fraction: int = PROBE_FRACTION,
+    floor: int = PROBE_FLOOR,
+) -> str:
+    """Scalar twin of ``adaptive_probes`` over a list-count expression
+    (typically ``adaptive_centroids_sql(corpus)``), so an oracle can
+    derive the identical probe fan from its own corpus CTE."""
+    return (
+        f"GREATEST({floor}, "
+        f"(({n_lists_sql}) + {fraction - 1}) // {fraction})"
+    )
+
+
+def _resolve_probes(n_lists: int, n_probe) -> int:
+    if n_probe == "auto":
+        return adaptive_probes(n_lists)
+    return n_probe
+
+
 def _resolve_planes(emb: DataFrame, n_planes, **kw) -> int:
     if n_planes == "auto":
         return adaptive_planes(emb.count(), **kw)
@@ -994,16 +1041,19 @@ def ann_ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_centroids: int | str = 16,
-    n_probe: int = 4,
+    n_probe: int | str = "auto",
     block_size: int = 4096,
     round_digits: int = 6,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning: spherical
     k-means lists, queries probe their ``n_probe`` nearest lists and
     score only the vectors filed there — the complement of the LSH
-    variant (data-learned partitions vs oblivious hashes). Probing
-    4/16 lists scans ~1/4 of the corpus; recall is pinned against
-    brute force in tests.
+    variant (data-learned partitions vs oblivious hashes). The default
+    ``n_probe="auto"`` scales the probe fan with the list count
+    (``adaptive_probes``: ceil(lists/32), floor 4 — exactly 4 at the
+    historical 16-list geometry), so recall no longer collapses when
+    ``n_centroids="auto"`` grows the list count with the corpus;
+    recall is pinned against brute force in tests.
 
     One assignment pass serves both sides: probe_rank 0 rows are the
     corpus filing (a vector lives in exactly one home list) and ALL
@@ -1033,6 +1083,7 @@ def ann_ivf_topk(
     exactly like self-ANN). Everything else — sharding, bounded
     groups, per-block top-k, global re-rank — is identical."""
     n_centroids = _resolve_centroids(emb, n_centroids)
+    n_probe = _resolve_probes(n_centroids, n_probe)
     vecs = emb.select(id_col, vec_col)
     cents = train_ivf_centroids(
         vecs, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
@@ -1212,6 +1263,29 @@ def semantic_dedup(
     return duplicate_components(pairs)
 
 
+# layout crossover, measured (SURVEY §8): directory-per-list pruning
+# beats row-group skipping at small list counts, but past a few
+# hundred lists directory listing + per-dir file overhead dominate
+# serves (ann_bench at 1516 lists: flat = 2.3× serve, and the same
+# lesson at 16×1024 LSH buckets: 13×). 256 sits safely below where
+# the dir layout was measured losing and above every fixture geometry.
+FLAT_LISTS_THRESHOLD = 256
+
+
+def _resolve_list_dirs(list_dirs, n_lists: int) -> bool:
+    """Resolve the ``list_dirs`` dial: "auto" (the save-time default)
+    picks directory-per-list below ``FLAT_LISTS_THRESHOLD`` lists and
+    the flat list_id-sorted layout at or above it. Explicit True/False
+    always win — the override for individually-huge lists (dirs) or
+    benchmarking (flat). Rebuild/append/compact FOLLOW the stored
+    layout (``_ivf_list_dirs`` detection) rather than re-resolving, so
+    maintenance never silently rewrites a layout the operator chose;
+    re-save to change it."""
+    if list_dirs == "auto":
+        return n_lists < FLAT_LISTS_THRESHOLD
+    return list_dirs
+
+
 def _ivf_list_dirs(path: str) -> bool:
     """The stored lists layout: directory-per-list (original) vs flat
     (partitionless, list_id-sorted files — same trade as the LSH
@@ -1257,7 +1331,7 @@ def save_ivf_index(
     max_train: int = 4096,
     quantize: bool = False,
     train_df: DataFrame | None = None,
-    list_dirs: bool = True,
+    list_dirs: bool | str = "auto",
 ) -> None:
     """Build and PERSIST an IVF index — the offline half of the
     serving lifecycle (build once on the 100 TB corpus, answer query
@@ -1295,15 +1369,18 @@ def save_ivf_index(
     probed-scan fraction and any downstream within-list pair work —
     stays bounded as the corpus grows.
 
-    ``list_dirs=False`` stores the lists FLAT (no partition dirs, one
-    list_id-sorted file set): the probed-list IN filter then skips via
-    sorted parquet row-group stats instead of directories — the same
-    trade the LSH flat layout measured at 13× (SURVEY §8). The default
-    stays directory-per-list (the partition-pruning shape the plan
-    tests pin); flip it when the list count grows past ~1k and
-    directory listing starts to dominate serves. Maintenance ops
-    detect the layout from the directory shape."""
+    ``list_dirs`` picks the on-disk lists layout: directory-per-list
+    (True — the partition-pruning shape) vs FLAT (False — one
+    list_id-sorted file set where the probed-list IN filter skips via
+    sorted parquet row-group stats; the trade the LSH flat layout
+    measured at 13×, SURVEY §8). The default "auto" resolves from the
+    list count at save time (``_resolve_list_dirs``: dirs below
+    {FLAT_LISTS_THRESHOLD}=256 lists, flat at or above — the measured
+    crossover), so an adaptive-geometry build at scale gets the fast
+    layout WITHOUT the operator knowing the dial exists. Maintenance
+    ops follow the stored layout from the directory shape."""
     n_centroids = _resolve_centroids(emb, n_centroids, cap=max_train)
+    list_dirs = _resolve_list_dirs(list_dirs, n_centroids)
     vecs = emb.select(id_col, vec_col)
     cents = train_ivf_centroids(
         train_df.select(id_col, vec_col) if train_df is not None else vecs,
@@ -1341,13 +1418,15 @@ def query_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_probe: int = 4,
+    n_probe: int | str = "auto",
     block_size: int = 4096,
     round_digits: int = 6,
 ) -> DataFrame:
     """Serve a query batch from a ``save_ivf_index`` directory — the
     online half. Loads the kilobyte centroid table to the driver, fans
-    each query out to its ``n_probe`` nearest lists, and reads ONLY
+    each query out to its ``n_probe`` nearest lists (default "auto" =
+    ``adaptive_probes`` over the STORED list count, so an index built
+    with adaptive geometry serves at matching recall), and reads ONLY
     the probed list partitions: the probed list-id set (bounded by
     n_centroids — ints, never vectors) becomes a literal IN filter on
     the partition column, so the scan prunes unprobed directories
@@ -1367,6 +1446,7 @@ def query_ivf_index(
     cents = np.stack(
         [np.asarray(r.centroid, dtype=np.float64) for r in cent_rows]
     )
+    n_probe = _resolve_probes(len(cents), n_probe)
     fan = ivf_assign(
         queries.select(id_col, vec_col),
         cents,

@@ -65,6 +65,64 @@ def rolling_metrics(
     )
 
 
+def _funnel_any_chain(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    max_gap_minutes: int | None,
+) -> DataFrame:
+    """EXISTS-A-CHAIN reachability, one stage per round (see
+    ``funnel(anchor="any")``). Round k unions the reachable
+    stage-(k−1) events (marked) with the stage-k candidates and runs
+    ONE per-user window scan ordered by (ts, marker ASC): the running
+    max of marked timestamps among strictly-preceding rows is the
+    latest reachable predecessor — marker-ascending puts candidates
+    BEFORE equal-ts predecessors, enforcing the strict t' < t without
+    a range frame. A candidate is reachable iff that predecessor
+    exists and sits within the gap window. Returns the per-stage
+    earliest-reachable completion frame (_ts0.._tsK, left-joined on
+    the user key), the same shape the fixed-anchor loop builds."""
+    u, t = F.col(user_col), F.col(ts_col)
+    reach = events.where(F.col(type_col) == stages[0]).select(user_col, ts_col)
+    cur = reach.groupBy(user_col).agg(F.min(t).alias("_ts0"))
+    for k, st in enumerate(stages[1:], 1):
+        marked = reach.select(u, t, F.lit(1).alias("_is_prev"))
+        cands = (
+            events.where(F.col(type_col) == st)
+            .select(u, t, F.lit(0).alias("_is_prev"))
+        )
+        w = (
+            Window.partitionBy(user_col)
+            .orderBy(ts_col, "_is_prev")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        latest_prev = F.max(
+            F.when(F.col("_is_prev") == 1, t)
+        ).over(w)
+        scanned = marked.unionByName(cands).withColumn("_lp", latest_prev)
+        window_ok = (
+            t <= F.col("_lp") + F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+            if max_gap_minutes is not None
+            else F.lit(True)
+        )
+        reach = (
+            scanned.where(
+                (F.col("_is_prev") == 0)
+                & F.col("_lp").isNotNull()
+                & window_ok
+            )
+            .select(user_col, ts_col)
+        )
+        cur = cur.join(
+            reach.groupBy(user_col).agg(F.min(t).alias(f"_ts{k}")),
+            user_col,
+            "left",
+        )
+    return cur
+
+
 def funnel(
     events: DataFrame,
     stages: list[str],
@@ -73,6 +131,7 @@ def funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     max_gap_minutes: int | None = None,
+    anchor: str = "first",
 ) -> DataFrame:
     """Ordered FUNNEL analysis — how deep each user progresses through
     an event-type sequence (view → click → purchase), the conversion
@@ -102,11 +161,31 @@ def funnel(
     the earliest-after rule as a plain upper bound on the same min:
     whenever ANY qualifying in-window event exists, the earliest one
     is in-window too. Caveat: that guarantee is PER STEP given the
-    fixed anchor — the chain stays anchored at the user's EARLIEST
-    stage-1 event, so gap-constrained results can differ from
-    any-valid-chain funnel definitions (a@0, a@100, b@105 with
-    gap=30 counts depth 1 here: the a@100 anchor that would have
-    reached b is never considered)."""
+    fixed anchor — with ``anchor="first"`` (the default) the chain
+    stays anchored at the user's EARLIEST stage-1 event, so
+    gap-constrained results can differ from any-valid-chain funnel
+    definitions (a@0, a@100, b@105 with gap=30 counts depth 1 here:
+    the a@100 anchor that would have reached b is never considered).
+
+    ``anchor="any"`` closes that gap with EXISTS-A-CHAIN semantics
+    (the definition industry funnel tools use): a user reaches stage k
+    iff SOME strictly-increasing event chain e₁<…<e_k of the right
+    types exists with every step inside the gap window. Computed
+    stage-by-stage without enumerating chains: an event of stage k is
+    REACHABLE iff the LATEST reachable stage-(k−1) event strictly
+    before it is within the gap — one union + one per-user window scan
+    over only the two stages' events per round (the user's whole
+    two-type sequence lands in one window partition, the same
+    per-user-sequence shape as sessionization; no joins, no chain
+    blow-up). Equals ``anchor="first"`` exactly when
+    ``max_gap_minutes`` is None (no gap ⇒ after-the-earliest-chain is
+    the only constraint — property-tested), so "any" only ever widens
+    gap-constrained funnels. Reported ``stage_ts`` entries are the
+    EARLIEST reachable event per stage — each individually certified
+    by some valid chain, though the k timestamps need not form one
+    chain together (the a@0/a@100/b@105 example reports [0, 105])."""
+    if anchor not in ("first", "any"):
+        raise ValueError(f"anchor must be 'first' or 'any', got {anchor!r}")
     if len(stages) < 2:
         raise ValueError(f"funnel needs >= 2 stages, got {stages!r}")
     if max_gap_minutes is not None and (
@@ -128,27 +207,32 @@ def funnel(
     # NULL timestamps can never order against anything — drop them up
     # front so no user surfaces as an impossible depth-0 row
     events = events.where(t.isNotNull())
-    cur = (
-        events.where(F.col(type_col) == stages[0])
-        .groupBy(user_col)
-        .agg(F.min(t).alias("_ts0"))
-    )
-    for k, st in enumerate(stages[1:], 1):
-        prev = F.col(f"_ts{k-1}")
-        window_ok = (
-            t <= prev + F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
-            if max_gap_minutes is not None
-            else F.lit(True)
+    if anchor == "any":
+        cur = _funnel_any_chain(
+            events, stages, user_col, ts_col, type_col, max_gap_minutes
         )
-        nxt = (
-            events.where(F.col(type_col) == st)
-            .select(user_col, ts_col)
-            .join(cur.select(user_col, f"_ts{k-1}"), user_col)
-            .where((t > prev) & window_ok)
+    else:
+        cur = (
+            events.where(F.col(type_col) == stages[0])
             .groupBy(user_col)
-            .agg(F.min(t).alias(f"_ts{k}"))
+            .agg(F.min(t).alias("_ts0"))
         )
-        cur = cur.join(nxt, user_col, "left")
+        for k, st in enumerate(stages[1:], 1):
+            prev = F.col(f"_ts{k-1}")
+            window_ok = (
+                t <= prev + F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+                if max_gap_minutes is not None
+                else F.lit(True)
+            )
+            nxt = (
+                events.where(F.col(type_col) == st)
+                .select(user_col, ts_col)
+                .join(cur.select(user_col, f"_ts{k-1}"), user_col)
+                .where((t > prev) & window_ok)
+                .groupBy(user_col)
+                .agg(F.min(t).alias(f"_ts{k}"))
+            )
+            cur = cur.join(nxt, user_col, "left")
     ts_cols = [F.col(f"_ts{k}") for k in range(len(stages))]
     completed = sum(
         (F.when(c.isNotNull(), 1).otherwise(0) for c in ts_cols), F.lit(0)

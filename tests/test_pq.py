@@ -618,3 +618,81 @@ def test_ivfpq_gate_branch_nonvacuous(spark, emb):
     ])
     for s in range(_PQ_M):
         assert len(np.unique(codes[:, s])) >= 8, f"subspace {s} collapsed"
+
+
+def test_adaptive_probes_rule_and_twin(spark):
+    """n_probe="auto" closes the last fixed-knob scale defect: probes
+    scale with the list count (ceil(lists/32), floor 4). At the
+    historical 16-list geometry it resolves to EXACTLY the old default
+    (so every pre-r7 gate hash is untouched); at the measured
+    200k-vector/1516-list corpus it probes 48 lists instead of 4 (the
+    0.10-recall collapse). The SQL twin agrees at every size."""
+    import duckdb
+
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+        adaptive_centroids_sql,
+        adaptive_probes,
+        adaptive_probes_sql,
+    )
+
+    assert adaptive_probes(16) == 4      # historical default preserved
+    assert adaptive_probes(1) == 4       # floor wins below it (clamped downstream)
+    assert adaptive_probes(152) == 5     # sf1 fixture geometry
+    assert adaptive_probes(1516) == 48   # the 200k-corpus fix
+    con = duckdb.connect()
+    for n in (100, 2_000, 20_000, 200_000, 3_000_000):
+        con.execute("CREATE OR REPLACE TABLE e AS SELECT * FROM range(?)", [n])
+        lists_sql = adaptive_centroids_sql("e", cap=32768)
+        got = con.execute(
+            "SELECT " + adaptive_probes_sql(lists_sql)
+        ).fetchone()[0]
+        from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+            adaptive_centroids,
+        )
+
+        assert got == adaptive_probes(adaptive_centroids(n, cap=32768)), n
+
+
+def test_auto_layout_resolves_from_list_count(spark, emb, tmp_path):
+    """list_dirs="auto" (the save-time default since r7) picks the
+    layout from the resolved list count — dirs below 256, flat at or
+    above (the measured crossover) — and the served rows are
+    bit-identical across layouts at both geometries, so auto can never
+    change results, only the skip mechanism."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+        FLAT_LISTS_THRESHOLD,
+        _resolve_list_dirs,
+    )
+
+    assert _resolve_list_dirs("auto", 16) is True
+    assert _resolve_list_dirs("auto", FLAT_LISTS_THRESHOLD) is False
+    assert _resolve_list_dirs(True, 100_000) is True   # explicit wins
+    assert _resolve_list_dirs(False, 8) is False
+
+    queries = emb.where(F.col("vec_id") < 10)
+    as_rows = lambda df: sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.sim) for r in df.collect()
+    )
+
+    # small geometry: auto == explicit dirs (IVF)
+    small_auto, small_dirs = str(tmp_path / "sa"), str(tmp_path / "sd")
+    similarity.save_ivf_index(emb, small_auto, n_centroids=8)
+    similarity.save_ivf_index(emb, small_dirs, n_centroids=8,
+                              list_dirs=True)
+    assert similarity._ivf_list_dirs(small_auto)
+    got = as_rows(similarity.query_ivf_index(queries, small_auto, k=5))
+    assert got == as_rows(
+        similarity.query_ivf_index(queries, small_dirs, k=5)
+    ) and got
+
+    # large geometry (300 lists ≥ threshold): auto == explicit flat
+    # (IVF-PQ — exercises the pq save path's resolution too)
+    big_auto, big_flat = str(tmp_path / "ba"), str(tmp_path / "bf")
+    pq.save_ivfpq_index(emb, big_auto, n_centroids=300, n_codes=16)
+    pq.save_ivfpq_index(emb, big_flat, n_centroids=300, n_codes=16,
+                        list_dirs=False)
+    assert not similarity._ivf_list_dirs(big_auto)
+    got = as_rows(pq.query_ivfpq_index(queries, big_auto, k=5))
+    assert got == as_rows(
+        pq.query_ivfpq_index(queries, big_flat, k=5)
+    ) and got

@@ -8,6 +8,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pandas as pd
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -739,3 +740,97 @@ def test_funnel_matches_naive_reference(spark, rows, max_gap):
         for u, (d, s, e) in _naive_funnel(rows, ["a", "b", "c"], max_gap).items()
     }
     assert got == want
+
+
+def _naive_funnel_any(rows, stages, max_gap=None):
+    """Reference EXISTS-A-CHAIN funnel: per-user reachability DP —
+    stage-k events reachable from any reachable stage-(k−1) event
+    strictly before them and within the gap."""
+    out = {}
+    by_user: dict[int, list[tuple[int, str]]] = {}
+    for u, m, et in rows:
+        by_user.setdefault(u, []).append((m, et))
+    for u, evs in by_user.items():
+        reach = [m for m, et in evs if et == stages[0]]
+        if not reach:
+            continue
+        mins = [min(reach)]
+        for st in stages[1:]:
+            nxt = [
+                m for m, et in evs
+                if et == st and any(
+                    p < m and (max_gap is None or m <= p + max_gap)
+                    for p in reach
+                )
+            ]
+            if not nxt:
+                break
+            mins.append(min(nxt))
+            reach = nxt
+        out[u] = (len(mins), mins[0], mins[-1])
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 300),
+                  st.sampled_from(["a", "b", "c", "x"])),
+        min_size=1, max_size=50,
+    ),
+    st.sampled_from([None, 30, 120]),
+)
+def test_funnel_any_anchor_matches_naive_dp(spark, rows, max_gap):
+    """funnel(anchor="any") == a per-user reachability DP for
+    arbitrary streams; and with NO gap it equals anchor="first"
+    exactly (no gap ⇒ the earliest chain dominates every chain)."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.timeseries import funnel
+
+    ev = spark.createDataFrame(
+        [(u, _BASE + dt.timedelta(minutes=m), et) for u, m, et in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r.user_id: (r.stages_completed, r.start_ts, r.end_ts)
+        for r in funnel(
+            ev, ["a", "b", "c"], max_gap_minutes=max_gap, anchor="any"
+        ).collect()
+    }
+    want = {
+        u: (d, _BASE + dt.timedelta(minutes=s), _BASE + dt.timedelta(minutes=e))
+        for u, (d, s, e) in _naive_funnel_any(
+            rows, ["a", "b", "c"], max_gap
+        ).items()
+    }
+    assert got == want
+    if max_gap is None:
+        first = {
+            r.user_id: (r.stages_completed, r.start_ts, r.end_ts)
+            for r in funnel(ev, ["a", "b", "c"], anchor="first").collect()
+        }
+        assert got == first
+
+
+def test_funnel_any_anchor_flips_planted_counterexample(spark):
+    """The documented fixed-anchor counterexample (a@0, a@100, b@105,
+    gap=30): anchor="first" stays depth 1 (the a@0 anchor never
+    reaches b), anchor="any" finds the a@100→b@105 chain — depth 2,
+    stage_ts reporting earliest-reachable per stage [0, 105]."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.timeseries import funnel
+
+    ev = spark.createDataFrame(
+        [
+            (1, _BASE + dt.timedelta(minutes=0), "a"),
+            (1, _BASE + dt.timedelta(minutes=100), "a"),
+            (1, _BASE + dt.timedelta(minutes=105), "b"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    first = funnel(ev, ["a", "b"], max_gap_minutes=30).first()
+    assert first.stages_completed == 1
+    anyr = funnel(ev, ["a", "b"], max_gap_minutes=30, anchor="any").first()
+    assert anyr.stages_completed == 2
+    assert anyr.stage_ts[0] == _BASE
+    assert anyr.stage_ts[1] == _BASE + dt.timedelta(minutes=105)
+    with pytest.raises(ValueError, match="anchor"):
+        funnel(ev, ["a", "b"], anchor="weird")

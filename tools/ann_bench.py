@@ -73,8 +73,14 @@ def main() -> int:
 
     n_queries = opt("queries", 100)
     k = opt("k", 10)
-    n_probe = opt("n-probe", 4)
     reps = opt("reps", 3)
+    # "auto" (the library default since r7) = adaptive_probes over the
+    # stored list count; pass --n-probe=N to pin a fixed fan
+    n_probe: int | str = "auto"
+    for a in sys.argv[1:]:
+        if a.startswith("--n-probe="):
+            v = a.split("=", 1)[1]
+            n_probe = v if v == "auto" else int(v)
     KNOWN = {"brute", "ivf", "ivf_flat", "ivf_int8", "lsh", "ivfpq",
              "ivfpq_res"}
     fam_filter = None

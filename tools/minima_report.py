@@ -1,0 +1,214 @@
+"""Cross-round per-query minima — the mechanized regression rule.
+
+The standing bench-weather lesson (SURVEY §8, rounds 4–6): this host
+swings ±20–50% between measurement windows for IDENTICAL code, so the
+only honest cross-round comparator is each query's MINIMUM across all
+recorded rounds. Rounds 4–6 adjudicated that by hand (worktree
+experiments, prose); this tool mechanizes it: read every BENCH_r*.json
+(plus, optionally, a fresh local bench JSON for the round in
+progress), compute per-query historical minima, and flag only the
+queries whose CURRENT round's time exceeds the historical minimum by
+more than the threshold (default 1.25x) — a spread the weather alone
+has not produced for a steady query.
+
+Usage:
+    python tools/minima_report.py [current_bench.json] [--threshold=1.25]
+                                  [--md=MINIMA.md]
+
+- With no argument, the latest BENCH_r*.json is treated as current.
+- Only files whose "sf" matches the current run's are compared.
+- Prints ONE JSON line {flagged, n_queries, threshold, ...} and writes
+  the markdown table (default MINIMA.md) the next judge can read
+  without a worktree experiment.
+
+Reading a flag honestly: a flagged query is WORTH INVESTIGATING, not
+proof of regression — a branch added this round raises its slot's
+whole-query time legitimately (check the per-branch timings in the
+BENCH JSON before concluding), and a query can simply never have hit a
+quiet window yet this round. An empty flag list IS meaningful: no
+query's best-observed time degraded past the threshold.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+
+_NOT_QUERIES = {"value", "sf", "n_queries", "r3_equivalent_total",
+                "sf1_equivalent_total", "sf1_frozen_bar"}
+
+
+def _extract(d: dict) -> tuple[dict | None, float | None]:
+    """Pull (queries, sf) out of any of the three shapes a BENCH file
+    takes: bench.py's own JSON line, the driver wrapper with a
+    ``parsed`` copy, or the driver wrapper where only a 2000-char
+    ``tail`` fragment of the (now longer-than-2000-char) line survived
+    — there, recover every complete ``"query": seconds`` pair before
+    the ``"branches"`` key (partial history beats none; queries cut
+    off the fragment's head simply don't contribute minima)."""
+    if isinstance(d.get("queries"), dict):
+        return d["queries"], d.get("sf")
+    p = d.get("parsed")
+    if isinstance(p, dict) and isinstance(p.get("queries"), dict):
+        return p["queries"], p.get("sf", d.get("sf"))
+    tail = d.get("tail")
+    if isinstance(tail, str):
+        frag = tail.split('"branches"')[0]
+        pairs = re.findall(
+            r'"([A-Za-z0-9_]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)', frag
+        )
+        qs = {k: float(v) for k, v in pairs if k not in _NOT_QUERIES}
+        if qs:
+            return qs, d.get("sf")
+    return None, None
+
+
+def load_rounds(repo: str) -> list[tuple[str, dict, float | None]]:
+    out = []
+    for p in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json"))):
+        try:
+            d = json.load(open(p))
+        except (json.JSONDecodeError, OSError):
+            continue
+        if not isinstance(d, dict):
+            continue
+        qs, sf = _extract(d)
+        if qs:
+            out.append((os.path.basename(p), qs, sf))
+    return out
+
+
+def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    threshold = 1.25
+    md_path = os.path.join(repo, "MINIMA.md")
+    current_path = None
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold="):
+            threshold = float(a.split("=", 1)[1])
+        elif a.startswith("--md="):
+            md_path = a.split("=", 1)[1]
+        elif not a.startswith("--"):
+            current_path = a
+
+    rounds = load_rounds(repo)
+    if current_path is not None:
+        cur_name = os.path.basename(current_path)
+        cur_qs, sf = _extract(json.load(open(current_path)))
+        if cur_qs is None:
+            print(json.dumps({"error": f"no queries in {current_path}"}))
+            return 1
+    elif rounds:
+        cur_name, cur_qs, sf = rounds[-1]
+        rounds = rounds[:-1]
+    else:
+        print(json.dumps({"error": "no BENCH_r*.json found"}))
+        return 1
+
+    hist = [(n, q) for n, q, s in rounds if s == sf and n != cur_name]
+    minima: dict[str, tuple[float, str]] = {}
+    for name, qdict in hist:
+        for q, t in qdict.items():
+            if q not in minima or t < minima[q][0]:
+                minima[q] = (t, name)
+
+    # branched slots legitimately grow whole-slot time as strategies
+    # are added; their flags point at the per-branch timings, not the
+    # whole-slot ratio
+    try:
+        sys.path.insert(0, repo)
+        from bench import BRANCHED  # noqa: E402
+
+        branched_slots = set(BRANCHED)
+    except ImportError:
+        branched_slots = set()
+
+    ratios = {}
+    prelim = []
+    for q, t in sorted(cur_qs.items()):
+        if q in minima:
+            mn, src = minima[q]
+            ratio = round(t / mn, 3) if mn > 0 else None
+            if ratio is not None:
+                ratios[q] = ratio
+        else:
+            mn, src, ratio = None, "(new this round)", None
+        prelim.append((q, t, mn, src, ratio))
+
+    # Weather normalization — the mechanized form of the r6 judge's
+    # adjudication: host slowdown inflates EVERY query's ratio
+    # uniformly (verified by the r5-code worktree experiment), while a
+    # real regression is query-specific. The median ratio estimates
+    # the day's weather factor; a query flags when it exceeds the
+    # threshold on TOP of that. Raw flags are reported alongside so a
+    # uniformly-slow round is still visible as such.
+    srt = sorted(ratios.values())
+    median_ratio = srt[len(srt) // 2] if srt else 1.0
+    weather = max(1.0, median_ratio)
+
+    rows = []
+    flagged, flagged_raw = [], []
+    for q, t, mn, src, ratio in prelim:
+        raw_flag = ratio is not None and ratio > threshold
+        flag = ratio is not None and ratio > threshold * weather
+        if raw_flag:
+            flagged_raw.append(q)
+        if flag:
+            flagged.append(q)
+        rows.append((q, t, mn, src, ratio, flag, q in branched_slots))
+
+    lines = [
+        "# MINIMA — cross-round per-query bench minima",
+        "",
+        f"Current: `{cur_name}` (sf={sf}); history: "
+        f"{len(hist)} comparable rounds; flag rule: ratio > "
+        f"{threshold} x median ratio ({median_ratio} — the day's "
+        "weather factor: host slowdown is uniform across untouched "
+        "queries, per the r6 worktree experiment, so only "
+        "query-SPECIFIC excess flags). Generated by "
+        "`tools/minima_report.py` — the mechanized per-query-minima "
+        "rule (SURVEY §8 bench-weather notes). A flag means "
+        "INVESTIGATE, not proven regression; 'branched' slots grew "
+        "hash-checked strategies after their minima — read the "
+        "per-branch timings in the BENCH JSON before concluding.",
+        "",
+        "| query | current s | hist. min s | min round | ratio | flag |",
+        "|---|---|---|---|---|---|",
+    ]
+    for q, t, mn, src, ratio, flag, is_branched in rows:
+        note = "**FLAG**" if flag else ""
+        if flag and is_branched:
+            note += " (branched)"
+        lines.append(
+            f"| {q} | {t} | {mn if mn is not None else '—'} | {src} | "
+            f"{ratio if ratio is not None else '—'} | {note} |"
+        )
+    lines.append("")
+    with open(md_path, "w") as f:
+        f.write("\n".join(lines))
+
+    print(
+        json.dumps(
+            {
+                "metric": "cross_round_minima",
+                "current": cur_name,
+                "sf": sf,
+                "threshold": threshold,
+                "median_ratio": median_ratio,
+                "n_queries": len(rows),
+                "n_history_rounds": len(hist),
+                "flagged": flagged,
+                "flagged_raw_over_threshold": flagged_raw,
+                "md": md_path,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
