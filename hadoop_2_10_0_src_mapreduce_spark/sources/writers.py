@@ -366,10 +366,23 @@ def atomic_swap_write(
     renames there is a window where `path` does not exist, so a
     CONCURRENT reader opening the directory in that instant gets
     ENOENT — old-or-new is guaranteed, old-or-new-or-briefly-absent
-    is the precise contract. Serving stacks that cannot tolerate the
-    blink should resolve through their own indirection (symlink /
-    catalog pointer) or retry-once on ENOENT; queries already planned
-    from the previous file listing are unaffected.
+    is the precise contract. Queries already planned from the
+    previous file listing are unaffected.
+
+    SERVING MODE — ``enable_pointer_swaps(path)`` closes the blink:
+    it converts `path` into a relative SYMLINK to a sibling
+    generation directory (one final blink during the conversion
+    itself). Every later ``atomic_swap_write`` detects the link and
+    swaps by writing a fresh generation dir and atomically renaming a
+    new symlink over the old one (``os.replace`` of a link over a
+    link) — a concurrent reader resolving `path` always reaches a
+    complete generation, never ENOENT. The REPLACED generation is
+    kept on disk until the NEXT swap (deferred deletion), so readers
+    that planned a scan against the old file listing finish against
+    files that still exist; steady-state cost is one extra generation
+    of disk. This is the local-filesystem twin of the
+    catalog-pointer flip a cluster serving stack would use; on
+    object stores (no symlinks) resolve through a real catalog.
 
     Crash recovery distinguishes the rename window instead of
     assuming leftovers are garbage: if the live `path` exists, any
@@ -385,8 +398,13 @@ def atomic_swap_write(
     the swapped-in directory would be unreadable (no schema) and the
     table bricked — an empty rewrite means the caller is deleting the
     table, which deserves an explicit rm, not a compaction."""
+    import os
     import pathlib
     import shutil
+
+    if os.path.islink(path):
+        _pointer_swap_write(df, path, partition_cols)
+        return
 
     tmp, old = f"{path}.__compact__", f"{path}.__old__"
     if pathlib.Path(path).exists():
@@ -414,6 +432,93 @@ def atomic_swap_write(
     shutil.move(path, old)
     shutil.move(tmp, path)
     shutil.rmtree(old)
+
+
+def _gen_paths(path: str) -> list[str]:
+    import glob as _glob
+
+    return sorted(
+        _glob.glob(f"{path}.__gen_*__"),
+        key=lambda p: int(p.rsplit(".__gen_", 1)[1].rstrip("_")),
+    )
+
+
+def enable_pointer_swaps(path: str) -> None:
+    """One-time conversion of a live parquet directory to POINTER
+    (symlink-generation) layout, after which every
+    ``atomic_swap_write`` on it is blink-free (see its docstring).
+    The conversion itself has the one final ENOENT window (a real
+    directory cannot be atomically replaced by a symlink on posix);
+    run it before serving starts. The symlink target is RELATIVE (a
+    sibling basename), so moving/renaming the parent — e.g.
+    ``rebuild_ivfpq_index``'s whole-root swap — keeps it valid.
+    Idempotent on an already-converted path; a crash between its move
+    and link steps heals on re-run (the newest generation is the moved
+    directory, complete by rename atomicity — re-running just links
+    it)."""
+    import os
+    import shutil
+
+    if os.path.islink(path):
+        return
+    gens = _gen_paths(path)
+    if os.path.isdir(path):
+        nxt = (
+            int(gens[-1].rsplit(".__gen_", 1)[1].rstrip("_")) + 1
+            if gens
+            else 0
+        )
+        gen = f"{path}.__gen_{nxt}__"
+        shutil.move(path, gen)  # the single conversion blink
+    elif gens:
+        gen = gens[-1]  # crashed mid-conversion: finish the link
+    else:
+        raise FileNotFoundError(f"enable_pointer_swaps: no directory {path}")
+    tmp_link = f"{path}.__ptr_tmp__"
+    if os.path.lexists(tmp_link):
+        os.unlink(tmp_link)
+    os.symlink(os.path.basename(gen), tmp_link)
+    os.replace(tmp_link, path)
+
+
+def _pointer_swap_write(
+    df: "DataFrame", path: str, partition_cols: tuple[str, ...] | list[str]
+) -> None:
+    """The blink-free swap for pointer-mode directories: write the new
+    generation beside the current one, atomically rename a fresh
+    symlink over `path`, then delete every generation EXCEPT the one
+    just replaced (deferred one-generation grace — in-flight scans
+    planned against the old listing keep their files; the generation
+    before THAT is gone, so steady state holds two). Crash anywhere
+    leaves `path` resolving to a complete generation; stray unlinked
+    generations are debris the next swap removes."""
+    import os
+    import shutil
+
+    cur_target = os.path.join(
+        os.path.dirname(path) or ".", os.readlink(path)
+    )
+    gens = _gen_paths(path)
+    nxt = int(gens[-1].rsplit(".__gen_", 1)[1].rstrip("_")) + 1
+    gen = f"{path}.__gen_{nxt}__"
+    if not df.take(1):
+        raise ValueError(
+            f"atomic_swap_write: rewrite of {path} would be EMPTY "
+            "(everything deleted/tombstoned); remove the directory "
+            "explicitly instead of compacting it away"
+        )
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(gen)
+    tmp_link = f"{path}.__ptr_tmp__"
+    if os.path.lexists(tmp_link):
+        os.unlink(tmp_link)
+    os.symlink(os.path.basename(gen), tmp_link)
+    os.replace(tmp_link, path)  # atomic: link over link, never ENOENT
+    for g in _gen_paths(path):
+        if g not in (gen, os.path.normpath(cur_target)):
+            shutil.rmtree(g, ignore_errors=True)
 
 
 def morton_code(cols, ranges, *, bits: int = 16) -> "Column":

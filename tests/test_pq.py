@@ -696,3 +696,86 @@ def test_auto_layout_resolves_from_list_count(spark, emb, tmp_path):
     assert got == as_rows(
         pq.query_ivfpq_index(queries, big_flat, k=5)
     ) and got
+
+
+def test_pointer_swaps_blink_free_and_deferred_deletion(spark, tmp_path):
+    """enable_pointer_swaps converts a live dir to symlink-generation
+    layout; every later atomic_swap_write keeps `path` resolvable at
+    all times, preserves content, and defers deleting the replaced
+    generation until the NEXT swap (one-generation grace for
+    in-flight scans)."""
+    import os
+    import pathlib
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        atomic_swap_write,
+        enable_pointer_swaps,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(10).write.parquet(path)
+    enable_pointer_swaps(path)
+    enable_pointer_swaps(path)  # idempotent
+    assert os.path.islink(path)
+    assert spark.read.parquet(path).count() == 10
+
+    atomic_swap_write(spark.range(20), path, [])
+    assert os.path.islink(path)
+    assert spark.read.parquet(path).count() == 20
+    gens = sorted(pathlib.Path(str(tmp_path)).glob("tbl.__gen_*__"))
+    assert len(gens) == 2  # replaced generation kept one swap
+
+    atomic_swap_write(spark.range(30), path, [])
+    assert spark.read.parquet(path).count() == 30
+    gens = sorted(pathlib.Path(str(tmp_path)).glob("tbl.__gen_*__"))
+    assert len(gens) == 2  # gen_0 reaped at the second swap
+    with pytest.raises(ValueError, match="EMPTY"):
+        atomic_swap_write(spark.range(0), path, [])
+
+
+def test_concurrent_serving_during_compaction_no_enoent(spark, emb, tmp_path):
+    """The maintain-while-serving composition the CLI encourages:
+    with pointer swaps enabled on the lists dir, a reader looping
+    query_ivf_index during compact_ivf_index never sees ENOENT or an
+    empty result — the r6-documented blink is closed."""
+    import threading
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        enable_pointer_swaps,
+    )
+
+    path = str(tmp_path / "serve")
+    base = emb.where(F.col("vec_id") < 400)
+    similarity.save_ivf_index(base, path, n_centroids=8)
+    enable_pointer_swaps(f"{path}/lists")
+    queries = emb.where(F.col("vec_id") < 5)
+
+    errors: list[BaseException] = []
+    done = threading.Event()
+
+    def compact_loop():
+        try:
+            similarity.compact_ivf_index(spark, path)
+        except BaseException as e:  # surfaced to the main thread
+            errors.append(e)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=compact_loop)
+    t.start()
+    serves = 0
+    try:
+        while not done.is_set() or serves == 0:
+            rows = similarity.query_ivf_index(
+                queries, path, k=3, n_probe=8
+            ).collect()
+            assert rows, "serving returned no rows mid-compaction"
+            serves += 1
+            if serves > 200:
+                break
+    finally:
+        t.join()
+    assert not errors, errors
+    assert serves >= 1
+    # and the index still serves identically after the dust settles
+    assert similarity.query_ivf_index(queries, path, k=3, n_probe=8).count() > 0
