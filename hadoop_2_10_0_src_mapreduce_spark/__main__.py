@@ -103,6 +103,10 @@ def main(argv: list[str] | None = None) -> int:
                     "home centroid (classic IVF-PQ; tighter codes on "
                     "clustered corpora)")
     ix.add_argument("--k", type=int, default=5)
+    ix.add_argument("--n-probe", type=_int_or_auto, default="auto",
+                    help="query --family ivf/ivfpq: lists to probe; "
+                    "'auto' (default) scales with the stored list count "
+                    "(ceil(lists/32), floor 4)")
     ix.add_argument("--n-queries", type=int, default=10,
                     help="query: serve the first N embedding rows")
     ix.add_argument("--where", help="append: SQL predicate selecting the "
@@ -361,10 +365,12 @@ def main(argv: list[str] | None = None) -> int:
             queries = emb.where(F.col("vec_id") < args.n_queries)
             if args.family == "ivfpq":
                 serve = lambda q, p, k: pqmod.query_ivfpq_index(
-                    q, p, k=k, rescore=emb
+                    q, p, k=k, n_probe=args.n_probe, rescore=emb
                 )
             elif args.family == "ivf":
-                serve = similarity.query_ivf_index
+                serve = lambda q, p, k: similarity.query_ivf_index(
+                    q, p, k=k, n_probe=args.n_probe
+                )
             else:
                 serve = similarity.query_lsh_index
             serve(queries, args.path, k=args.k).orderBy(
