@@ -637,8 +637,9 @@ def test_adaptive_probes_rule_and_twin(spark):
 
     assert adaptive_probes(16) == 4      # historical default preserved
     assert adaptive_probes(1) == 4       # floor wins below it (clamped downstream)
-    assert adaptive_probes(152) == 5     # sf1 fixture geometry
-    assert adaptive_probes(1516) == 48   # the 200k-corpus fix
+    assert adaptive_probes(152) == 10    # sf1 fixture geometry
+    assert adaptive_probes(1516) == 95   # the 200k-corpus fix: recall@10
+    # 0.102 at the old fixed 4 -> 0.557 measured at 95 (probe sweep, r7)
     con = duckdb.connect()
     for n in (100, 2_000, 20_000, 200_000, 3_000_000):
         con.execute("CREATE OR REPLACE TABLE e AS SELECT * FROM range(?)", [n])
