@@ -45,9 +45,12 @@ def _ivf_cte_chain(
     count can scale with the corpus exactly as the engine's does."""
     u32 = md5_u32_sql("CAST(vec_id AS VARCHAR)")
     parts = [f"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM ({corpus_sql})),
+nrm AS MATERIALIZED (
+    SELECT vec_id, sqrt(list_inner_product(v, v)) AS nm FROM e
+),
 vn AS MATERIALIZED (
-    SELECT vec_id, list_transform(v, x -> x / nrm) AS nv
-    FROM (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
+    SELECT e.vec_id, list_transform(e.v, x -> x / nrm.nm) AS nv
+    FROM e JOIN nrm ON nrm.vec_id = e.vec_id
 ),
 samp AS MATERIALIZED (
     SELECT vec_id, nv FROM vn
@@ -162,9 +165,16 @@ def _neardup_oracle() -> str:
     return f"""
 WITH RECURSIVE {chain},
 brute AS (
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 6) AS sim
-    FROM e a, e b
-    WHERE a.vec_id < b.vec_id AND round({_COS}, 6) >= 0.99
+    -- sim computed ONCE per pair from shared per-vector norms (the
+    -- old form evaluated the full cosine twice: WHERE + SELECT), on
+    -- the one O(n^2) join this oracle keeps - bit-identical values
+    SELECT id_a, id_b, sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_inner_product(a.v, b.v) / (na.nm * nb.nm), 6) AS sim
+        FROM e a JOIN nrm na ON na.vec_id = a.vec_id,
+             e b JOIN nrm nb ON nb.vec_id = b.vec_id
+        WHERE a.vec_id < b.vec_id)
+    WHERE sim >= 0.99
 ),
 sem_pairs AS MATERIALIZED (
     SELECT ha.vec_id AS id_a, hb.vec_id AS id_b
@@ -172,9 +182,10 @@ sem_pairs AS MATERIALIZED (
          ON ha.list_id = hb.list_id AND ha.vec_id < hb.vec_id
     JOIN e qa ON qa.vec_id = ha.vec_id
     JOIN e qb ON qb.vec_id = hb.vec_id
-    WHERE round(list_inner_product(qa.v, qb.v) /
-                (sqrt(list_inner_product(qa.v, qa.v)) *
-                 sqrt(list_inner_product(qb.v, qb.v))), 6) >= 0.95
+    JOIN nrm qan ON qan.vec_id = ha.vec_id
+    JOIN nrm qbn ON qbn.vec_id = hb.vec_id
+    WHERE round(list_inner_product(qa.v, qb.v) / (qan.nm * qbn.nm), 6)
+          >= 0.95
 ),
 sem_adj AS (
     SELECT id_a AS src, id_b AS dst FROM sem_pairs
@@ -267,6 +278,9 @@ comp AS (
 ),
 planes AS (SELECT ti, pi, list(c ORDER BY di) AS plane FROM comp GROUP BY ti, pi),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+lnrm AS MATERIALIZED (
+    SELECT vec_id, sqrt(list_inner_product(v, v)) AS nm FROM e
+),
 sigs AS (
     SELECT e.vec_id, pl.ti,
            SUM(CASE WHEN list_inner_product(e.v, pl.plane) > 0
@@ -288,12 +302,12 @@ cands AS (
 ),
 scored AS (
     SELECT c.qid, c.nid,
-           round(list_inner_product(q.v, n.v) /
-                 (sqrt(list_inner_product(q.v, q.v)) *
-                  sqrt(list_inner_product(n.v, n.v))), 6) AS sim
+           round(list_inner_product(q.v, n.v) / (qn.nm * nn.nm), 6) AS sim
     FROM cands c
     JOIN e q ON q.vec_id = c.qid
     JOIN e n ON n.vec_id = c.nid
+    JOIN lnrm qn ON qn.vec_id = c.qid
+    JOIN lnrm nn ON nn.vec_id = c.nid
 ),
 sym AS (
     SELECT qid AS query_id, nid AS neighbor_id, sim FROM scored
@@ -495,13 +509,16 @@ def _ann_ivf_oracle(
 WITH {chain}"""]
     parts.append(f""",
 scored AS (
+    -- norms from the shared nrm CTE: one sqrt(lip) per VECTOR instead
+    -- of two per PAIR (bit-identical values, ~3x less lip work on the
+    -- probes x home join - the sf1 oracle wall)
     SELECT p.vec_id AS query_id, h.vec_id AS neighbor_id,
-           round(list_inner_product(q.v, nb.v) /
-                 (sqrt(list_inner_product(q.v, q.v)) *
-                  sqrt(list_inner_product(nb.v, nb.v))), 6) AS sim
+           round(list_inner_product(q.v, nb.v) / (qn.nm * bn.nm), 6) AS sim
     FROM probes p JOIN home h ON p.list_id = h.list_id AND p.vec_id <> h.vec_id
     JOIN e q ON q.vec_id = p.vec_id
     JOIN e nb ON nb.vec_id = h.vec_id
+    JOIN nrm qn ON qn.vec_id = p.vec_id
+    JOIN nrm bn ON bn.vec_id = h.vec_id
 ),
 ranked AS (
     SELECT query_id, neighbor_id, sim,

@@ -14,15 +14,17 @@ Families:
              the dial for list counts past ~1k)
   ivf_int8   save_ivf_index(quantize=True) (int8 store)
   lsh        save_lsh_index / query_lsh_index
+  lsh_int8   save_lsh_index(quantize=True) (int8 bucket copies — the
+             store-size dial for LSH's n_tables vector duplication)
   ivfpq      save_ivfpq_index / query_ivfpq_index, rescored against
              the source embeddings (the documented serving grade)
   ivfpq_res  the residual variant, same rescoring
 
 Usage:  python tools/ann_bench.py [sf_dir] [--queries N] [--k K]
-                                  [--n-probe P] [--reps R]
+                                  [--n-probe P|auto] [--reps R]
                                   [--families a,b,c]
-Defaults: /root/testdata/sf0.1, 100 queries, k=10, n_probe=4, reps=3,
-all families.
+Defaults: /root/testdata/sf0.1, 100 queries, k=10, n_probe=auto
+(adaptive_probes over the stored list count), reps=3, all families.
 Prints ONE JSON line (bench.py convention). Adaptive geometry sizes
 every index ("auto"), so the comparison holds shape at any sf.
 """
@@ -81,8 +83,8 @@ def main() -> int:
         if a.startswith("--n-probe="):
             v = a.split("=", 1)[1]
             n_probe = v if v == "auto" else int(v)
-    KNOWN = {"brute", "ivf", "ivf_flat", "ivf_int8", "lsh", "ivfpq",
-             "ivfpq_res"}
+    KNOWN = {"brute", "ivf", "ivf_flat", "ivf_int8", "lsh", "lsh_int8",
+             "ivfpq", "ivfpq_res"}
     fam_filter = None
     for a in sys.argv[1:]:
         if a.startswith("--families="):
@@ -174,6 +176,13 @@ def main() -> int:
     bench(
         "lsh",
         lambda p: similarity.save_lsh_index(emb, p, n_planes="auto"),
+        lambda p: similarity.query_lsh_index(queries, p, k=k),
+    )
+    bench(
+        "lsh_int8",
+        lambda p: similarity.save_lsh_index(
+            emb, p, n_planes="auto", quantize=True
+        ),
         lambda p: similarity.query_lsh_index(queries, p, k=k),
     )
     bench(
