@@ -44,6 +44,7 @@ BRANCHED: dict[str, tuple[str, dict[str, bool]]] = {
     }),
     "sessionize_reduce": ("branch", {
         "session": True, "cogroup": False, "funnel": False,
+        "afunnel": False,
     }),
     "join_asof": ("mode", {"asof": True, "range": False, "overlap": False}),
     # (sim_ann_ivf's 'ivf' is the r3-era strategy; 'ivfpq' is new in r7)

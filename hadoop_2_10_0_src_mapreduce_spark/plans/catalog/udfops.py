@@ -65,6 +65,18 @@ _GAP_MIN = 720  # 12h — events average ~10.7h apart per user, so this splits
 # at sf0.01; the vacuous-gate lesson in SURVEY §8)
 _FUNNEL_MIN_VALUE = 150
 
+# 'afunnel' (r7): funnel(anchor="any") — EXISTS-A-CHAIN semantics —
+# over the FULL event set with this conversion window. Gap chosen by
+# measurement so the branch is non-vacuous at the gate sf AND differs
+# from the fixed-anchor 'funnel' semantics: at sf0.01, depths
+# 20/96/34 vs anchor="first"'s 124/23/3 — 107 users differ (sf0.001:
+# 10 differ; the vacuous-gate lesson again). The oracle replays the
+# per-stage window scan exactly: union reachable-prev (marked) with
+# candidates, running MAX of marked ts over (ts, marker ASC) rows =
+# latest STRICTLY-earlier reachable predecessor, keep candidates
+# within the gap.
+_AFUNNEL_GAP = 480
+
 _SESSIONIZE_ORACLE = f"""
 WITH le AS (
     SELECT user_id, MAX(ts) AS last_err
@@ -100,7 +112,42 @@ f2 AS (
     FROM fev e JOIN f1 ON e.user_id = f1.user_id
     WHERE e.event_type = 'purchase' AND e.ts > f1.ts1
     GROUP BY e.user_id
-)
+),
+aev AS (SELECT user_id, ts, event_type FROM events WHERE ts IS NOT NULL),
+a0 AS (SELECT user_id, ts FROM aev WHERE event_type = 'view'),
+ar1 AS (
+    SELECT user_id, ts FROM (
+        SELECT user_id, ts, src,
+               MAX(CASE WHEN src = 1 THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, src
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp
+        FROM (
+            SELECT user_id, ts, 1 AS src FROM a0
+            UNION ALL
+            SELECT user_id, ts, 0 AS src FROM aev
+            WHERE event_type = 'click'
+        )
+    ) WHERE src = 0 AND lp IS NOT NULL
+          AND ts <= lp + INTERVAL {_AFUNNEL_GAP} MINUTE
+),
+ar2 AS (
+    SELECT user_id, ts FROM (
+        SELECT user_id, ts, src,
+               MAX(CASE WHEN src = 1 THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, src
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp
+        FROM (
+            SELECT user_id, ts, 1 AS src FROM ar1
+            UNION ALL
+            SELECT user_id, ts, 0 AS src FROM aev
+            WHERE event_type = 'purchase'
+        )
+    ) WHERE src = 0 AND lp IS NOT NULL
+          AND ts <= lp + INTERVAL {_AFUNNEL_GAP} MINUTE
+),
+a0m AS (SELECT user_id, MIN(ts) AS ts0 FROM a0 GROUP BY user_id),
+a1m AS (SELECT user_id, MIN(ts) AS ts1 FROM ar1 GROUP BY user_id),
+a2m AS (SELECT user_id, MIN(ts) AS ts2 FROM ar2 GROUP BY user_id)
 SELECT branch, user_id, session_id, n_events, start_ts, end_ts FROM (
     SELECT 'session' AS branch, user_id, session_id, COUNT(*) AS n_events,
            MIN(ts) AS start_ts, MAX(ts) AS end_ts
@@ -132,13 +179,23 @@ SELECT branch, user_id, session_id, n_events, start_ts, end_ts FROM (
     FROM f0
     LEFT JOIN f1 ON f0.user_id = f1.user_id
     LEFT JOIN f2 ON f0.user_id = f2.user_id
+    UNION ALL
+    SELECT 'afunnel', a0m.user_id,
+           CAST(1 + CASE WHEN a1m.ts1 IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN a2m.ts2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT),
+           CAST(1 + CASE WHEN a1m.ts1 IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN a2m.ts2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT),
+           a0m.ts0, COALESCE(a2m.ts2, a1m.ts1, a0m.ts0)
+    FROM a0m
+    LEFT JOIN a1m ON a0m.user_id = a1m.user_id
+    LEFT JOIN a2m ON a0m.user_id = a2m.user_id
 )
 ORDER BY branch, user_id, session_id
 """
 
 
 @register("sessionize_reduce", _SESSIONIZE_ORACLE, tags=("udf", "secondary-sort"),
-          doc="Secondary-sort reducers under a branch column: per-user gap sessionization (applyInPandas-style bounded reducer), DATAJOIN cogroup-reduce parity (clicks-after-last-error per user; oracle re-derives the imperative merge relationally), and ordered FUNNEL conversion depth (chained earliest-after min+join rounds; oracle replays the same CTE chain).")
+          doc="Secondary-sort reducers under a branch column: per-user gap sessionization (applyInPandas-style bounded reducer), DATAJOIN cogroup-reduce parity (clicks-after-last-error per user; oracle re-derives the imperative merge relationally), ordered FUNNEL conversion depth (chained earliest-after min+join rounds; oracle replays the same CTE chain), and 'afunnel' — funnel(anchor='any'), EXISTS-A-CHAIN depth under a conversion window (per-stage reachability window scans; oracle replays them exactly).")
 def sessionize_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     session = udfmod.sessionize(ev, gap_minutes=_GAP_MIN).select(
@@ -206,9 +263,26 @@ def sessionize_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_ts",
         "end_ts",
     )
+    # 'afunnel': EXISTS-A-CHAIN funnel (anchor="any") under a real
+    # conversion window over the FULL event stream — the oracle
+    # replays the per-stage reachability window scan exactly
+    afunneled = funnel(
+        ev,
+        ["view", "click", "purchase"],
+        max_gap_minutes=_AFUNNEL_GAP,
+        anchor="any",
+    ).select(
+        F.lit("afunnel").alias("branch"),
+        "user_id",
+        F.col("stages_completed").alias("session_id"),
+        F.col("stages_completed").alias("n_events"),
+        "start_ts",
+        "end_ts",
+    )
     return (
         session.unionByName(cogrouped)
         .unionByName(funneled)
+        .unionByName(afunneled)
         .orderBy("branch", "user_id", "session_id")
     )
 
