@@ -62,7 +62,10 @@ BRANCHED: dict[str, tuple[str, dict[str, bool]]] = {
 # number directly diffable against the frozen bar — the same
 # like-for-like discipline as r3_equivalent_total at sf0.1.
 SF1_FROZEN_BAR = 192.18
-NEW_SINCE_SF1_FREEZE: set[tuple[str, str]] = {("sim_ann_ivf", "ivfpq")}
+NEW_SINCE_SF1_FREEZE: set[tuple[str, str]] = {
+    ("sim_ann_ivf", "ivfpq"),
+    ("sessionize_reduce", "afunnel"),
+}
 
 
 def main() -> None:

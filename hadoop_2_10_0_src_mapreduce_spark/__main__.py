@@ -106,7 +106,7 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--n-probe", type=_int_or_auto, default="auto",
                     help="query --family ivf/ivfpq: lists to probe; "
                     "'auto' (default) scales with the stored list count "
-                    "(ceil(lists/32), floor 4)")
+                    "(ceil(lists/16), floor 4)")
     ix.add_argument("--n-queries", type=int, default=10,
                     help="query: serve the first N embedding rows")
     ix.add_argument("--where", help="append: SQL predicate selecting the "

@@ -694,7 +694,7 @@ def query_ivfpq_index(
 ) -> DataFrame:
     """Serve a query batch from a ``save_ivfpq_index`` directory.
     ``n_probe`` defaults to "auto" (``adaptive_probes`` over the
-    stored list count — ceil(lists/32), floor 4), so an index whose
+    stored list count — ceil(lists/16), floor 4), so an index whose
     adaptive geometry grew the list count serves at matching recall
     instead of silently probing a vanishing fraction.
 

@@ -979,7 +979,11 @@ def ivf_assign(
                 :, :n_probe
             ]
             base = pdf if keep_vec else pdf.drop(columns=[vec_col])
-            for p in range(n_probe):
+            # clamp to the lists that exist: n_probe may exceed the
+            # centroid count (adaptive floor on a tiny corpus, or an
+            # explicit over-ask) — probing every list is the correct
+            # degenerate limit, not an IndexError
+            for p in range(order.shape[1]):
                 out = base.copy()
                 out["list_id"] = order[:, p].astype(np.int32)
                 out["probe_rank"] = np.int32(p)
@@ -1054,7 +1058,7 @@ def ann_ivf_topk(
     score only the vectors filed there — the complement of the LSH
     variant (data-learned partitions vs oblivious hashes). The default
     ``n_probe="auto"`` scales the probe fan with the list count
-    (``adaptive_probes``: ceil(lists/32), floor 4 — exactly 4 at the
+    (``adaptive_probes``: ceil(lists/16), floor 4 — exactly 4 at the
     historical 16-list geometry), so recall no longer collapses when
     ``n_centroids="auto"`` grows the list count with the corpus;
     recall is pinned against brute force in tests.

@@ -499,6 +499,16 @@ def _pointer_swap_write(
         os.path.dirname(path) or ".", os.readlink(path)
     )
     gens = _gen_paths(path)
+    if not gens:
+        # a symlink the CALLER manages (their own indirection) is not
+        # ours to swap — renaming over it would silently detach their
+        # pointer; fail with the two sanctioned paths forward
+        raise ValueError(
+            f"atomic_swap_write: {path} is a symlink but has no "
+            ".__gen_N__ generation siblings; either convert it with "
+            "enable_pointer_swaps() or point the write at the real "
+            "directory"
+        )
     nxt = int(gens[-1].rsplit(".__gen_", 1)[1].rstrip("_")) + 1
     gen = f"{path}.__gen_{nxt}__"
     if not df.take(1):

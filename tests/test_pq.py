@@ -622,7 +622,7 @@ def test_ivfpq_gate_branch_nonvacuous(spark, emb):
 
 def test_adaptive_probes_rule_and_twin(spark):
     """n_probe="auto" closes the last fixed-knob scale defect: probes
-    scale with the list count (ceil(lists/32), floor 4). At the
+    scale with the list count (ceil(lists/16), floor 4). At the
     historical 16-list geometry it resolves to EXACTLY the old default
     (so every pre-r7 gate hash is untouched); at the measured
     200k-vector/1516-list corpus it probes 48 lists instead of 4 (the
@@ -780,3 +780,37 @@ def test_concurrent_serving_during_compaction_no_enoent(spark, emb, tmp_path):
     assert serves >= 1
     # and the index still serves identically after the dust settles
     assert similarity.query_ivf_index(queries, path, k=3, n_probe=8).count() > 0
+
+
+def test_auto_probe_clamps_on_tiny_corpus(spark, emb, tmp_path):
+    """adaptive_probes floors at 4 even when fewer lists exist; every
+    probe path must clamp to the lists that are there (probe-all is
+    the correct degenerate limit) instead of IndexError-ing inside
+    ivf_assign — the r7 review's crash case."""
+    tiny = emb.where(F.col("vec_id") < 3)
+    path = str(tmp_path / "tiny")
+    similarity.save_ivf_index(tiny, path, n_centroids=3)
+    assert similarity.query_ivf_index(tiny, path, k=2).count() > 0
+    assert similarity.ann_ivf_topk(tiny, k=2, n_centroids=3).count() > 0
+    ppath = str(tmp_path / "tinypq")
+    pq.save_ivfpq_index(tiny, ppath, n_centroids=3, n_codes=4)
+    assert pq.query_ivfpq_index(tiny, ppath, k=2).count() > 0
+
+
+def test_foreign_symlink_refused_by_pointer_swap(spark, tmp_path):
+    """A symlink the CALLER manages (their own serving indirection)
+    must not be silently detached by the generation swapper — clear
+    refusal with the sanctioned alternatives named."""
+    import os
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        atomic_swap_write,
+    )
+
+    real = str(tmp_path / "real")
+    spark.range(5).write.parquet(real)
+    link = str(tmp_path / "mylink")
+    os.symlink("real", link)
+    with pytest.raises(ValueError, match="enable_pointer_swaps"):
+        atomic_swap_write(spark.range(7), link, [])
+    assert spark.read.parquet(link).count() == 5  # untouched

@@ -154,9 +154,14 @@ def main() -> int:
             "recall": recall_at_k(rows, exact_rows, k),
         }
 
+    # layouts pinned EXPLICITLY (not "auto"): past 256 auto lists the
+    # save-time default resolves to flat, which would make these two
+    # rows measure the identical store and void the dir-vs-flat A/B
     bench(
         "ivf",
-        lambda p: similarity.save_ivf_index(emb, p, n_centroids="auto"),
+        lambda p: similarity.save_ivf_index(
+            emb, p, n_centroids="auto", list_dirs=True
+        ),
         lambda p: similarity.query_ivf_index(queries, p, k=k, n_probe=n_probe),
     )
     bench(

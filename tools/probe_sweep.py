@@ -21,7 +21,9 @@ import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root (engine package)
+sys.path.insert(0, _HERE)  # tools/ (shared recall_at_k from ann_bench)
 
 
 def main() -> int:
@@ -57,10 +59,9 @@ def main() -> int:
     n = emb.count()
     queries = emb.where(F.col("vec_id") < n_queries).persist()
     queries.count()
-    exact = similarity.brute_force_topk(emb, queries, k=k).collect()
-    exact_sets: dict = {}
-    for r in exact:
-        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    from ann_bench import recall_at_k  # shared: one recall definition
+
+    exact_rows = similarity.brute_force_topk(emb, queries, k=k).collect()
 
     work = tempfile.mkdtemp(prefix="probe_sweep_")
     path = f"{work}/ivf"
@@ -78,10 +79,7 @@ def main() -> int:
             queries, path, k=k, n_probe=np_
         ).collect()
         el = round(time.time() - t0, 2)
-        hits = sum(
-            1 for r in rows if r.neighbor_id in exact_sets.get(r.query_id, set())
-        )
-        rec = round(hits / (len(exact_sets) * k), 3)
+        rec = recall_at_k(rows, exact_rows, k)
         # drop persisted fan/union fragments so serves don't compound
         spark.catalog.clearCache()
         emb.persist().count()
