@@ -91,7 +91,7 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument(
         "action",
         choices=("build", "query", "append", "delete", "compact", "stats",
-                 "rebuild", "maintain"),
+                 "rebuild", "maintain", "pointer"),
     )
     ix.add_argument("--family", choices=("ivf", "lsh", "ivfpq"), default="ivf")
     ix.add_argument("--path", required=True, help="index directory")
@@ -303,7 +303,19 @@ def main(argv: list[str] | None = None) -> int:
         )
         from hadoop_2_10_0_src_mapreduce_spark.operators import pq as pqmod
 
-        if args.action == "build":
+        if args.action == "pointer":
+            # one-time conversion to blink-free (symlink-generation)
+            # swaps on the row store, so compact/maintain can run while
+            # the index serves (one final ENOENT blink happens NOW,
+            # before serving starts — see enable_pointer_swaps)
+            from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+                enable_pointer_swaps,
+            )
+
+            sub = "buckets" if args.family == "lsh" else "lists"
+            enable_pointer_swaps(f"{args.path}/{sub}")
+            print(f"pointer swaps enabled on {args.path}/{sub}")
+        elif args.action == "build":
             if args.family == "ivf":
                 similarity.save_ivf_index(emb, args.path, quantize=args.quantize)
             elif args.family == "ivfpq":
