@@ -814,3 +814,56 @@ def test_foreign_symlink_refused_by_pointer_swap(spark, tmp_path):
     with pytest.raises(ValueError, match="enable_pointer_swaps"):
         atomic_swap_write(spark.range(7), link, [])
     assert spark.read.parquet(link).count() == 5  # untouched
+
+
+def test_minima_report_extracts_all_bench_shapes(tmp_path):
+    """tools/minima_report must read every shape a BENCH file takes:
+    bench.py's own line, the driver wrapper with `parsed`, and the
+    truncated-tail wrapper (r5/r6) — recovering complete query pairs
+    before "branches" and never mistaking totals for queries."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from minima_report import _extract
+
+    own = {"queries": {"q1": 1.0, "q2": 2.0}, "sf": 0.1}
+    assert _extract(own) == ({"q1": 1.0, "q2": 2.0}, 0.1)
+
+    wrapped = {"sf": 0.1, "parsed": {"queries": {"q1": 3.0}, "sf": 0.1}}
+    assert _extract(wrapped) == ({"q1": 3.0}, 0.1)
+
+    tail = {
+        "sf": 0.1,
+        "parsed": None,
+        "tail": 'stats": 0.3, "q_whole": 1.5, "value": 65.0, '
+                '"r3_equivalent_total": 52.0}, "branches": {"q_whole": '
+                '{"a": 0.7}}, "sf": 0.1}',
+    }
+    qs, sf = _extract(tail)
+    # the head pair is CUT (no opening quote: "stats" could be the
+    # tail of any longer name) and is rightly dropped; totals are
+    # filtered; branch sub-timings (after "branches") never parsed
+    assert qs == {"q_whole": 1.5}
+    assert sf == 0.1
+    assert _extract({"tail": "no pairs here"}) == (None, None)
+
+
+def test_rebuild_keeps_pointer_mode_serving(spark, emb, tmp_path):
+    """An IVF index whose lists were converted to pointer mode keeps
+    its blink-free layout through rebuild_ivf_index: the lists swap
+    goes through atomic_swap_write's generation path, the symlink
+    stays, and serving continues."""
+    import os
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        enable_pointer_swaps,
+    )
+
+    path = str(tmp_path / "rbp")
+    base = emb.where(F.col("vec_id") < 300)
+    similarity.save_ivf_index(base, path, n_centroids=8)
+    enable_pointer_swaps(f"{path}/lists")
+    similarity.rebuild_ivf_index(spark, path, corpus=base, n_centroids=8)
+    assert os.path.islink(f"{path}/lists")
+    queries = emb.where(F.col("vec_id") < 5)
+    assert similarity.query_ivf_index(queries, path, k=3).count() > 0
