@@ -847,7 +847,11 @@ def rebuild_ivfpq_index(
     between the two renames (the documented ``atomic_swap_write``
     contract). A crash anywhere is healed by re-running the rebuild:
     roll FORWARD when the sibling build completed, roll BACK to the
-    ``.__old__`` root otherwise."""
+    ``.__old__`` root otherwise. Note: because the whole root is
+    rebuilt fresh, a lists dir converted with ``enable_pointer_swaps``
+    comes back as a REAL directory — re-run ``index pointer`` after an
+    ivfpq rebuild if compact-while-serving is needed (the IVF/LSH
+    rebuilds swap subdirs in place and KEEP pointer mode)."""
     import pathlib
     import shutil
 
