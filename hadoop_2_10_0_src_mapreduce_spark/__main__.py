@@ -290,6 +290,35 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "index":
+        if args.action == "pointer":
+            # one-time conversion to blink-free (symlink-generation)
+            # swaps on the row store, so compact/maintain can run while
+            # the index serves (one final ENOENT blink happens NOW,
+            # before serving starts — see enable_pointer_swaps).
+            # Pure-filesystem action: no Spark session, no fixture
+            # tables; the row-store subdir is detected from the index
+            # itself (exactly one of lists/buckets exists per family)
+            import os
+
+            from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+                enable_pointer_swaps,
+            )
+
+            subs = [
+                s for s in ("lists", "buckets")
+                if os.path.isdir(f"{args.path}/{s}")
+                or os.path.islink(f"{args.path}/{s}")
+            ]
+            if len(subs) != 1:
+                raise SystemExit(
+                    f"{args.path} holds {subs or 'no row store'} — "
+                    "expected exactly one of lists/ (ivf, ivfpq) or "
+                    "buckets/ (lsh)"
+                )
+            enable_pointer_swaps(f"{args.path}/{subs[0]}")
+            print(f"pointer swaps enabled on {args.path}/{subs[0]}")
+            return 0
+
         from pyspark.sql import functions as F
 
         from hadoop_2_10_0_src_mapreduce_spark.operators import similarity
@@ -303,19 +332,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         from hadoop_2_10_0_src_mapreduce_spark.operators import pq as pqmod
 
-        if args.action == "pointer":
-            # one-time conversion to blink-free (symlink-generation)
-            # swaps on the row store, so compact/maintain can run while
-            # the index serves (one final ENOENT blink happens NOW,
-            # before serving starts — see enable_pointer_swaps)
-            from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
-                enable_pointer_swaps,
-            )
-
-            sub = "buckets" if args.family == "lsh" else "lists"
-            enable_pointer_swaps(f"{args.path}/{sub}")
-            print(f"pointer swaps enabled on {args.path}/{sub}")
-        elif args.action == "build":
+        if args.action == "build":
             if args.family == "ivf":
                 similarity.save_ivf_index(emb, args.path, quantize=args.quantize)
             elif args.family == "ivfpq":

@@ -821,10 +821,7 @@ def test_minima_report_extracts_all_bench_shapes(tmp_path):
     bench.py's own line, the driver wrapper with `parsed`, and the
     truncated-tail wrapper (r5/r6) — recovering complete query pairs
     before "branches" and never mistaking totals for queries."""
-    import sys
-
-    sys.path.insert(0, "/root/repo/tools")
-    from minima_report import _extract
+    from tools.minima_report import _extract
 
     own = {"queries": {"q1": 1.0, "q2": 2.0}, "sf": 0.1}
     assert _extract(own) == ({"q1": 1.0, "q2": 2.0}, 0.1)
