@@ -91,7 +91,7 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument(
         "action",
         choices=("build", "query", "append", "delete", "compact", "stats",
-                 "rebuild", "maintain", "pointer"),
+                 "rebuild", "maintain", "pointer", "rollback"),
     )
     ix.add_argument("--family", choices=("ivf", "lsh", "ivfpq"), default="ivf")
     ix.add_argument("--path", required=True, help="index directory")
@@ -290,7 +290,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "index":
-        if args.action == "pointer":
+        if args.action in ("pointer", "rollback"):
             # one-time conversion to blink-free (symlink-generation)
             # swaps on the row store, so compact/maintain can run while
             # the index serves (one final ENOENT blink happens NOW,
@@ -302,6 +302,7 @@ def main(argv: list[str] | None = None) -> int:
 
             from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
                 enable_pointer_swaps,
+                rollback_pointer_swap,
             )
 
             subs = [
@@ -315,8 +316,13 @@ def main(argv: list[str] | None = None) -> int:
                     "expected exactly one of lists/ (ivf, ivfpq) or "
                     "buckets/ (lsh)"
                 )
-            enable_pointer_swaps(f"{args.path}/{subs[0]}")
-            print(f"pointer swaps enabled on {args.path}/{subs[0]}")
+            store = f"{args.path}/{subs[0]}"
+            if args.action == "pointer":
+                enable_pointer_swaps(store)
+                print(f"pointer swaps enabled on {store}")
+            else:
+                gen = rollback_pointer_swap(store)
+                print(f"rolled {store} back to {gen}")
             return 0
 
         from pyspark.sql import functions as F

@@ -481,6 +481,45 @@ def enable_pointer_swaps(path: str) -> None:
     os.replace(tmp_link, path)
 
 
+def rollback_pointer_swap(path: str) -> str:
+    """Instantly undo the LAST pointer swap: re-point the symlink at
+    the grace generation (the one ``_pointer_swap_write`` deliberately
+    keeps until the next swap). The operational story this closes: a
+    compaction/maintenance swap goes out, serving quality regresses,
+    and the operator flips back in milliseconds instead of rebuilding
+    — the same move a catalog-pointer serving stack makes. Atomic
+    (link-over-link rename, same as the swap); the rolled-back-FROM
+    generation stays on disk and becomes the new grace copy, so a
+    rollback is itself rollback-able (flip-flop). Returns the
+    generation path now being served. Fails clearly when `path` is not
+    pointer-mode or no other generation survives (two swaps have
+    already happened since — the grace window is one swap deep)."""
+    import os
+
+    if not os.path.islink(path):
+        raise ValueError(
+            f"rollback_pointer_swap: {path} is not a pointer-mode "
+            "directory (enable_pointer_swaps first)"
+        )
+    cur = os.path.normpath(
+        os.path.join(os.path.dirname(path) or ".", os.readlink(path))
+    )
+    others = [g for g in _gen_paths(path) if os.path.normpath(g) != cur]
+    if not others:
+        raise ValueError(
+            f"rollback_pointer_swap: no previous generation of {path} "
+            "survives (the grace window is ONE swap deep; a later swap "
+            "already reaped it)"
+        )
+    prev = others[-1]
+    tmp_link = f"{path}.__ptr_tmp__"
+    if os.path.lexists(tmp_link):
+        os.unlink(tmp_link)
+    os.symlink(os.path.basename(prev), tmp_link)
+    os.replace(tmp_link, path)
+    return prev
+
+
 def _pointer_swap_write(
     df: "DataFrame", path: str, partition_cols: tuple[str, ...] | list[str]
 ) -> None:

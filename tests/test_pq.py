@@ -864,3 +864,41 @@ def test_rebuild_keeps_pointer_mode_serving(spark, emb, tmp_path):
     assert os.path.islink(f"{path}/lists")
     queries = emb.where(F.col("vec_id") < 5)
     assert similarity.query_ivf_index(queries, path, k=3).count() > 0
+
+
+def test_rollback_pointer_swap_flip_flop(spark, tmp_path):
+    """rollback_pointer_swap re-points at the grace generation
+    atomically: swap -> rollback serves the OLD rows; the rolled-FROM
+    generation becomes the new grace copy, so rollback is itself
+    rollback-able (flip-flop); non-pointer dirs and exhausted grace
+    windows refuse clearly."""
+    import pathlib
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        atomic_swap_write,
+        enable_pointer_swaps,
+        rollback_pointer_swap,
+    )
+
+    path = str(tmp_path / "rb")
+    spark.range(10).write.parquet(path)
+    with pytest.raises(ValueError, match="not a pointer-mode"):
+        rollback_pointer_swap(path)
+    enable_pointer_swaps(path)
+    with pytest.raises(ValueError, match="no previous generation"):
+        rollback_pointer_swap(path)  # only one generation exists
+
+    atomic_swap_write(spark.range(20), path, [])
+    assert spark.read.parquet(path).count() == 20
+    rollback_pointer_swap(path)
+    assert spark.read.parquet(path).count() == 10  # served rows: OLD
+    rollback_pointer_swap(path)  # flip-flop back
+    assert spark.read.parquet(path).count() == 20
+    # a swap after rollback reaps only the non-grace generation
+    rollback_pointer_swap(path)  # serving 10 again
+    atomic_swap_write(spark.range(30), path, [])
+    assert spark.read.parquet(path).count() == 30
+    rollback_pointer_swap(path)
+    assert spark.read.parquet(path).count() == 10  # grace = rolled-from
+    gens = sorted(pathlib.Path(str(tmp_path)).glob("rb.__gen_*__"))
+    assert len(gens) == 2
