@@ -437,10 +437,17 @@ def atomic_swap_write(
 def _gen_paths(path: str) -> list[str]:
     import glob as _glob
 
+    # glob.escape the index path itself: '[', '?', '*' in a directory
+    # name would otherwise match nothing and a valid pointer-mode dir
+    # reads as "no generations" (the generation suffix is glob-safe)
     return sorted(
-        _glob.glob(f"{path}.__gen_*__"),
+        _glob.glob(f"{_glob.escape(path)}.__gen_*__"),
         key=lambda p: int(p.rsplit(".__gen_", 1)[1].rstrip("_")),
     )
+
+
+def _gen_num(gen_path: str) -> int:
+    return int(gen_path.rsplit(".__gen_", 1)[1].rstrip("_"))
 
 
 def enable_pointer_swaps(path: str) -> None:
@@ -505,11 +512,28 @@ def rollback_pointer_swap(path: str) -> str:
         os.path.join(os.path.dirname(path) or ".", os.readlink(path))
     )
     others = [g for g in _gen_paths(path) if os.path.normpath(g) != cur]
+    # a swap that crashed after (or during) its parquet write but
+    # before the link replace leaves a never-served stray that
+    # OUTRANKS the true grace copy; rolling back to it could serve a
+    # partial write. Valid rollback targets are generations OLDER than
+    # the served one (they were served once, complete by construction
+    # — covers pre-_SUCCESS converted dirs) or newer ones carrying
+    # Spark's _SUCCESS marker (the flip-flop case: a rolled-back-FROM
+    # generation is newer than current but fully committed).
+    cur_num = _gen_num(cur) if ".__gen_" in cur else -1
+    others = [
+        g
+        for g in others
+        if _gen_num(g) < cur_num
+        or os.path.exists(os.path.join(g, "_SUCCESS"))
+    ]
     if not others:
         raise ValueError(
-            f"rollback_pointer_swap: no previous generation of {path} "
-            "survives (the grace window is ONE swap deep; a later swap "
-            "already reaped it)"
+            f"rollback_pointer_swap: no previous COMPLETE generation of "
+            f"{path} survives (the grace window is ONE swap deep — a "
+            "later swap already reaped it — and newer generations "
+            "without a _SUCCESS marker are crashed-write strays, not "
+            "rollback targets)"
         )
     prev = others[-1]
     tmp_link = f"{path}.__ptr_tmp__"
@@ -565,8 +589,14 @@ def _pointer_swap_write(
         os.unlink(tmp_link)
     os.symlink(os.path.basename(gen), tmp_link)
     os.replace(tmp_link, path)  # atomic: link over link, never ENOENT
+    # normalize BOTH sides of the keep-set comparison: glob returns
+    # './'-prefixed paths for './'-spelled inputs while normpath(
+    # cur_target) strips the prefix, and a raw-vs-normalized mismatch
+    # here would rmtree the grace generation the contract promises to
+    # keep (in-flight readers ENOENT mid-scan; rollback impossible)
+    keep = {os.path.normpath(gen), os.path.normpath(cur_target)}
     for g in _gen_paths(path):
-        if g not in (gen, os.path.normpath(cur_target)):
+        if os.path.normpath(g) not in keep:
             shutil.rmtree(g, ignore_errors=True)
 
 

@@ -885,7 +885,7 @@ def test_rollback_pointer_swap_flip_flop(spark, tmp_path):
     with pytest.raises(ValueError, match="not a pointer-mode"):
         rollback_pointer_swap(path)
     enable_pointer_swaps(path)
-    with pytest.raises(ValueError, match="no previous generation"):
+    with pytest.raises(ValueError, match="no previous COMPLETE generation"):
         rollback_pointer_swap(path)  # only one generation exists
 
     atomic_swap_write(spark.range(20), path, [])
@@ -902,3 +902,107 @@ def test_rollback_pointer_swap_flip_flop(spark, tmp_path):
     assert spark.read.parquet(path).count() == 10  # grace = rolled-from
     gens = sorted(pathlib.Path(str(tmp_path)).glob("rb.__gen_*__"))
     assert len(gens) == 2
+
+
+def test_pointer_swap_dot_slash_spelling_keeps_grace(spark, tmp_path):
+    """The r7 ADVICE medium: a dot-segment path spelling (CLI
+    --path ./idx) made the deferred-deletion loop compare raw glob
+    results against a normpath'd cur_target and rmtree the grace
+    generation IMMEDIATELY — in-flight readers ENOENT mid-scan and
+    rollback became impossible. Both sides now normalize; grace +
+    rollback must hold for the dotted spelling."""
+    import pathlib
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        atomic_swap_write,
+        enable_pointer_swaps,
+        rollback_pointer_swap,
+    )
+
+    # glob('<dir>/./x.__gen_*__') returns './'-containing paths while
+    # normpath(cur_target) strips the segment — the exact raw-vs-
+    # normalized mismatch the CLI's ./idx spelling hits
+    path = str(tmp_path) + "/./dotted"
+    spark.range(10).write.parquet(path)
+    enable_pointer_swaps(path)
+    atomic_swap_write(spark.range(20), path, [])
+    gens = sorted(pathlib.Path(str(tmp_path)).glob("dotted.__gen_*__"))
+    assert len(gens) == 2, "grace generation was reaped at swap time"
+    rollback_pointer_swap(path)
+    assert spark.read.parquet(path).count() == 10
+
+
+def test_pointer_swap_glob_metacharacters_in_path(tmp_path):
+    """The r7 ADVICE low: an index path containing glob
+    metacharacters ('[', '?', '*') must still find its generation
+    siblings (glob.escape), not read as 'no generations' — which made
+    enable_pointer_swaps reuse generation numbers and
+    _pointer_swap_write raise on a valid pointer-mode directory.
+    Pure-filesystem check (Spark's own Hadoop path layer globs read
+    paths, so such dirs are served via the symlink, not read
+    directly)."""
+    import os
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        _gen_paths,
+        enable_pointer_swaps,
+        rollback_pointer_swap,
+    )
+
+    path = str(tmp_path / "tbl[v1]")
+    os.makedirs(path)
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass
+    enable_pointer_swaps(path)
+    assert os.path.islink(path)
+    assert [os.path.basename(g) for g in _gen_paths(path)] == [
+        "tbl[v1].__gen_0__"
+    ]
+    # a second conversion attempt is idempotent, NOT a number reuse
+    enable_pointer_swaps(path)
+    assert os.readlink(path) == "tbl[v1].__gen_0__"
+    # fabricate the next generation as a swap would, re-point, roll back
+    gen1 = f"{path}.__gen_1__"
+    os.makedirs(gen1)
+    with open(os.path.join(gen1, "_SUCCESS"), "w"):
+        pass
+    tmp_link = f"{path}.__ptr_tmp__"
+    os.symlink(os.path.basename(gen1), tmp_link)
+    os.replace(tmp_link, path)
+    assert rollback_pointer_swap(path).endswith("tbl[v1].__gen_0__")
+
+
+def test_rollback_skips_crashed_write_stray(spark, tmp_path):
+    """The r7 ADVICE low: a swap that crashed after starting its
+    parquet write leaves a stray, never-served, possibly-partial
+    generation that outranks the true grace copy. rollback must skip
+    strays without a _SUCCESS marker (never serve incomplete data)
+    and still land on the real grace generation."""
+    import os
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        atomic_swap_write,
+        enable_pointer_swaps,
+        rollback_pointer_swap,
+    )
+
+    path = str(tmp_path / "crash")
+    spark.range(10).write.parquet(path)
+    enable_pointer_swaps(path)
+    atomic_swap_write(spark.range(20), path, [])  # grace = gen_0 (10 rows)
+    # simulate the crashed NEXT swap: partial generation, no _SUCCESS
+    stray = f"{path}.__gen_99__"
+    os.makedirs(stray)
+    with open(os.path.join(stray, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00partial")
+    prev = rollback_pointer_swap(path)
+    assert prev.endswith(".__gen_0__")  # real grace, not the stray
+    assert spark.read.parquet(path).count() == 10
+    # with ONLY the stray as a candidate, refuse clearly
+    os.unlink(path)
+    os.symlink(os.path.basename(f"{path}.__gen_0__"), path)
+    import shutil
+
+    shutil.rmtree(f"{path}.__gen_1__")
+    with pytest.raises(ValueError, match="no previous COMPLETE generation"):
+        rollback_pointer_swap(path)
