@@ -890,7 +890,7 @@ def prefix_pairs_from_index(inv: DataFrame, threshold: float) -> DataFrame:
 
 def duplicate_components(
     pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
-    max_iters: int = 25,
+    max_iters: int = 25, stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate PAIRS — the step that
     turns pairwise matches into duplicate CLUSTERS (keep one
@@ -899,24 +899,33 @@ def duplicate_components(
     appear in some pair are returned; unpaired documents are their own
     trivial cluster by definition.
 
-    Algorithm: iterative min-label propagation — label(v) ← min over
-    {label(v)} ∪ {label(u) : u~v} until a fixpoint. The fixpoint is
-    UNIQUE (min id of the component) whatever the iteration order, so
-    the result is engine-independent and a SQL engine can recompute it
-    with a recursive reachability CTE — which is exactly what the
-    catalog oracle does. Converges in O(diameter) rounds; near-dup
-    graphs are unions of small dense cliques (diameter ≲ 3), so the
-    default ``max_iters`` has ample head-room; raises if not converged
-    so a pathological chain can't silently truncate.
+    Algorithm: min-label propagation — label(v) ← min over
+    {label(v)} ∪ {label(u) : u~v} — with a POINTER-JUMPING shortcut
+    each round (label(v) ← label(label(v)), the path-halving move of
+    the public Shiloach–Vishkin / Hash-to-Min literature). The
+    fixpoint is UNIQUE (min id of the component) whatever the
+    iteration order or acceleration, so the result is
+    engine-independent and a SQL engine can recompute it with a
+    recursive reachability CTE — which is exactly what the catalog
+    oracle does. Propagation alone converges in O(diameter) rounds —
+    measured failing the r8 decade corpus, whose 256-doc sliding-
+    window CHAIN (a realistic shape: versioned/templated documents)
+    has diameter 255 > max_iters; with the shortcut the reach roughly
+    doubles per round, so rounds are O(log diameter) (that chain:
+    8 rounds, pinned by test). Near-dup cliques still converge in
+    1-2 rounds, paying one extra label-side self-join each. Raises
+    if not converged so nothing silently truncates.
 
-    Scale shape: each round is one join + one groupBy on id — labels
-    and edges shuffle, never documents. Each round's labels are
-    ``localCheckpoint``ed: an iterative DataFrame loop otherwise grows
-    the logical plan geometrically (every round references the prior
-    labels twice — next-round join + convergence check), which OOMs
-    the PLANNER long before the data is big; checkpointing truncates
-    lineage to the materialized blocks, so state is two label tables
-    and an O(1)-size plan regardless of round count."""
+    Scale shape: each round is one edge join + one groupBy + one
+    label self-join on id — labels and edges shuffle, never
+    documents. Each round's labels are ``localCheckpoint``ed: an
+    iterative DataFrame loop otherwise grows the logical plan
+    geometrically (every round references the prior labels twice —
+    next-round join + convergence check), which OOMs the PLANNER long
+    before the data is big; checkpointing truncates lineage to the
+    materialized blocks, so state is two label tables and an
+    O(1)-size plan regardless of round count. ``stats`` (optional
+    dict) receives {"rounds": n} for harness instrumentation."""
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
@@ -937,7 +946,7 @@ def duplicate_components(
         .select(F.col("src").alias("id"), "rep")
         .localCheckpoint()
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         neighbor_min = (
             adj.join(labels, adj["dst"] == labels["id"])
             .groupBy("src")
@@ -946,7 +955,10 @@ def duplicate_components(
         # carry the per-node changed flag through the checkpoint so
         # convergence detection is a scan of the (already materialized)
         # labels — not another join job per round
-        new_labels = (
+        # checkpointed: the shortcut self-join below reads prop twice
+        # (and the edge join + groupBy above is the round's dominant
+        # cost — never compute it twice)
+        prop = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"])
             .select(
                 "id",
@@ -955,8 +967,34 @@ def duplicate_components(
             )
             .localCheckpoint()
         )
+        # pointer-jumping shortcut: rep(v) ← rep(rep(v)). rep is
+        # always the id of a node REACHABLE from v (propagation picks
+        # reachable mins, and rep(rep(v)) is reachable by
+        # transitivity), so the fixpoint is untouched while the hop
+        # distance to the component min roughly doubles per round —
+        # O(log diameter) rounds instead of O(diameter). rep is a
+        # node id, so the lookup join always matches (left + coalesce
+        # guards the self-row case cheaply either way).
+        rlab = prop.select(
+            F.col("id").alias("_rid"), F.col("rep").alias("_rrep")
+        )
+        new_labels = (
+            prop.join(rlab, prop["rep"] == rlab["_rid"], "left")
+            .select(
+                "id",
+                F.coalesce(
+                    F.least("_rrep", "rep"), F.col("rep")
+                ).alias("rep"),
+                (
+                    F.col("_chg") | (F.col("_rrep") < F.col("rep"))
+                ).alias("_chg"),
+            )
+            .localCheckpoint()
+        )
         changed = new_labels.where(F.col("_chg")).limit(1).count()
         labels = new_labels.drop("_chg")
+        if stats is not None:
+            stats["rounds"] = it + 1
         if changed == 0:
             adj.unpersist()
             return labels
@@ -964,6 +1002,87 @@ def duplicate_components(
         f"duplicate_components did not converge in {max_iters} rounds "
         "(component diameter exceeds max_iters) — raise max_iters"
     )
+
+
+def _capped_bucket_pairs(
+    bucketed: DataFrame, key_cols: list[str], *,
+    max_bucket: int | None, payload: str | None = None,
+) -> DataFrame:
+    """Candidate pairs from a bucketed frame (id, *key_cols[, payload]):
+    all-pairs within each bucket — with buckets LARGER than
+    ``max_bucket`` contributing id-sorted CONSECUTIVE edges (m−1 rows)
+    instead of C(m,2). The r8 decade measurement that motivates it: one
+    planted 20k-doc boilerplate cluster owes ~2·10⁸ all-pairs rows ×
+    every band it collides in — the candidate join's output alone is
+    the scale killer, before any verify cost.
+
+    Contract change (the reason this is opt-in, default None =
+    bit-identical plans): within an oversized bucket the output is a
+    CONNECTIVITY-PRESERVING subset, not all qualifying pairs — the
+    clustering contract. duplicate_components over the verified edges
+    yields the same clusters whenever consecutive (by id) members of
+    an oversized bucket pass verification, which genuine dup pile-ups
+    (exact copies, template variants) do; a dissimilar interloper can
+    split a chain locally, and each of the other bands then gives an
+    independent re-link chance. Pinned by test on a planted mega
+    corpus: same components, pairs ⊆ the uncapped pair set.
+
+    One window pass computes bucket size AND the consecutive
+    neighbor (count + lead share the bucket exchange/sort); only
+    sub-cap rows enter the quadratic self-join."""
+    pay_a = [F.col(f"x.{payload}").alias(f"{payload}_a")] if payload else []
+    pay_b = [F.col(f"y.{payload}").alias(f"{payload}_b")] if payload else []
+
+    def allpairs(df: DataFrame) -> DataFrame:
+        return (
+            df.alias("x")
+            .join(df.alias("y"), key_cols)
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(
+                F.col("x.id").alias("id_a"),
+                F.col("y.id").alias("id_b"),
+                *pay_a,
+                *pay_b,
+            )
+        )
+
+    if max_bucket is None:
+        return allpairs(bucketed)
+    w = Window.partitionBy(*key_cols)
+    wo = w.orderBy("id")
+    lead_cols = [F.lead("id").over(wo).alias("_nid")]
+    if payload:
+        lead_cols.append(F.lead(payload).over(wo).alias("_npay"))
+    sized = bucketed.select(
+        "id",
+        *key_cols,
+        *([payload] if payload else []),
+        F.count(F.lit(1)).over(w).alias("_bsz"),
+        *lead_cols,
+    )
+    small = allpairs(
+        sized.where(F.col("_bsz") <= max_bucket)
+        .select("id", *key_cols, *([payload] if payload else []))
+    )
+    big_pay = (
+        [
+            F.col(payload).alias(f"{payload}_a"),
+            F.col("_npay").alias(f"{payload}_b"),
+        ]
+        if payload
+        else []
+    )
+    big = (
+        sized.where(
+            (F.col("_bsz") > max_bucket) & F.col("_nid").isNotNull()
+        )
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("_nid").alias("id_b"),
+            *big_pay,
+        )
+    )
+    return small.unionByName(big)
 
 
 def minhash_signatures(
@@ -997,7 +1116,7 @@ def _minhash_from_index(inv: DataFrame, num_hashes: int) -> DataFrame:
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str, id_col: str, *, k: int = 3,
     num_hashes: int = 128, bands: int = 32, threshold: float = 0.8,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = None, max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band the signature, bucket-join,
     then verify candidates with EXACT Jaccard ≥ threshold (so false
@@ -1009,6 +1128,17 @@ def minhash_lsh_pairs(
     ``max_doc_freq`` at scale to drop stop-shingles before signatures
     and verify (see _df_capped): signatures, candidates, and the
     verify Jaccard all see the same capped sets.
+
+    ``max_bucket`` guards the OTHER quadratic key: a boilerplate
+    mega-cluster (m near-identical docs) collides in every band, and
+    the all-pairs contract owes C(m,2) candidates per band — measured
+    at the r8 decade corpus (20k-doc planted cluster, 500k docs):
+    the candidate join never finished inside the harness budget.
+    Buckets larger than ``max_bucket`` instead emit id-sorted
+    consecutive edges (see _capped_bucket_pairs — the clustering
+    contract: duplicate_components unchanged, all-pairs output
+    forfeited for oversized buckets only). Default None preserves
+    exact all-pairs semantics.
     """
     rows_per_band = num_hashes // bands
     # persist both reused intermediates: the signature table feeds both
@@ -1019,13 +1149,9 @@ def minhash_lsh_pairs(
     inv = _df_capped(_hashed_index(sh), max_doc_freq).persist()
     sigs = _minhash_from_index(inv, num_hashes).persist()
     banded = _banded(sigs, bands, rows_per_band)
-    cands = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band_idx", "band_hash"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
+    cands = _capped_bucket_pairs(
+        banded, ["band_idx", "band_hash"], max_bucket=max_bucket
+    ).distinct()
     return _exact_jaccard_on_candidates(cands, inv, threshold)
 
 
@@ -1179,7 +1305,7 @@ def simhash_signatures(
 
 def simhash_pairs(
     df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 6,
-    token_hash: str = "xxhash64",
+    token_hash: str = "xxhash64", max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs within hamming distance via chunk-PAIR pigeonhole (the
     block-permutation idea from Manku et al.'s SimHash dedup paper,
@@ -1193,7 +1319,14 @@ def simhash_pairs(
     For max_hamming 7, falls back to single-chunk buckets (pigeonhole
     needs only ≥1 equal chunk); ≥ 8 would need wider chunks — refuse.
     Signatures are persisted: the signature pass is the dominant cost
-    and feeds both sides of the bucket self-join."""
+    and feeds both sides of the bucket self-join.
+
+    ``max_bucket``: a near-identical mega-cluster puts its m members
+    in the SAME bucket of all 28 chunk-pair tables — C(m,2)·28 join
+    rows (the r8 decade corpus measured this unbounded). Oversized
+    buckets emit id-sorted consecutive edges instead (see
+    _capped_bucket_pairs; clustering contract). Default None keeps
+    exact all-pairs-within-hamming semantics."""
     if max_hamming >= 8:
         raise ValueError("simhash_pairs supports max_hamming <= 7 (8 chunks)")
     sigs = simhash_signatures(df, text_col, id_col, token_hash=token_hash).persist()
@@ -1216,18 +1349,10 @@ def simhash_pairs(
     bucketed = sigs.select(
         "id", "sim", F.posexplode(keys).alias("table_idx", "bucket")
     )
-    cands = (
-        bucketed.alias("x")
-        .join(bucketed.alias("y"), ["table_idx", "bucket"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.sim").alias("sim_a"),
-            F.col("y.sim").alias("sim_b"),
-        )
-        .distinct()
-    )
+    cands = _capped_bucket_pairs(
+        bucketed, ["table_idx", "bucket"], max_bucket=max_bucket,
+        payload="sim",
+    ).distinct()
     return (
         cands.withColumn(
             "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))

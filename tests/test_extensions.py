@@ -253,6 +253,106 @@ def test_duplicate_components_long_chain_converges_or_raises(spark):
         dedup.duplicate_components(chain, max_iters=2)
 
 
+def test_duplicate_components_deep_chain_logarithmic_rounds(spark):
+    """The r8 decade-check defect pin: a 256-node PATH (diameter 255 —
+    the sliding-window near-dup chain shape of versioned/templated
+    docs) previously needed O(diameter) propagation rounds and blew
+    max_iters=25; with pointer-jumping the hop distance ~doubles per
+    round, so it must converge WELL inside the default budget —
+    O(log d) ≈ 12 rounds — with the identical unique fixpoint."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(255)], ["id_a", "id_b"]
+    )
+    stats: dict = {}
+    got = {
+        r.id: r.rep
+        for r in dedup.duplicate_components(chain, stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(256)}
+    assert stats["rounds"] <= 12, stats
+
+
+def _mega_corpus(spark):
+    """Inline decade-corpus miniature: a 12-doc near-identical MEGA
+    cluster (3 one-token-edit variants × 4 exact copies), two 3-doc
+    near-dup cliques, and unique background docs."""
+    rows, did = [], 0
+    base = [f"m{i:02d}" for i in range(30)]
+    for v in range(3):
+        t = base.copy()
+        t[5] = f"sub{v}"
+        for _ in range(4):
+            rows.append((did, " ".join(t)))
+            did += 1
+    for c in range(2):
+        cb = [f"c{c}t{i}" for i in range(30)]
+        for j in range(3):
+            t = cb.copy()
+            t[7] = f"e{c}{j}"
+            rows.append((did, " ".join(t)))
+            did += 1
+    for b in range(24):
+        rows.append((did, " ".join(f"b{b}x{i}" for i in range(30))))
+        did += 1
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_max_bucket_linked_preserves_clusters(spark):
+    """The r8 mega-bucket guard: with max_bucket, oversized band
+    buckets emit consecutive edges instead of all-pairs — pairs must
+    be a SUBSET of the uncapped output, quadratically fewer on the
+    mega cluster, and duplicate_components must produce the IDENTICAL
+    clustering (same rep per id)."""
+    docs = _mega_corpus(spark)
+    full = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8)
+    capped = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.8, max_bucket=4
+    )
+    fp = {(r.id_a, r.id_b) for r in full.collect()}
+    cp = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert cp <= fp
+    # mega cluster is all-pairs in full (C(12,2)=66), linked in capped
+    mega_full = {p for p in fp if p[0] < 12 and p[1] < 12}
+    mega_cap = {p for p in cp if p[0] < 12 and p[1] < 12}
+    assert len(mega_full) == 66
+    assert len(mega_cap) < 30
+    comp_f = {
+        r.id: r.rep for r in dedup.duplicate_components(full).collect()
+    }
+    comp_c = {
+        r.id: r.rep for r in dedup.duplicate_components(capped).collect()
+    }
+    assert comp_f == comp_c
+    assert {comp_f[i] for i in range(12)} == {0}  # mega stays ONE cluster
+
+
+def test_simhash_max_bucket_linked_preserves_clusters(spark):
+    """Same guard on the SimHash chunk-pair tables: capped pairs are a
+    subset, the mega cluster collapses from all-pairs to a linked
+    chain, and the clustering is unchanged."""
+    docs = _mega_corpus(spark)
+    full = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=6)
+    capped = dedup.simhash_pairs(
+        docs, "text", "doc_id", max_hamming=6, max_bucket=4
+    )
+    fp = {(r.id_a, r.id_b) for r in full.collect()}
+    cp = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert cp <= fp
+    # one-token edits can flip >6 bits, so full mega is near- but not
+    # exactly all-pairs; capped must still be quadratically smaller
+    mega_full = {p for p in fp if p[0] < 12 and p[1] < 12}
+    mega_cap = {p for p in cp if p[0] < 12 and p[1] < 12}
+    assert len(mega_full) > 40
+    assert len(mega_cap) < 30
+    comp_f = {
+        r.id: r.rep for r in dedup.duplicate_components(full).collect()
+    }
+    comp_c = {
+        r.id: r.rep for r in dedup.duplicate_components(capped).collect()
+    }
+    assert comp_f == comp_c
+
+
 def test_simhash_rejects_uncoverable_hamming():
     with pytest.raises(ValueError):
         dedup.simhash_pairs(None, "text", "doc_id", max_hamming=8)
