@@ -206,6 +206,83 @@ def adaptive_probes_sql(
     )
 
 
+LSH_TABLE_BASE = 16
+LSH_BASE_PLANES = 10
+LSH_MAX_TABLES = 128
+
+
+def adaptive_tables(
+    n: int,
+    *,
+    base: int = LSH_TABLE_BASE,
+    base_planes: int = LSH_BASE_PLANES,
+    max_tables: int = LSH_MAX_TABLES,
+    target_bucket: int = LSH_TARGET_BUCKET,
+    min_planes: int = LSH_MIN_PLANES,
+    max_planes: int = LSH_MAX_PLANES,
+) -> int:
+    """LSH table-count rule for ``n_tables="auto"`` — the last
+    unadaptive geometry dial (the n_probe failure class, one knob
+    over): ``adaptive_planes`` grows the bit count with the corpus to
+    keep per-table candidate work linear, but every added bit cuts
+    per-table recall by the pair's bit-agreement probability, so a
+    FIXED table count collapses recall exactly the way fixed n_probe
+    did — measured at the 200k-vector corpus (13 bits): 16 tables →
+    recall@10 0.07 (SURVEY §8 r7). Rule: tables = base · 2^(bits −
+    base_planes), i.e. DOUBLE the tables for every bit past the
+    historical 10-bit geometry — the standard recall-compensation
+    dial (recall = 1−(1−p^b)^L: multiplying L by 1/p per added bit
+    holds the product; 2 ≥ 1/p for any p ≥ 0.5, the regime every
+    qualifying neighbor is in). Measured on the 200k/13-bit corpus
+    (tools/lsh_table_sweep.py, one build, first-T-of-128 serves):
+    16 → 0.073, 32 → 0.133, 64 → 0.230, 128 (this rule) → 0.376
+    recall@10 at serve walls 2.6 → 4.5 s and int8 store 0.24 →
+    1.9 GB — recall stops collapsing with growth at linear store
+    cost, though the r7 conclusion stands: at weak-margin corpora
+    IVF(+PQ) reaches 0.557 at 1/30 the store, so LSH's lane remains
+    fast-drifting corpora where oblivious hashes never retrain.
+    Capped at ``max_tables`` (the sweep's measured point; past it,
+    prefer IVF/IVF-PQ). At bits ≤ 10 — every driver fixture through
+    sf1 — resolves to exactly 16, so all pre-r8 hashes carry. Integer
+    arithmetic with an exact SQL twin (``adaptive_tables_sql``)."""
+    bits = adaptive_planes(
+        n, target_bucket=target_bucket, min_planes=min_planes,
+        max_planes=max_planes,
+    )
+    return min(max_tables, base << max(0, bits - base_planes))
+
+
+def adaptive_tables_sql(
+    corpus: str = "e",
+    *,
+    base: int = LSH_TABLE_BASE,
+    base_planes: int = LSH_BASE_PLANES,
+    max_tables: int = LSH_MAX_TABLES,
+    target_bucket: int = LSH_TARGET_BUCKET,
+    min_planes: int = LSH_MIN_PLANES,
+    max_planes: int = LSH_MAX_PLANES,
+) -> str:
+    """Scalar-subquery twin of ``adaptive_tables``: the same integer
+    count thresholds as ``adaptive_planes_sql`` (so both rules always
+    agree on the bit count they key off), mapping each bit count to
+    its table count — no float math anywhere."""
+
+    def tables_at(p: int) -> int:
+        return min(max_tables, base << max(0, p - base_planes))
+
+    whens = "".join(
+        f" WHEN COUNT(*) <= {(1 << p) * target_bucket} THEN {tables_at(p)}"
+        for p in range(min_planes, max_planes)
+    )
+    return f"(SELECT CASE{whens} ELSE {tables_at(max_planes)} END FROM {corpus})"
+
+
+def _resolve_tables(emb: DataFrame, n_tables, **kw) -> int:
+    if n_tables == "auto":
+        return adaptive_tables(emb.count(), **kw)
+    return n_tables
+
+
 def _resolve_probes(n_lists: int, n_probe) -> int:
     if n_probe == "auto":
         return adaptive_probes(n_lists)

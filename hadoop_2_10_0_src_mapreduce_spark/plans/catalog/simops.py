@@ -508,17 +508,27 @@ def _ann_ivf_oracle(
     parts = [f"""
 WITH {chain}"""]
     parts.append(f""",
+qside AS MATERIALIZED (
+    -- r8: glue vector + norm onto the SMALL per-side tables first so
+    -- the probes x home stream (~100M rows at sf1) flows through ONE
+    -- join instead of five - the quadratic stream previously
+    -- re-materialized through four more hash joins (e/nrm per side),
+    -- which was the sf1 oracle wall. Same operands, same expression,
+    -- bit-identical sims.
+    SELECT p.vec_id, p.list_id, e.v, nrm.nm
+    FROM probes p JOIN e USING (vec_id) JOIN nrm USING (vec_id)
+),
+hside AS MATERIALIZED (
+    SELECT h.vec_id, h.list_id, e.v, nrm.nm
+    FROM home h JOIN e USING (vec_id) JOIN nrm USING (vec_id)
+),
 scored AS (
     -- norms from the shared nrm CTE: one sqrt(lip) per VECTOR instead
-    -- of two per PAIR (bit-identical values, ~3x less lip work on the
-    -- probes x home join - the sf1 oracle wall)
-    SELECT p.vec_id AS query_id, h.vec_id AS neighbor_id,
-           round(list_inner_product(q.v, nb.v) / (qn.nm * bn.nm), 6) AS sim
-    FROM probes p JOIN home h ON p.list_id = h.list_id AND p.vec_id <> h.vec_id
-    JOIN e q ON q.vec_id = p.vec_id
-    JOIN e nb ON nb.vec_id = h.vec_id
-    JOIN nrm qn ON qn.vec_id = p.vec_id
-    JOIN nrm bn ON bn.vec_id = h.vec_id
+    -- of two per PAIR (bit-identical values, ~3x less lip work)
+    SELECT q.vec_id AS query_id, nb.vec_id AS neighbor_id,
+           round(list_inner_product(q.v, nb.v) / (q.nm * nb.nm), 6) AS sim
+    FROM qside q JOIN hside nb
+        ON q.list_id = nb.list_id AND q.vec_id <> nb.vec_id
 ),
 ranked AS (
     SELECT query_id, neighbor_id, sim,
