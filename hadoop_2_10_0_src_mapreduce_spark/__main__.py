@@ -112,8 +112,11 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--where", help="append: SQL predicate selecting the "
                     "embedding rows to fold in (e.g. 'vec_id >= 500')")
     ix.add_argument("--ids", help="delete: comma-separated vec_ids to tombstone")
-    ix.add_argument("--n-tables", type=int, help="rebuild --family lsh: new "
-                    "table count (omit to keep the stored conf)")
+    ix.add_argument("--n-tables", type=_int_or_auto,
+                    help="rebuild --family lsh: new table count, or 'auto' "
+                    "to re-size to the live corpus (16 doubled per bit "
+                    "past the 10-bit geometry; omit to keep the stored "
+                    "conf)")
     ix.add_argument("--n-planes", type=_int_or_auto,
                     help="rebuild --family lsh: new planes per table, or "
                     "'auto' to re-size to the live corpus")

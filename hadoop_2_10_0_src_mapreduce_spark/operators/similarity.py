@@ -209,6 +209,13 @@ def adaptive_probes_sql(
 LSH_TABLE_BASE = 16
 LSH_BASE_PLANES = 10
 LSH_MAX_TABLES = 128
+# probed-pair count above which query_lsh_index prunes via a broadcast
+# semi-join instead of a literal OR-of-ANDs predicate — measured at the
+# 200k/13-bit table sweep: ~3.2k literals (32 tables) still served in
+# 7 s, ~6.4k took 77 s and ~12.8k took 246 s (planning/filter
+# compilation, not I/O), while the semi-join serves the same rows at
+# scan speed at every size.
+LSH_LITERAL_PRED_MAX = 4096
 
 
 def adaptive_tables(
@@ -234,17 +241,22 @@ def adaptive_tables(
     dial (recall = 1−(1−p^b)^L: multiplying L by 1/p per added bit
     holds the product; 2 ≥ 1/p for any p ≥ 0.5, the regime every
     qualifying neighbor is in). Measured on the 200k/13-bit corpus
-    (tools/lsh_table_sweep.py, one build, first-T-of-128 serves):
-    16 → 0.073, 32 → 0.133, 64 → 0.230, 128 (this rule) → 0.376
-    recall@10 at serve walls 2.6 → 4.5 s and int8 store 0.24 →
-    1.9 GB — recall stops collapsing with growth at linear store
-    cost, though the r7 conclusion stands: at weak-margin corpora
-    IVF(+PQ) reaches 0.557 at 1/30 the store, so LSH's lane remains
-    fast-drifting corpora where oblivious hashes never retrain.
-    Capped at ``max_tables`` (the sweep's measured point; past it,
-    prefer IVF/IVF-PQ). At bits ≤ 10 — every driver fixture through
-    sf1 — resolves to exactly 16, so all pre-r8 hashes carry. Integer
-    arithmetic with an exact SQL twin (``adaptive_tables_sql``)."""
+    (tools/lsh_table_sweep.py, one 128-table build, first-T-of-128
+    serves — bit-identical to T-table builds since planes are
+    md5-per-(t,p,d)): recall@10 16 → 0.070, 32 → 0.137, 64 → 0.244,
+    128 (this rule) → 0.435, serve walls FLAT 5-12 s across the sweep
+    once probed-pair pruning switches to the broadcast semi-join (see
+    LSH_LITERAL_PRED_MAX — the literal predicate alone cost 246 s at
+    128 tables), float store 0.84 → 6.7 GB (linear; quantize=True
+    cuts it ~3.5×, recall unchanged — r7 int8 pin). Recall stops
+    collapsing with growth at linear store cost, though the r7
+    conclusion stands: at weak-margin corpora IVF(+PQ) reaches 0.557
+    at 1/30 the store, so LSH's lane remains fast-drifting corpora
+    where oblivious hashes never retrain. Capped at ``max_tables``
+    (the sweep's measured point; past it, prefer IVF/IVF-PQ). At
+    bits ≤ 10 — every driver fixture through sf1 — resolves to
+    exactly 16, so all pre-r8 hashes carry. Integer arithmetic with
+    an exact SQL twin (``adaptive_tables_sql``)."""
     bits = adaptive_planes(
         n, target_bucket=target_bucket, min_planes=min_planes,
         max_planes=max_planes,
@@ -829,7 +841,7 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int | str = 6,
-    n_tables: int = 16,
+    n_tables: int | str = "auto",
     dim: int = 64,
     max_bucket: int = 1024,
     round_digits: int = 6,
@@ -839,6 +851,11 @@ def ann_lsh_topk(
     ``adaptive_planes`` — the scale-safe default for growing corpora
     (fixed bits ⇒ occupancy ∝ n ⇒ quadratic candidate work; measured
     15.9× wall for 10× data at the sf1 gate before this rule).
+    ``n_tables="auto"`` (default) doubles the table count per bit past
+    the 10-bit geometry via ``adaptive_tables`` so recall stops
+    collapsing as the bit rule grows — exactly 16 tables at every
+    ≤ 10-bit corpus (all driver fixtures through sf1), so the default
+    changes nothing below ~33k vectors.
     With 16 tables × 6 bits each vector probes ~L/2^b ≈ 1/4 of the
     corpus here (recall ≈ 0.5 on these weakly-correlated fixtures —
     measured in tests); on real embedding corpora with tight clusters
@@ -857,6 +874,7 @@ def ann_lsh_topk(
     where it lives, and no applyInPandas group ever materializes an
     unbounded bucket."""
     n_planes = _resolve_planes(emb, n_planes)
+    n_tables = _resolve_tables(emb, n_tables)
     # persist: both sides of the candidate self-join read the capped
     # memberships; without it the signature mapInPandas + cap window
     # subtree executes twice (measured ~0.5 s of the query at sf0.1)
@@ -1594,7 +1612,7 @@ def save_lsh_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int | str = 6,
-    n_tables: int = 16,
+    n_tables: int | str = "auto",
     dim: int = 64,
     max_bucket: int = 1024,
     quantize: bool = False,
@@ -1630,9 +1648,13 @@ def save_lsh_index(
 
     ``n_planes="auto"`` sizes the bit count to the corpus
     (``adaptive_planes``) so bucket occupancy stays bounded as the
-    corpus grows; the RESOLVED count is what the conf row stores, so
-    serving and appends replay it exactly."""
+    corpus grows, and ``n_tables="auto"`` (default) grows the table
+    count with the bit count (``adaptive_tables`` — 16 at every
+    ≤ 10-bit geometry) so serving recall doesn't collapse as bits
+    rise; the RESOLVED counts are what the conf row stores, so
+    serving and appends replay them exactly."""
     n_planes = _resolve_planes(emb, n_planes)
+    n_tables = _resolve_tables(emb, n_tables)
     spark = emb.sparkSession
     spark.createDataFrame(
         [(n_planes, n_tables, dim, max_bucket, bool(bucket_dirs))],
@@ -1737,13 +1759,37 @@ def query_lsh_index(
             [],
             f"query_id {id_type}, rnk int, neighbor_id {id_type}, sim double",
         )
-    pred = None
-    for t, buckets in sorted(probed.items()):
-        term = (F.col("table_idx") == t) & F.col("bucket").isin(sorted(buckets))
-        pred = term if pred is None else pred | term
-    stored = _apply_tombstones(
-        spark.read.parquet(f"{path}/buckets").where(pred), path, id_col
-    )
+    n_terms = sum(len(b) for b in probed.values())
+    raw = spark.read.parquet(f"{path}/buckets")
+    if n_terms <= LSH_LITERAL_PRED_MAX:
+        pred = None
+        for t, buckets in sorted(probed.items()):
+            term = (
+                (F.col("table_idx") == t)
+                & F.col("bucket").isin(sorted(buckets))
+            )
+            pred = term if pred is None else pred | term
+        raw = raw.where(pred)
+    else:
+        # many probed pairs (big batches x auto-grown table counts): a
+        # literal OR-of-ANDs this size is a Catalyst/parquet-pushdown
+        # liability, not an optimization - measured at the 200k/13-bit
+        # sweep: 100 queries x 128 tables (~12.8k literals) took the
+        # serve from ~7 s to 246 s, dominated by planning/filter
+        # compilation. A broadcast semi-join on the probed (table,
+        # bucket) pairs reads the same rows at scan speed instead.
+        pairs_df = spark.createDataFrame(
+            [
+                (t, b)
+                for t, buckets in sorted(probed.items())
+                for b in sorted(buckets)
+            ],
+            "table_idx int, bucket long",
+        )
+        raw = raw.join(
+            F.broadcast(pairs_df), ["table_idx", "bucket"], "left_semi"
+        )
+    stored = _apply_tombstones(raw, path, id_col)
     if "qvec" in stored.columns:  # int8 index: dequantize in the scan
         stored = stored.select(
             F.col(id_col),
@@ -2383,7 +2429,7 @@ def rebuild_lsh_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int | str | None = None,
-    n_tables: int | None = None,
+    n_tables: int | str | None = None,
     max_bucket: int | None = None,
 ) -> None:
     """Rebuild an LSH index in place — the LSH mirror of
@@ -2445,9 +2491,11 @@ def rebuild_lsh_index(
                 tomb.withColumnRenamed("id", id_col), id_col, "left_anti"
             )
     corpus = corpus.persist()
-    # "auto": re-size the bit count to the LIVE corpus (growth story —
-    # same rule as save_lsh_index; the new conf row stores the result)
+    # "auto": re-size the bit/table counts to the LIVE corpus (growth
+    # story — same rules as save_lsh_index; the new conf row stores
+    # the results)
     n_planes = _resolve_planes(corpus, n_planes)
+    n_tables = _resolve_tables(corpus, n_tables)
     capped = capped_lsh_buckets(
         corpus,
         id_col=id_col,

@@ -246,7 +246,6 @@ def sim_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_lsh_oracle(
-    n_tables: int = 16,
     dim: int = 64,
     max_bucket: int = 1024,
     k: int = 5,
@@ -258,26 +257,33 @@ def _ann_lsh_oracle(
         f"(instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
         for j in range(8)
     )
-    # Adaptive bit count: planes are BUILT at the structural max
-    # (range() takes only constants) but only the first p are USED,
-    # where p = adaptive_planes_sql — the identical integer-threshold
-    # rule the engine's n_planes="auto" applies, so buckets match
-    # bit-for-bit at every corpus size. Component (t,p,d) depends only
-    # on its own md5 key, so "first p of 12" == "built with p".
+    # Adaptive bit AND table counts: planes are BUILT at the
+    # structural max (range() takes only constants) but only the
+    # first p planes of the first T tables are USED, where p/T come
+    # from adaptive_planes_sql / adaptive_tables_sql — the identical
+    # integer-threshold rules the engine's "auto" defaults apply, so
+    # buckets match bit-for-bit at every corpus size. Component
+    # (t,p,d) depends only on its own md5 key, so "first p of max" ==
+    # "built with p" (and likewise for tables; T resolves to 16 at
+    # every ≤10-bit fixture, where this mask is exactly the pre-r8
+    # literal 16).
     p_expr = similarity.adaptive_planes_sql("e")
+    t_expr = similarity.adaptive_tables_sql("e")
     return f"""
 WITH raw AS (
     SELECT t.ti, p.pi, d.di,
            md5(CAST(t.ti AS VARCHAR) || ':' || CAST(p.pi AS VARCHAR) || ':' ||
                CAST(d.di AS VARCHAR)) AS h
-    FROM range({n_tables}) t(ti), range({similarity.LSH_MAX_PLANES}) p(pi),
+    FROM range({similarity.LSH_MAX_TABLES}) t(ti),
+         range({similarity.LSH_MAX_PLANES}) p(pi),
          range({dim}) d(di)
 ),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 comp AS (
-    SELECT ti, pi, di, 2.0 * (({hex2int}) / 4294967296.0) - 1.0 AS c FROM raw
+    SELECT ti, pi, di, 2.0 * (({hex2int}) / 4294967296.0) - 1.0 AS c
+    FROM raw WHERE ti < {t_expr} AND pi < {p_expr}
 ),
 planes AS (SELECT ti, pi, list(c ORDER BY di) AS plane FROM comp GROUP BY ti, pi),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 lnrm AS MATERIALIZED (
     SELECT vec_id, sqrt(list_inner_product(v, v)) AS nm FROM e
 ),
@@ -286,7 +292,6 @@ sigs AS (
            SUM(CASE WHEN list_inner_product(e.v, pl.plane) > 0
                THEN (1 << pl.pi) ELSE 0 END) AS bucket
     FROM e, planes pl
-    WHERE pl.pi < {p_expr}
     GROUP BY e.vec_id, pl.ti
 ),
 capped AS (

@@ -654,6 +654,65 @@ def test_adaptive_probes_rule_and_twin(spark):
         assert got == adaptive_probes(adaptive_centroids(n, cap=32768)), n
 
 
+def test_adaptive_tables_rule_and_twin(spark):
+    """n_tables="auto" closes the last unadaptive LSH geometry knob:
+    tables double per bit past the 10-bit geometry (capped at
+    LSH_MAX_TABLES), so per-table recall decay from the bit rule is
+    compensated instead of compounding — the n_probe failure class,
+    one knob over. At every ≤10-bit corpus (all driver fixtures
+    through sf1) it resolves to EXACTLY the historical 16, so every
+    pre-r8 hash carries. The SQL twin agrees at every boundary edge
+    of the shared bit thresholds."""
+    import duckdb
+
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+        LSH_MAX_TABLES,
+        LSH_TARGET_BUCKET,
+        adaptive_planes,
+        adaptive_tables,
+        adaptive_tables_sql,
+    )
+
+    assert adaptive_tables(500) == 16      # sf0.01 geometry (6 bits)
+    assert adaptive_tables(20_000) == 16   # sf1 geometry (10 bits)
+    assert adaptive_tables(200_000) == 128  # the r7 decade corpus (13 bits)
+    assert adaptive_tables(10**9) == LSH_MAX_TABLES  # cap
+    con = duckdb.connect()
+    edges = []
+    for p in range(6, 21):
+        n_edge = (1 << p) * LSH_TARGET_BUCKET
+        edges += [n_edge, n_edge + 1]
+    for n in edges + [500, 2_000, 20_000, 200_000]:
+        con.execute("CREATE OR REPLACE TABLE e AS SELECT * FROM range(?)", [n])
+        got = con.execute("SELECT " + adaptive_tables_sql("e")).fetchone()[0]
+        assert got == adaptive_tables(n), (n, got)
+        # and the rule keys off the SAME bit count the plane rule uses
+        assert adaptive_tables(n) == min(
+            128, 16 << max(0, adaptive_planes(n) - 10)
+        ), n
+
+
+def test_lsh_semijoin_pruning_matches_literal_predicate(
+    spark, emb, tmp_path, monkeypatch
+):
+    """Above LSH_LITERAL_PRED_MAX probed pairs, query_lsh_index prunes
+    via a broadcast semi-join instead of a literal OR-of-ANDs (the
+    12.8k-literal predicate measured 246 s of planning at the 200k
+    table sweep). Served rows must be IDENTICAL either way — the
+    threshold may only change the pruning mechanism."""
+    path = str(tmp_path / "lp")
+    base = emb.where(F.col("vec_id") < 400)
+    similarity.save_lsh_index(base, path, n_tables=8)
+    queries = emb.where(F.col("vec_id") < 12)
+    as_rows = lambda df: sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.sim) for r in df.collect()
+    )
+    lit = as_rows(similarity.query_lsh_index(queries, path, k=3))
+    monkeypatch.setattr(similarity, "LSH_LITERAL_PRED_MAX", 0)
+    join = as_rows(similarity.query_lsh_index(queries, path, k=3))
+    assert lit == join and lit
+
+
 def test_auto_layout_resolves_from_list_count(spark, emb, tmp_path):
     """list_dirs="auto" (the save-time default since r7) picks the
     layout from the resolved list count — dirs below 256, flat at or

@@ -10,8 +10,15 @@ recall of the planted structure is checked exactly where feasible.
 
 Usage:
   python tools/dedup_decade.py CORPUS_DIR OP [--max-doc-freq=N]
+        [--max-bucket=N] [--include-mega]
   OP ∈ {exact, minhash, minhash_cands, components, jaccard, prefix,
         simhash, simhash_cands}
+
+  --max-bucket engages the r8 linked-edge candidate cap in
+  minhash/simhash/components; --include-mega runs components over the
+  FULL corpus (only sane with --max-bucket — the uncapped mega
+  cluster owes 2·10⁸ all-pairs candidates, measured 1009 s for the
+  candidate count alone).
 
   minhash_cands / simhash_cands: count the CANDIDATE stream only (the
   banded/bucketed join output after distinct) — separates candidate-
@@ -38,9 +45,13 @@ def main() -> int:
     corpus = sys.argv[1]
     op = sys.argv[2]
     mdf = None
+    max_bucket = None
+    include_mega = "--include-mega" in sys.argv
     for a in sys.argv[3:]:
         if a.startswith("--max-doc-freq="):
             mdf = int(a.split("=", 1)[1])
+        elif a.startswith("--max-bucket="):
+            max_bucket = int(a.split("=", 1)[1])
 
     with open(os.path.join(corpus, "truth.json")) as f:
         truth = json.load(f)
@@ -91,24 +102,27 @@ def main() -> int:
         else:
             pairs = dedup.minhash_lsh_pairs(
                 docs, "text", "doc_id", threshold=truth["threshold"],
-                max_doc_freq=mdf,
+                max_doc_freq=mdf, max_bucket=max_bucket,
             )
             out["pairs"] = pairs.count()
+            out["max_bucket"] = max_bucket
             out["expected_small"] = truth["expected_pairs_small"]
             out["mega_all_pairs"] = truth["mega_all_pairs"]
 
     elif op == "components":
         mega = truth["mega"]
-        sub = docs.where(
+        sub = docs if include_mega else docs.where(
             ~F.col("doc_id").between(
                 mega["start"], mega["start"] + mega["size"] - 1
             )
         )
         pairs = dedup.minhash_lsh_pairs(
             sub, "text", "doc_id", threshold=truth["threshold"],
-            max_doc_freq=mdf,
+            max_doc_freq=mdf, max_bucket=max_bucket,
         ).persist()
         out["pairs"] = pairs.count()
+        out["max_bucket"] = max_bucket
+        out["include_mega"] = include_mega
         t0 = time.time()  # cluster wall only
         stats: dict = {}
         try:
@@ -128,6 +142,15 @@ def main() -> int:
                 .select("rep").distinct().count()
             )
             out["chain_components"] = chain_rep  # 1 == fully connected
+            if include_mega:
+                out["mega_components"] = (
+                    comp.where(
+                        F.col("id").between(
+                            mega["start"], mega["start"] + mega["size"] - 1
+                        )
+                    )
+                    .select("rep").distinct().count()
+                )
         except (RuntimeError, TypeError) as e:
             out["error"] = str(e)[:200]
         out["rounds"] = stats.get("rounds")
@@ -167,7 +190,10 @@ def main() -> int:
             )
             out["candidates"] = cands.count()
         else:
-            out["pairs"] = dedup.simhash_pairs(docs, "text", "doc_id").count()
+            out["pairs"] = dedup.simhash_pairs(
+                docs, "text", "doc_id", max_bucket=max_bucket
+            ).count()
+            out["max_bucket"] = max_bucket
 
     else:
         raise SystemExit(f"unknown op {op!r}")
