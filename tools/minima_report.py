@@ -126,6 +126,12 @@ def main() -> int:
         branched_slots = set(BRANCHED)
     except ImportError:
         branched_slots = set()
+    try:
+        from bench import COLUMN_GROWN  # noqa: E402
+
+        column_grown = dict(COLUMN_GROWN)
+    except ImportError:
+        column_grown = {}
 
     ratios = {}
     prelim = []
@@ -159,7 +165,10 @@ def main() -> int:
             flagged_raw.append(q)
         if flag:
             flagged.append(q)
-        rows.append((q, t, mn, src, ratio, flag, q in branched_slots))
+        rows.append(
+            (q, t, mn, src, ratio, flag, q in branched_slots,
+             column_grown.get(q))
+        )
 
     lines = [
         "# MINIMA — cross-round per-query bench minima",
@@ -174,15 +183,20 @@ def main() -> int:
         "rule (SURVEY §8 bench-weather notes). A flag means "
         "INVESTIGATE, not proven regression; 'branched' slots grew "
         "hash-checked strategies after their minima — read the "
-        "per-branch timings in the BENCH JSON before concluding.",
+        "per-branch timings in the BENCH JSON before concluding — and "
+        "'columns grew' slots added computed columns to the same scan "
+        "(bench.COLUMN_GROWN records what and when), the other "
+        "legitimate growth class.",
         "",
         "| query | current s | hist. min s | min round | ratio | flag |",
         "|---|---|---|---|---|---|",
     ]
-    for q, t, mn, src, ratio, flag, is_branched in rows:
+    for q, t, mn, src, ratio, flag, is_branched, grown in rows:
         note = "**FLAG**" if flag else ""
         if flag and is_branched:
             note += " (branched)"
+        if flag and grown:
+            note += f" (columns grew: {grown})"
         lines.append(
             f"| {q} | {t} | {mn if mn is not None else '—'} | {src} | "
             f"{ratio if ratio is not None else '—'} | {note} |"
