@@ -36,6 +36,7 @@ BRANCHED: dict[str, tuple[str, dict[str, bool]]] = {
     }),
     "dedup_ngram_jaccard": ("branch", {"plain": True, "prefix": False}),
     "dedup_minhash_lsh": ("branch", {"pairs": True, "clusters": False}),
+    "dedup_simhash": ("branch", {"pairs": True, "lpairs": False}),
     "sim_near_dup_embeddings": ("branch", {"pairs": True, "semdedup": False}),
     "sim_ann_ivf": ("branch", {"ivf": True, "ivfpq": False}),
     "text_fingerprint_rollup": ("branch", {
@@ -80,6 +81,7 @@ SF1_FROZEN_BAR = 192.18
 NEW_SINCE_SF1_FREEZE: set[tuple[str, str]] = {
     ("sim_ann_ivf", "ivfpq"),
     ("sessionize_reduce", "afunnel"),
+    ("dedup_simhash", "lpairs"),
 }
 
 

@@ -491,6 +491,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # path.
 
 
+_LINKED_MAX_BUCKET = 2  # engages on every ≥3 bucket — measured at
+# sf0.01: 1362 oversized buckets (max 36 members), lpairs 189 ⊊
+# pairs 240, so the branch exercises both the consecutive-edge leg
+# and the verify-drop of linked false positives (non-vacuity pinned
+# by test_simhash_lpairs_branch_nonvacuous)
+
+
 def _simhash_oracle() -> str:
     digits = ",\n           ".join(
         f"instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1 AS d{j}"
@@ -544,18 +551,92 @@ chunks AS (SELECT doc_id,
          FROM bits),
 pairs AS (
 {claim_legs}
-)
-SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+),
+{_linked_ctes()}
+SELECT 'lpairs' AS branch, id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+FROM lpairs
+UNION ALL
+SELECT 'pairs' AS branch, id_a, id_b, CAST(hamming AS INTEGER) AS hamming
 FROM pairs
 WHERE hamming <= 6
-ORDER BY id_a, id_b
+ORDER BY branch, id_a, id_b
 """
 
 
+def _linked_ctes() -> str:
+    """CTE chain replaying the ENGINE's max_bucket linked-edge mode
+    exactly (the r8 mega-bucket guard, _capped_bucket_pairs): the same
+    28 chunk-pair tables simhash_pairs buckets on (8-bit chunks i<j →
+    16-bit keys, posexplode order), per-bucket COUNT + LEAD windows,
+    all-pairs for ≤max_bucket groups and id-sorted consecutive edges
+    for oversized ones, DISTINCT, then the same hamming≤6 verify —
+    so the 'lpairs' branch hash-checks the linked-edge candidate
+    generation itself, not just its clustering contract."""
+    # engine chunk i = bits [8i, 8i+8) of the signature:
+    # shiftrightunsigned(sim, i*8) & 255
+    echunks = ",\n           ".join(
+        " + ".join(f"t{8 * i + b} * {1 << b}" for b in range(8)) + f" AS e{i}"
+        for i in range(8)
+    )
+    legs = []
+    tidx = 0
+    for i in range(8):
+        for j in range(i + 1, 8):
+            legs.append(
+                f"    SELECT doc_id, {tidx} AS tidx,"
+                f" e{i} * 256 + e{j} AS bucket FROM ech"
+            )
+            tidx += 1
+    tbl = "\n    UNION ALL\n".join(legs)
+    lham = " + ".join(f"bit_count(xor(x.e{i}, y.e{i}))" for i in range(8))
+    return f"""ech AS (SELECT doc_id,
+           {echunks}
+         FROM bits),
+tbl AS (
+{tbl}
+),
+sized AS (
+    SELECT doc_id, tidx, bucket,
+           COUNT(*) OVER (PARTITION BY tidx, bucket) AS bsz,
+           LEAD(doc_id) OVER (
+               PARTITION BY tidx, bucket ORDER BY doc_id) AS nid
+    FROM tbl
+),
+lcand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sized a JOIN sized b
+      ON a.tidx = b.tidx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE a.bsz <= {_LINKED_MAX_BUCKET}
+    UNION
+    SELECT doc_id AS id_a, nid AS id_b FROM sized
+    WHERE bsz > {_LINKED_MAX_BUCKET} AND nid IS NOT NULL
+),
+lpairs AS (
+    SELECT c.id_a, c.id_b, {lham} AS hamming
+    FROM lcand c
+    JOIN ech x ON x.doc_id = c.id_a
+    JOIN ech y ON y.doc_id = c.id_b
+    WHERE {lham} <= 6
+)"""
+
+
 @register("dedup_simhash", _simhash_oracle(), tags=("dedup",),
-          doc="SimHash-64 near-dup pairs (hamming ≤ 6) via chunk-pair pigeonhole tables (28 tables, 16-bit keys); md5-derived bits so the oracle recomputes exact signatures; recall additionally pinned by unit test.")
+          doc="SimHash-64 near-dup pairs (hamming ≤ 6) via chunk-pair pigeonhole tables (28 tables, 16-bit keys); md5-derived bits so the oracle recomputes exact signatures; recall additionally pinned by unit test. Second hash-checked branch 'lpairs' (r8): the same query under max_bucket=2 linked-edge mode — oversized buckets emit id-sorted consecutive edges instead of all-pairs (the mega-cluster guard measured at the 500k decade corpus) — with the oracle replaying the 28-table bucket/window/lead structure exactly, so the capped candidate generation itself is value-checked, not just its clustering contract.")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_dups(spark, sf_dir)
-    return dedup.simhash_pairs(
+    pairs = dedup.simhash_pairs(
         corpus, "text", "doc_id", max_hamming=6, token_hash="md5"
-    ).orderBy("id_a", "id_b")
+    )
+    lpairs = dedup.simhash_pairs(
+        corpus, "text", "doc_id", max_hamming=6, token_hash="md5",
+        max_bucket=_LINKED_MAX_BUCKET,
+    )
+    return (
+        pairs.select(F.lit("pairs").alias("branch"), "id_a", "id_b", "hamming")
+        .unionByName(
+            lpairs.select(
+                F.lit("lpairs").alias("branch"), "id_a", "id_b", "hamming"
+            )
+        )
+        .orderBy("branch", "id_a", "id_b")
+    )

@@ -353,6 +353,25 @@ def test_simhash_max_bucket_linked_preserves_clusters(spark):
     assert comp_f == comp_c
 
 
+def test_simhash_lpairs_branch_nonvacuous(spark):
+    """The r8 driver-gate branch 'lpairs' (dedup_simhash, max_bucket=2)
+    must actually ENGAGE on the fixture corpus: strictly fewer pairs
+    than the uncapped 'pairs' branch (linked edges forfeit some
+    qualifying pairs in oversized buckets), and a non-empty result —
+    otherwise the oracle's linked-replay CTEs are testing nothing."""
+    from hadoop_2_10_0_src_mapreduce_spark.plans.catalog.dedupops import (
+        dedup_simhash,
+    )
+    counts = {
+        r["branch"]: r["count"]
+        for r in dedup_simhash(spark, "/root/testdata/sf0.001")
+        .groupBy("branch")
+        .count()
+        .collect()
+    }
+    assert 0 < counts["lpairs"] < counts["pairs"]
+
+
 def test_simhash_rejects_uncoverable_hamming():
     with pytest.raises(ValueError):
         dedup.simhash_pairs(None, "text", "doc_id", max_hamming=8)
