@@ -8,11 +8,13 @@ else for media). The Spark-side design is the real deliverable here:
   never explodes into Python objects row-by-row; mapInPandas sees
   whole Arrow batches.
 - decode/resize/feature-extract run per batch; the codec boundary is
-  explicit and (since r8) SMALLER: binary PPM/PGM and uncompressed
-  24-bit BMP decode ON-BOX with pure-numpy codecs (``decode_ppm`` /
-  ``decode_bmp`` — uncompressed formats are just header parsing), so
-  ``decode_image`` is a real end-to-end path for them; compressed
-  formats (JPEG/PNG/ffmpeg/torchaudio territory) still try PIL and
+  explicit and (since r8) SMALLER: binary PPM/PGM, uncompressed
+  24-bit BMP, AND 8-bit non-interlaced PNG decode ON-BOX with
+  pure-numpy codecs (``decode_ppm`` / ``decode_bmp`` /
+  ``decode_png`` — the PNG DEFLATE stream is stdlib zlib, the five
+  scanline filters unfilter in numpy), so ``decode_image`` is a real
+  end-to-end path for them; the remaining compressed formats
+  (JPEG/video — ffmpeg/torchaudio territory) still try PIL and
   raise NotImplementedError when absent, while the deterministic FAKE
   container format below exercises every seam (schema, batching,
   partitioning, UDF signatures) end-to-end in tests.
@@ -34,6 +36,7 @@ from __future__ import annotations
 
 import hashlib
 import struct as _struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -61,8 +64,8 @@ def _parse(blob: bytes) -> tuple[int, int, int, bytes]:
 
 def _media_dims(blob: bytes) -> tuple[str, int, int, int]:
     """(kind, a, b, payload_len) from any supported container: FAKE
-    headers, PPM/PGM, or BMP (header-only reads for all three — the
-    raster is never touched); anything else is ('unknown', 0, 0,
+    headers, PPM/PGM, BMP, or PNG (header-only reads for all four —
+    the raster is never touched); anything else is ('unknown', 0, 0,
     len)."""
     if blob[:4] == MAGIC:
         kind, a, b, payload = _parse(blob)
@@ -87,6 +90,9 @@ def _media_dims(blob: bytes) -> tuple[str, int, int, int]:
     if blob[:2] == b"BM" and len(blob) >= 26:
         w = _struct.unpack("<i", blob[18:22])[0]
         h = abs(_struct.unpack("<i", blob[22:26])[0])
+        return "image", w, h, len(blob)
+    if blob[:8] == _PNG_SIG and len(blob) >= 24:
+        w, h = _struct.unpack(">II", blob[16:24])
         return "image", w, h, len(blob)
     return "unknown", 0, 0, len(blob)
 
@@ -195,13 +201,160 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth_row(row: np.ndarray, prev: np.ndarray, bpp: int) -> None:
+    """In-place Paeth unfilter of one row (recon semantics: ``row``
+    holds raw filter bytes on entry, reconstructed bytes on exit).
+    Vectorized across the ``bpp`` byte lanes per step — O(w) Python
+    steps instead of O(w·bpp)."""
+    r = row.astype(np.int64)
+    p = prev.astype(np.int64)
+    n = len(row)
+    a = np.zeros(bpp, np.int64)  # recon[i-bpp] for the current step
+    c = np.zeros(bpp, np.int64)  # prev [i-bpp]
+    for i in range(0, n, bpp):
+        sl = slice(i, min(i + bpp, n))
+        b = p[sl]
+        cc = c[: sl.stop - sl.start]
+        aa = a[: sl.stop - sl.start]
+        q = aa + b - cc
+        pa, pb, pc = np.abs(q - aa), np.abs(q - b), np.abs(q - cc)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), aa, np.where(pb <= pc, b, cc)
+        )
+        r[sl] = (r[sl] + pred) & 0xFF
+        a = r[sl]
+        c = b
+    row[:] = r.astype(np.uint8)
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Pure-numpy + stdlib-zlib PNG decode — 8-bit non-interlaced
+    gray / gray+alpha / RGB / RGBA / palette → uint8 array of shape
+    (h, w[, channels]). The DEFLATE stream is stdlib ``zlib``; the five
+    scanline filters unfilter with numpy (None/Up fully vectorized,
+    Sub via per-lane cumsum mod 256, Average/Paeth per-row with
+    lane-vectorized steps — correctness-first; our ``encode_png``
+    emits filter 0 so round trips never hit the slow paths).
+    16-bit, interlaced (Adam7), sub-byte-depth, and tRNS-transparent
+    images raise NotImplementedError — the codec boundary, same
+    convention as compressed BMP."""
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos < len(blob):
+        ln = _struct.unpack(">I", blob[pos:pos + 4])[0]
+        tag = blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # len + tag + data + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = _struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            raise NotImplementedError("PNG tRNS transparency not supported")
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG supported "
+            f"(depth={depth}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {ctype}")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    rowbytes = w * channels
+    if len(raw) != h * (rowbytes + 1):
+        raise ValueError("PNG raster size mismatch")
+    raw = raw.reshape(h, rowbytes + 1)
+    filters, rows = raw[:, 0], raw[:, 1:]
+    out = np.empty((h, rowbytes), np.uint8)
+    zero = np.zeros(rowbytes, np.uint8)
+    for y in range(h):
+        f, row = filters[y], rows[y].copy()
+        prev = out[y - 1] if y else zero
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: per-lane cumsum mod 256
+            row = (
+                np.cumsum(
+                    row.reshape(-1, channels).astype(np.int64), axis=0
+                )
+                % 256
+            ).astype(np.uint8).reshape(-1)
+        elif f == 2:  # Up
+            row += prev
+        elif f == 3:  # Average
+            r = row.astype(np.int64)
+            p = prev.astype(np.int64)
+            a = np.zeros(channels, np.int64)
+            for i in range(0, rowbytes, channels):
+                sl = slice(i, min(i + channels, rowbytes))
+                r[sl] = (r[sl] + (a[: sl.stop - sl.start] + p[sl]) // 2) & 0xFF
+                a = r[sl]
+            row = r.astype(np.uint8)
+        elif f == 4:
+            _paeth_row(row, prev, channels)
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = row
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        return plte[out.reshape(h, w)]
+    return out.reshape(h, w) if channels == 1 else out.reshape(h, w, channels)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 (h, w) / (h, w, 3) / (h, w, 4) → PNG bytes (filter 0
+    scanlines, one zlib IDAT) — the inverse of ``decode_png``
+    (byte-exact raster round trip, pinned by test)."""
+    arr = np.ascontiguousarray(np.asarray(arr, dtype=np.uint8))
+    if arr.ndim == 2:
+        ctype, channels = 0, 1
+    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
+        ctype, channels = (2, 3) if arr.shape[2] == 3 else (6, 4)
+    else:
+        raise ValueError(f"encode_png: unsupported shape {arr.shape}")
+    h, w = arr.shape[:2]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + tag
+            + data
+            + _struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raster = np.empty((h, w * channels + 1), np.uint8)
+    raster[:, 0] = 0
+    raster[:, 1:] = arr.reshape(h, w * channels)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(blob: bytes) -> np.ndarray:
     """REAL image decode → uint8 array — the codec boundary, shrunk in
-    r8: FAKE-container rasters, binary PPM/PGM, and uncompressed
-    24-bit BMP decode ON-BOX with the pure-numpy codecs above;
-    anything else (JPEG/PNG/…) needs PIL and raises
-    NotImplementedError when absent (this container has no image
-    libs)."""
+    r8: FAKE-container rasters, binary PPM/PGM, uncompressed 24-bit
+    BMP, and 8-bit non-interlaced PNG decode ON-BOX with the
+    pure-numpy codecs above; anything else (JPEG/video/…) needs PIL
+    and raises NotImplementedError when absent (this container has no
+    image libs)."""
     if blob[:4] == MAGIC:
         kind, w, h, payload = _parse(blob)
         if KINDS.get(kind) == "image" and len(payload) == w * h:
@@ -210,6 +363,8 @@ def decode_image(blob: bytes) -> np.ndarray:
         return decode_ppm(blob)
     if blob[:2] == b"BM":
         return decode_bmp(blob)
+    if blob[:8] == _PNG_SIG:
+        return decode_png(blob)
     try:
         import io
 
@@ -217,8 +372,8 @@ def decode_image(blob: bytes) -> np.ndarray:
     except ImportError as e:  # pragma: no cover - PIL absent on-box
         raise NotImplementedError(
             "compressed-format decoding requires PIL; install pillow on "
-            "the cluster, or supply PPM/PGM/uncompressed-BMP (decoded "
-            "on-box) or the FAKE-container test path"
+            "the cluster, or supply PPM/PGM/uncompressed-BMP/8-bit-PNG "
+            "(decoded on-box) or the FAKE-container test path"
         ) from e
     return np.asarray(Image.open(io.BytesIO(blob)))  # pragma: no cover
 
@@ -261,10 +416,12 @@ def resize_images(
     byte. Non-image kinds pass through untouched (a pipeline resizes
     its images and leaves audio/video alone); an image payload that is
     NOT a raw raster — and any non-container blob — goes through
-    ``decode_image``: PPM/PGM/uncompressed-BMP decode on-box (r8) and
-    re-encode as netpbm (P6/P5 — the format the pure codec can write);
-    compressed formats keep the documented NotImplementedError
-    boundary."""
+    ``decode_image``: PPM/PGM/uncompressed-BMP/8-bit-PNG decode
+    on-box (r8) and re-encode as netpbm (P6/P5 — the canonical
+    pure-codec output; gray/RGB PNG inputs therefore come back as
+    netpbm, while alpha-bearing PNGs re-encode as PNG since netpbm
+    can't carry alpha); the remaining compressed formats keep the
+    documented NotImplementedError boundary."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -285,11 +442,22 @@ def resize_images(
                             _nn_resize(raster, new_w, new_h).tobytes(),
                         ))
                         continue
-                # real formats: decode (PPM/PGM/BMP on-box; else the
-                # codec boundary raises), resize, publish as netpbm
-                out.append(
-                    encode_ppm(_nn_resize(decode_image(blob), new_w, new_h))
-                )
+                # real formats: decode (PPM/PGM/BMP/PNG on-box; else
+                # the codec boundary raises), resize, publish as
+                # netpbm — except alpha-bearing rasters (PNG RGBA /
+                # gray+alpha), which netpbm can't carry: those
+                # re-encode as PNG
+                arr = _nn_resize(decode_image(blob), new_w, new_h)
+                if arr.ndim == 3 and arr.shape[2] in (2, 4):
+                    if arr.shape[2] == 2:  # gray+alpha: split channels
+                        ga = np.stack(
+                            [arr[..., 0]] * 3 + [arr[..., 1]], axis=-1
+                        )
+                        out.append(encode_png(ga))
+                    else:
+                        out.append(encode_png(arr))
+                else:
+                    out.append(encode_ppm(arr))
             yield pd.DataFrame({"id": pdf[id_col].values, "media": out})
 
     return df.select(id_col, media_col).mapInPandas(batches, "id long, media binary")
@@ -299,7 +467,7 @@ def _nn_resize(arr: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
     """Nearest-neighbor resample — pixel (x', y') reads source
     (x'·w // new_w, y'·h // new_h); pure integer indexing, so an
     external oracle recomputes every output byte. Works for (h, w)
-    and (h, w, 3)."""
+    and (h, w, channels)."""
     h, w = arr.shape[:2]
     ys = (np.arange(new_h) * h) // new_h
     xs = (np.arange(new_w) * w) // new_w
