@@ -12,7 +12,7 @@ Usage:
   python tools/dedup_decade.py CORPUS_DIR OP [--max-doc-freq=N]
         [--max-bucket=N] [--include-mega]
   OP ∈ {exact, minhash, minhash_cands, components, jaccard, prefix,
-        simhash, simhash_cands}
+        simhash, simhash_cands, winnow, xgram}
 
   --max-bucket engages the r8 linked-edge candidate cap in
   minhash/simhash/components; --include-mega runs components over the
@@ -166,6 +166,24 @@ def main() -> int:
         )
         out["pairs"] = pairs.count()
         out["max_doc_freq"] = mdf
+
+    elif op == "winnow":
+        pairs = dedup.winnow_jaccard_pairs(
+            docs, "text", "doc_id", threshold=truth["threshold"],
+            max_doc_freq=mdf,
+        )
+        out["pairs"] = pairs.count()
+        out["max_doc_freq"] = mdf
+
+    elif op == "xgram":
+        # cross-doc repeated n-grams: stats + maximal spans (the two
+        # whole-corpus passes; the applied cut is stats-shaped again)
+        stats_df = dedup.repeated_ngram_doc_stats(
+            docs, "text", "doc_id", k=5
+        )
+        out["docs_flagged"] = stats_df.count()
+        spans = dedup.repeated_ngram_spans(docs, "text", "doc_id", k=5)
+        out["spans"] = spans.count()
 
     elif op in ("simhash", "simhash_cands"):
         if op == "simhash_cands":
