@@ -1306,6 +1306,7 @@ def simhash_signatures(
 def simhash_pairs(
     df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 6,
     token_hash: str = "xxhash64", max_bucket: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs within hamming distance via chunk-PAIR pigeonhole (the
     block-permutation idea from Manku et al.'s SimHash dedup paper,
@@ -1326,10 +1327,18 @@ def simhash_pairs(
     rows (the r8 decade corpus measured this unbounded). Oversized
     buckets emit id-sorted consecutive edges instead (see
     _capped_bucket_pairs; clustering contract). Default None keeps
-    exact all-pairs-within-hamming semantics."""
+    exact all-pairs-within-hamming semantics.
+
+    ``sigs``: pass a precomputed (persisted) ``simhash_signatures``
+    frame to share ONE signature pass across several pair derivations
+    (the dominant cost — e.g. the driver slot that runs both the
+    all-pairs and the max_bucket branch over the same corpus)."""
     if max_hamming >= 8:
         raise ValueError("simhash_pairs supports max_hamming <= 7 (8 chunks)")
-    sigs = simhash_signatures(df, text_col, id_col, token_hash=token_hash).persist()
+    if sigs is None:
+        sigs = simhash_signatures(
+            df, text_col, id_col, token_hash=token_hash
+        ).persist()
     # shiftrightunsigned needs a literal shift amount — enumerate the 8
     # chunk expressions instead of a transform() lambda
     chunks = [

@@ -624,12 +624,17 @@ lpairs AS (
           doc="SimHash-64 near-dup pairs (hamming ≤ 6) via chunk-pair pigeonhole tables (28 tables, 16-bit keys); md5-derived bits so the oracle recomputes exact signatures; recall additionally pinned by unit test. Second hash-checked branch 'lpairs' (r8): the same query under max_bucket=2 linked-edge mode — oversized buckets emit id-sorted consecutive edges instead of all-pairs (the mega-cluster guard measured at the 500k decade corpus) — with the oracle replaying the 28-table bucket/window/lead structure exactly, so the capped candidate generation itself is value-checked, not just its clustering contract.")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_dups(spark, sf_dir)
+    # one signature pass feeds both branches (the dominant cost)
+    sigs = dedup.simhash_signatures(
+        corpus, "text", "doc_id", token_hash="md5"
+    ).persist()
     pairs = dedup.simhash_pairs(
-        corpus, "text", "doc_id", max_hamming=6, token_hash="md5"
+        corpus, "text", "doc_id", max_hamming=6, token_hash="md5",
+        sigs=sigs,
     )
     lpairs = dedup.simhash_pairs(
         corpus, "text", "doc_id", max_hamming=6, token_hash="md5",
-        max_bucket=_LINKED_MAX_BUCKET,
+        max_bucket=_LINKED_MAX_BUCKET, sigs=sigs,
     )
     return (
         pairs.select(F.lit("pairs").alias("branch"), "id_a", "id_b", "hamming")
