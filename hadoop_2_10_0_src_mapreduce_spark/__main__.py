@@ -152,6 +152,19 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("-D", dest="conf", action="append", default=[],
                     metavar="key=value", help="Spark conf override")
 
+    fo = sub.add_parser(
+        "finalize", help="rename a committed output tree to Hadoop MR "
+        "file naming (part-r-NNNNN; --flatten for "
+        "generateFileNameForKeyValue layout) — pure filesystem, no "
+        "Spark session"
+    )
+    fo.add_argument("--path", required=True, help="committed output directory")
+    fo.add_argument("--name", default="part", help="base file name")
+    fo.add_argument("--flatten", action="store_true",
+                    help="turn leaf col=value dirs into <value>-r-NNNNN "
+                    "files in the parent (exact MultipleOutputs "
+                    "record-derived naming)")
+
     mt = sub.add_parser(
         "maintain", help="compact a parquet table (optionally sort- or Z-order-clustered)"
     )
@@ -290,6 +303,18 @@ def main(argv: list[str] | None = None) -> int:
             zorder=args.zorder,
         )
         print(f"compacted {args.path} into ~{n} files per partition")
+        return 0
+
+    if args.cmd == "finalize":
+        from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+            hadoop_style_filenames,
+        )
+
+        renamed = hadoop_style_filenames(
+            args.path, name=args.name, flatten=args.flatten
+        )
+        n = sum(len(v) for v in renamed.values())
+        print(f"renamed {n} files in {len(renamed)} directories")
         return 0
 
     if args.cmd == "index":

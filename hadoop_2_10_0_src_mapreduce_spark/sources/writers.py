@@ -264,6 +264,107 @@ def write_side_outputs(
         )
 
 
+_DATA_FILE_SUFFIXES = (".parquet", ".orc", ".txt", ".csv", ".json",
+                       ".avro", ".gz", ".snappy", ".zstd", ".lz4")
+
+
+def hadoop_style_filenames(
+    path: str, *, name: str = "part", flatten: bool = False
+) -> dict[str, list[str]]:
+    """EXACT MultipleOutputs/FileOutputFormat FILENAME parity — the
+    SURVEY §4.3 item 4 delta, closed as a pure-filesystem post-commit
+    pass instead of a custom FileCommitProtocol (no JVM plugin needed,
+    and the rename happens AFTER Spark's commit protocol has already
+    made the write atomic, so crash-safety is unchanged: a crash
+    mid-rename leaves a readable mix of old/new file NAMES, never
+    partial data files).
+
+    Spark's committed files are ``part-00000-<uuid>…``; Hadoop MR
+    consumers expect ``part-r-00000`` / ``<derived>-r-00000``
+    (FileOutputFormat#getUniqueFile, MultipleOutputs#write with a
+    baseOutputPath derived from the record [H]). This pass renames the
+    data files in every directory under ``path`` to
+    ``{name}-r-{NNNNN}{ext}``, numbering deterministically in sorted
+    current-name order (Spark's part numbers are already
+    task-ordered, so ordering is stable across reruns of the same
+    write).
+
+    ``flatten=True`` additionally converts LEAF ``col=value``
+    partition dirs into files named ``{value}-r-{NNNNN}{ext}`` in the
+    parent directory — the precise generateFileNameForKeyValue layout
+    (record-derived name as the file's base name). Ancestor partition
+    levels keep their dirs but drop the ``col=`` prefix, matching a
+    derived name containing '/'. The trade, stated: the flattened
+    layout is for MR-style consumers; Spark readers of the flattened
+    tree must recover the partition value from the file name
+    (recursiveFileLookup) since the dir encoding is gone.
+
+    Returns {directory: [new file names]} for logging/tests. Skips
+    ``_SUCCESS``/metadata files (kept in place, MR wrote one too)."""
+    import os
+    import re as _re
+
+    renamed: dict[str, list[str]] = {}
+
+    def is_data(f: str) -> bool:
+        return f.startswith("part-") and f.endswith(_DATA_FILE_SUFFIXES)
+
+    def ext_of(f: str) -> str:
+        # ".c000.snappy.parquet" -> ".snappy.parquet": keep the
+        # codec/format extension, drop Spark's column-batch counter
+        m = _re.search(r"((?:\.[a-z0-9]+)+)$", f)
+        if not m:
+            return ""
+        segs = [s for s in m.group(1).split(".") if s]
+        return "".join(
+            f".{s}" for s in segs if not _re.fullmatch(r"c\d+", s)
+        )
+
+    for dirpath, dirnames, filenames in sorted(os.walk(path, topdown=False)):
+        files = sorted(f for f in filenames if is_data(f))
+        if not files:
+            continue
+        base = os.path.basename(dirpath)
+        m = _re.fullmatch(r"[^=]+=(.+)", base)
+        if flatten and m and not dirnames:
+            # leaf partition dir -> files named after the VALUE in the
+            # parent; the dir itself goes away
+            dest_dir, fname = os.path.dirname(dirpath), m.group(1)
+            for i, f in enumerate(files):
+                new = f"{fname}-r-{i:05d}{ext_of(f)}"
+                os.replace(
+                    os.path.join(dirpath, f), os.path.join(dest_dir, new)
+                )
+                renamed.setdefault(dest_dir, []).append(new)
+            leftover = [
+                f for f in os.listdir(dirpath)
+                if not f.startswith((".", "_"))
+            ]
+            if not leftover:
+                for f in os.listdir(dirpath):  # committer crumbs
+                    os.remove(os.path.join(dirpath, f))
+                os.rmdir(dirpath)
+        else:
+            for i, f in enumerate(files):
+                new = f"{name}-r-{i:05d}{ext_of(f)}"
+                os.replace(
+                    os.path.join(dirpath, f), os.path.join(dirpath, new)
+                )
+                renamed.setdefault(dirpath, []).append(new)
+    if flatten:
+        # ancestor partition levels drop the "col=" prefix (a derived
+        # name containing '/'); deepest-first so renames don't collide
+        dirs = sorted(
+            (d for d, _, _ in os.walk(path)), key=len, reverse=True
+        )
+        for d in dirs:
+            base = os.path.basename(d)
+            m = _re.fullmatch(r"[^=]+=(.+)", base)
+            if m and os.path.isdir(d):
+                os.replace(d, os.path.join(os.path.dirname(d), m.group(1)))
+    return renamed
+
+
 def compact_table(
     spark: SparkSession,
     path: str,

@@ -57,6 +57,57 @@ def test_write_partitioned_creates_content_derived_dirs(spark, tmp_path):
     assert spark.read.parquet(p).count() == 3
 
 
+def test_hadoop_style_filenames_rename_and_flatten(spark, tmp_path):
+    """SURVEY §4.3 item 4 closed: exact FileOutputFormat /
+    MultipleOutputs FILENAME parity as a post-commit rename pass.
+    Plain mode: part-00000-<uuid>.parquet → part-r-00000.parquet per
+    dir. Flatten mode: leaf col=value dirs become <value>-r-NNNNN
+    files in the parent (generateFileNameForKeyValue layout) and
+    ancestor levels drop the col= prefix; data stays byte-readable."""
+    import os
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        hadoop_style_filenames,
+        write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "a", "y"), (4, "a", "x")],
+        ["id", "grp", "sub"],
+    )
+
+    # plain rename: MR-style task numbering inside each partition dir
+    p1 = str(tmp_path / "plain")
+    write_partitioned(df, p1, "grp", mode="overwrite")
+    renamed = hadoop_style_filenames(p1)
+    for d, names in renamed.items():
+        assert all(
+            n.startswith("part-r-") and n.endswith(".snappy.parquet")
+            for n in names
+        )
+        assert names == sorted(names)
+    assert spark.read.parquet(p1).count() == 4  # still readable
+
+    # flatten: two-level partitioning -> <sub>-r-NNNNN files inside a
+    # dir named after grp's VALUE (col= prefixes gone)
+    p2 = str(tmp_path / "flat")
+    write_partitioned(
+        df.repartition("grp", "sub"), p2, "grp", "sub", mode="overwrite"
+    )
+    hadoop_style_filenames(p2, flatten=True)
+    top = {d for d in os.listdir(p2) if not d.startswith(("_", "."))}
+    assert top == {"a", "b"}
+    a_files = sorted(
+        f for f in os.listdir(os.path.join(p2, "a"))
+        if not f.startswith((".", "_"))
+    )
+    assert a_files == ["x-r-00000.snappy.parquet", "y-r-00000.snappy.parquet"]
+    # rows survive the flatten byte-for-byte (partition cols now live
+    # in the file/dir names, the documented MR-consumer trade)
+    back = spark.read.option("recursiveFileLookup", "true").parquet(p2)
+    assert sorted(r.id for r in back.collect()) == [1, 2, 3, 4]
+
+
 def test_write_null_noop_sink(spark):
     from hadoop_2_10_0_src_mapreduce_spark.sources.writers import write_null
 
