@@ -62,38 +62,57 @@ def _parse(blob: bytes) -> tuple[int, int, int, bytes]:
     return kind, a, b, blob[9:]
 
 
+def _netpbm_header(blob: bytes, n_vals: int) -> tuple[list[int], int]:
+    """Shared netpbm header tokenizer (the one automaton both the
+    cheap metadata pass and the real decoder use, so they can never
+    disagree on a blob): parse ``n_vals`` ints after the magic,
+    skipping arbitrary whitespace and ``#`` comments. Returns (vals,
+    offset-just-past-the-last-digit). Raises ValueError on malformed
+    headers (incl. a comment with no terminating newline)."""
+    vals: list[int] = []
+    i = 2
+    while len(vals) < n_vals:
+        c = blob[i:i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            nl = blob.find(b"\n", i)
+            if nl < 0:
+                raise ValueError("unterminated netpbm comment")
+            i = nl + 1
+        elif c.isdigit():
+            j = i
+            while blob[j:j + 1].isdigit():
+                j += 1
+            vals.append(int(blob[i:j]))
+            i = j
+        else:
+            raise ValueError("bad netpbm header")
+    return vals, i
+
+
 def _media_dims(blob: bytes) -> tuple[str, int, int, int]:
     """(kind, a, b, payload_len) from any supported container: FAKE
     headers, PPM/PGM, BMP, or PNG (header-only reads for all four —
-    the raster is never touched); anything else is ('unknown', 0, 0,
-    len)."""
-    if blob[:4] == MAGIC:
-        kind, a, b, payload = _parse(blob)
-        return KINDS.get(kind, "unknown"), a, b, len(payload)
-    if blob[:2] in (b"P6", b"P5"):
-        vals, i = [], 2
-        while len(vals) < 2:
-            c = blob[i:i + 1]
-            if c.isspace():
-                i += 1
-            elif c == b"#":
-                i = blob.index(b"\n", i) + 1
-            elif c.isdigit():
-                j = i
-                while blob[j:j + 1].isdigit():
-                    j += 1
-                vals.append(int(blob[i:j]))
-                i = j
-            else:
-                return "unknown", 0, 0, len(blob)
-        return "image", vals[0], vals[1], len(blob)
-    if blob[:2] == b"BM" and len(blob) >= 26:
-        w = _struct.unpack("<i", blob[18:22])[0]
-        h = abs(_struct.unpack("<i", blob[22:26])[0])
-        return "image", w, h, len(blob)
-    if blob[:8] == _PNG_SIG and len(blob) >= 24:
-        w, h = _struct.unpack(">II", blob[16:24])
-        return "image", w, h, len(blob)
+    the raster is never touched); anything else — INCLUDING truncated
+    or malformed headers — is ('unknown', 0, 0, len), never an
+    exception (one bad row must not fail its whole Arrow batch)."""
+    try:
+        if blob[:4] == MAGIC:
+            kind, a, b, payload = _parse(blob)
+            return KINDS.get(kind, "unknown"), a, b, len(payload)
+        if blob[:2] in (b"P6", b"P5"):
+            (w, h), _ = _netpbm_header(blob, 2)
+            return "image", w, h, len(blob)
+        if blob[:2] == b"BM" and len(blob) >= 26:
+            w = _struct.unpack("<i", blob[18:22])[0]
+            h = abs(_struct.unpack("<i", blob[22:26])[0])
+            return "image", w, h, len(blob)
+        if blob[:8] == _PNG_SIG and len(blob) >= 24:
+            w, h = _struct.unpack(">II", blob[16:24])
+            return "image", w, h, len(blob)
+    except (ValueError, _struct.error):
+        pass
     return "unknown", 0, 0, len(blob)
 
 
@@ -132,23 +151,7 @@ def decode_ppm(blob: bytes) -> np.ndarray:
     magic = blob[:2]
     if magic not in (b"P6", b"P5"):
         raise ValueError("not a binary PPM/PGM")
-    vals: list[int] = []
-    i = 2
-    while len(vals) < 3:
-        c = blob[i:i + 1]
-        if c.isspace():
-            i += 1
-        elif c == b"#":
-            i = blob.index(b"\n", i) + 1
-        elif c.isdigit():
-            j = i
-            while blob[j:j + 1].isdigit():
-                j += 1
-            vals.append(int(blob[i:j]))
-            i = j
-        else:
-            raise ValueError("bad PPM header")
-    w, h, maxval = vals
+    (w, h, maxval), i = _netpbm_header(blob, 3)
     if maxval > 255:
         raise NotImplementedError("16-bit PPM/PGM rasters not supported")
     i += 1  # the single whitespace byte before the raster

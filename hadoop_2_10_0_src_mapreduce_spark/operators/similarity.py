@@ -256,11 +256,36 @@ def adaptive_tables(
     (the sweep's measured point; past it, prefer IVF/IVF-PQ). At
     bits ≤ 10 — every driver fixture through sf1 — resolves to
     exactly 16, so all pre-r8 hashes carry. Integer arithmetic with
-    an exact SQL twin (``adaptive_tables_sql``)."""
+    an exact SQL twin (``adaptive_tables_sql``).
+
+    This count-keyed form is the SQL-twin-parity surface; the engine
+    resolves tables from the RESOLVED plane count
+    (``adaptive_tables_for_planes``) so an explicitly passed
+    ``n_planes`` keys the table rule too — the two agree exactly when
+    planes are themselves "auto"."""
     bits = adaptive_planes(
         n, target_bucket=target_bucket, min_planes=min_planes,
         max_planes=max_planes,
     )
+    return adaptive_tables_for_planes(
+        bits, base=base, base_planes=base_planes, max_tables=max_tables
+    )
+
+
+def adaptive_tables_for_planes(
+    bits: int,
+    *,
+    base: int = LSH_TABLE_BASE,
+    base_planes: int = LSH_BASE_PLANES,
+    max_tables: int = LSH_MAX_TABLES,
+) -> int:
+    """The table rule keyed off the plane count it actually
+    compensates for: tables = base · 2^(bits − base_planes), capped.
+    ``_resolve_tables`` uses this with the RESOLVED plane count, so
+    a caller pinning n_planes=6 on a 200k corpus gets 16 tables (the
+    6-bit recall regime needs no compensation), not the 128 the
+    corpus-size rule would blindly order — and "auto" planes give
+    bit-identical results to the count-keyed ``adaptive_tables``."""
     return min(max_tables, base << max(0, bits - base_planes))
 
 
@@ -289,9 +314,13 @@ def adaptive_tables_sql(
     return f"(SELECT CASE{whens} ELSE {tables_at(max_planes)} END FROM {corpus})"
 
 
-def _resolve_tables(emb: DataFrame, n_tables, **kw) -> int:
+def _resolve_tables(n_planes_resolved: int, n_tables, **kw) -> int:
+    """Resolve ``n_tables`` AFTER planes: "auto" keys off the resolved
+    plane count (no extra count() job — the planes resolution already
+    paid it when both knobs are auto, and an explicit n_planes should
+    drive the compensation rule, not the corpus size)."""
     if n_tables == "auto":
-        return adaptive_tables(emb.count(), **kw)
+        return adaptive_tables_for_planes(n_planes_resolved, **kw)
     return n_tables
 
 
@@ -874,7 +903,7 @@ def ann_lsh_topk(
     where it lives, and no applyInPandas group ever materializes an
     unbounded bucket."""
     n_planes = _resolve_planes(emb, n_planes)
-    n_tables = _resolve_tables(emb, n_tables)
+    n_tables = _resolve_tables(n_planes, n_tables)
     # persist: both sides of the candidate self-join read the capped
     # memberships; without it the signature mapInPandas + cap window
     # subtree executes twice (measured ~0.5 s of the query at sf0.1)
@@ -1654,7 +1683,7 @@ def save_lsh_index(
     rise; the RESOLVED counts are what the conf row stores, so
     serving and appends replay them exactly."""
     n_planes = _resolve_planes(emb, n_planes)
-    n_tables = _resolve_tables(emb, n_tables)
+    n_tables = _resolve_tables(n_planes, n_tables)
     spark = emb.sparkSession
     spark.createDataFrame(
         [(n_planes, n_tables, dim, max_bucket, bool(bucket_dirs))],
@@ -2495,7 +2524,7 @@ def rebuild_lsh_index(
     # story — same rules as save_lsh_index; the new conf row stores
     # the results)
     n_planes = _resolve_planes(corpus, n_planes)
-    n_tables = _resolve_tables(corpus, n_tables)
+    n_tables = _resolve_tables(n_planes, n_tables)
     capped = capped_lsh_buckets(
         corpus,
         id_col=id_col,

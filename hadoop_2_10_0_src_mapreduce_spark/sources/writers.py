@@ -12,8 +12,9 @@ wrappers choosing format/layout:
 - MapFileOutputFormat     → write_sorted_bucketed (sorted + bucketed:
   point lookups become bucket-pruned joins)
 - MultipleOutputs         → write_partitioned (content-derived dirs via
-  partitionBy) — exact per-record *filename* control is out of scope
-  (needs a custom FileCommitProtocol; documented delta, SURVEY §4.3).
+  partitionBy); exact per-record *filename* control closed in r8 by
+  hadoop_style_filenames (post-commit rename pass — no custom
+  FileCommitProtocol needed; SURVEY §4.3 item 4).
 - LazyOutputFormat        → Spark file sinks already skip empty
   partitions; nothing to do.
 - NullOutputFormat        → write_null (the 'noop' sink).
@@ -300,14 +301,33 @@ def hadoop_style_filenames(
     (recursiveFileLookup) since the dir encoding is gone.
 
     Returns {directory: [new file names]} for logging/tests. Skips
-    ``_SUCCESS``/metadata files (kept in place, MR wrote one too)."""
+    ``_SUCCESS``/metadata files (kept in place, MR wrote one too) and
+    files already carrying the ``-r-NNNNN`` finalized form (so the
+    pass is idempotent); a rename whose target name already exists
+    raises instead of silently overwriting committed data (re-run
+    after an append: new task files would otherwise land on the
+    previously finalized numbers)."""
     import os
     import re as _re
 
     renamed: dict[str, list[str]] = {}
+    _finalized = _re.compile(r".+-r-\d{5}(\.[A-Za-z0-9.]+)?$")
 
     def is_data(f: str) -> bool:
-        return f.startswith("part-") and f.endswith(_DATA_FILE_SUFFIXES)
+        return (
+            f.startswith("part-")
+            and f.endswith(_DATA_FILE_SUFFIXES)
+            and not _finalized.fullmatch(f)
+        )
+
+    def safe_replace(src: str, dst: str) -> None:
+        if os.path.exists(dst):
+            raise FileExistsError(
+                f"refusing to overwrite {dst} — the directory holds "
+                "previously finalized files; renumber or clean before "
+                "re-finalizing"
+            )
+        os.replace(src, dst)
 
     def ext_of(f: str) -> str:
         # ".c000.snappy.parquet" -> ".snappy.parquet": keep the
@@ -332,7 +352,7 @@ def hadoop_style_filenames(
             dest_dir, fname = os.path.dirname(dirpath), m.group(1)
             for i, f in enumerate(files):
                 new = f"{fname}-r-{i:05d}{ext_of(f)}"
-                os.replace(
+                safe_replace(
                     os.path.join(dirpath, f), os.path.join(dest_dir, new)
                 )
                 renamed.setdefault(dest_dir, []).append(new)
@@ -347,7 +367,7 @@ def hadoop_style_filenames(
         else:
             for i, f in enumerate(files):
                 new = f"{name}-r-{i:05d}{ext_of(f)}"
-                os.replace(
+                safe_replace(
                     os.path.join(dirpath, f), os.path.join(dirpath, new)
                 )
                 renamed.setdefault(dirpath, []).append(new)
@@ -551,6 +571,23 @@ def _gen_num(gen_path: str) -> int:
     return int(gen_path.rsplit(".__gen_", 1)[1].rstrip("_"))
 
 
+def _mark_served(gen_path: str) -> None:
+    """Stamp a generation as having actually been SERVED (the symlink
+    pointed at it) — written right after every link flip. Rollback
+    trusts this marker, not Spark's _SUCCESS: a swap that committed
+    its parquet (_SUCCESS present) but crashed before the link replace
+    leaves a never-served generation that must not be a rollback
+    target, and _SUCCESS can't tell it apart from a genuine
+    flip-flop candidate. Dot-prefixed so parquet readers ignore it."""
+    import os
+
+    try:
+        with open(os.path.join(gen_path, ".__served__"), "w") as f:
+            f.write("")
+    except OSError:
+        pass  # marker is advisory; serving already switched
+
+
 def enable_pointer_swaps(path: str) -> None:
     """One-time conversion of a live parquet directory to POINTER
     (symlink-generation) layout, after which every
@@ -587,6 +624,7 @@ def enable_pointer_swaps(path: str) -> None:
         os.unlink(tmp_link)
     os.symlink(os.path.basename(gen), tmp_link)
     os.replace(tmp_link, path)
+    _mark_served(gen)
 
 
 def rollback_pointer_swap(path: str) -> str:
@@ -616,17 +654,21 @@ def rollback_pointer_swap(path: str) -> str:
     # a swap that crashed after (or during) its parquet write but
     # before the link replace leaves a never-served stray that
     # OUTRANKS the true grace copy; rolling back to it could serve a
-    # partial write. Valid rollback targets are generations OLDER than
-    # the served one (they were served once, complete by construction
-    # — covers pre-_SUCCESS converted dirs) or newer ones carrying
-    # Spark's _SUCCESS marker (the flip-flop case: a rolled-back-FROM
-    # generation is newer than current but fully committed).
+    # partial write — or, when the crash came AFTER the commit
+    # (_SUCCESS written) but before the link flip, data nobody ever
+    # served (the review-confirmed hole in a _SUCCESS-based check).
+    # Valid rollback targets are generations OLDER than the served
+    # one (served once, complete by construction — covers dirs
+    # converted before markers existed) or newer ones carrying the
+    # .__served__ marker every link flip stamps (the flip-flop case:
+    # a rolled-back-FROM generation is newer than current but was
+    # genuinely live).
     cur_num = _gen_num(cur) if ".__gen_" in cur else -1
     others = [
         g
         for g in others
         if _gen_num(g) < cur_num
-        or os.path.exists(os.path.join(g, "_SUCCESS"))
+        or os.path.exists(os.path.join(g, ".__served__"))
     ]
     if not others:
         raise ValueError(
@@ -642,6 +684,7 @@ def rollback_pointer_swap(path: str) -> str:
         os.unlink(tmp_link)
     os.symlink(os.path.basename(prev), tmp_link)
     os.replace(tmp_link, path)
+    _mark_served(prev)
     return prev
 
 
@@ -690,6 +733,7 @@ def _pointer_swap_write(
         os.unlink(tmp_link)
     os.symlink(os.path.basename(gen), tmp_link)
     os.replace(tmp_link, path)  # atomic: link over link, never ENOENT
+    _mark_served(gen)
     # normalize BOTH sides of the keep-set comparison: glob returns
     # './'-prefixed paths for './'-spelled inputs while normpath(
     # cur_target) strips the prefix, and a raw-vs-normalized mismatch

@@ -127,6 +127,24 @@ def test_ppm_bmp_pure_numpy_codecs_roundtrip():
         mm.decode_image(b"\xff\xd8\xff\xe0jpeg...")
 
 
+def test_decode_meta_never_fails_a_batch_on_malformed_blobs(spark):
+    """Review fix: truncated FAKE headers and unterminated netpbm
+    comments must report kind='unknown', not abort the whole Arrow
+    batch — one bad row previously failed every row sharing its
+    batch."""
+    df = spark.createDataFrame(
+        [
+            (1, b"FAKE\x01"),                 # truncated FAKE header
+            (2, b"P6 # comment no newline"),  # unterminated comment
+            (3, b"BM" + b"\x00" * 10),        # truncated BMP
+            (4, mm.pack_fake_media(1, 2, 2, b"abcd")),  # good row
+        ],
+        "id long, media binary",
+    )
+    meta = {r.id: r.kind for r in mm.decode_meta(df).collect()}
+    assert meta == {1: "unknown", 2: "unknown", 3: "unknown", 4: "image"}
+
+
 def test_png_pure_numpy_codec_roundtrip():
     """The r8 PNG codec: stdlib-zlib DEFLATE + numpy unfiltering.
     Byte-exact raster round trips for gray/RGB/RGBA, every scanline

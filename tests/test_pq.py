@@ -692,6 +692,55 @@ def test_adaptive_tables_rule_and_twin(spark):
         ), n
 
 
+def test_resolve_tables_keys_off_resolved_planes(spark):
+    """Review fix: an EXPLICIT n_planes drives the table rule (the
+    rule compensates per-bit recall loss, so it must key off the bits
+    the index actually has, not the corpus size) — n_planes=6 on a
+    200k-row corpus keeps 16 tables instead of the 128 the count rule
+    would order. And with planes='auto' the resolution is identical
+    to the count-keyed adaptive_tables, so every hash carries. Also
+    pins the single-count contract: resolving both knobs triggers at
+    most ONE count() job."""
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+        _resolve_planes,
+        _resolve_tables,
+        adaptive_planes,
+        adaptive_tables,
+        adaptive_tables_for_planes,
+    )
+
+    assert _resolve_tables(6, "auto") == 16
+    assert _resolve_tables(13, "auto") == 128
+    assert _resolve_tables(13, 32) == 32
+    for n in (500, 20_000, 200_000, 10**7):
+        assert (
+            adaptive_tables_for_planes(adaptive_planes(n))
+            == adaptive_tables(n)
+        ), n
+
+    emb = spark.range(3000).selectExpr(
+        "id AS vec_id", "array(cast(id as float)) AS embedding"
+    )
+    sc = spark.sparkContext
+    # AQE may split one count() action into >1 job — measure the
+    # baseline and require resolving BOTH knobs costs exactly one
+    # count() action, not two
+    sc.setJobGroup("baseline-count", "one bare count")
+    try:
+        emb.count()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    baseline = len(sc.statusTracker().getJobIdsForGroup("baseline-count"))
+    sc.setJobGroup("resolve-count-gate", "one count for both knobs")
+    try:
+        planes = _resolve_planes(emb, "auto")
+        _resolve_tables(planes, "auto")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("resolve-count-gate")
+    assert len(jobs) == baseline, (jobs, baseline)
+
+
 def test_lsh_semijoin_pruning_matches_literal_predicate(
     spark, emb, tmp_path, monkeypatch
 ):
@@ -1035,8 +1084,8 @@ def test_rollback_skips_crashed_write_stray(spark, tmp_path):
     """The r7 ADVICE low: a swap that crashed after starting its
     parquet write leaves a stray, never-served, possibly-partial
     generation that outranks the true grace copy. rollback must skip
-    strays without a _SUCCESS marker (never serve incomplete data)
-    and still land on the real grace generation."""
+    never-served strays (no .__served__ marker — never serve
+    incomplete data) and still land on the real grace generation."""
     import os
 
     from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
@@ -1065,3 +1114,38 @@ def test_rollback_skips_crashed_write_stray(spark, tmp_path):
     shutil.rmtree(f"{path}.__gen_1__")
     with pytest.raises(ValueError, match="no previous COMPLETE generation"):
         rollback_pointer_swap(path)
+
+
+def test_rollback_skips_committed_but_never_served_stray(spark, tmp_path):
+    """Review fix: a swap that COMMITTED its parquet (_SUCCESS
+    present) but crashed before the link replace is indistinguishable
+    from a flip-flop candidate by _SUCCESS alone — rolling back would
+    serve the data the crashed swap was deploying, the opposite of
+    rollback intent. Every link flip now stamps .__served__ and
+    rollback trusts only that: the committed-never-served stray is
+    skipped, the true (older, once-served) grace wins, and the
+    genuine flip-flop still works because rolled-FROM generations
+    carry the marker."""
+    import os
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        atomic_swap_write,
+        enable_pointer_swaps,
+        rollback_pointer_swap,
+    )
+
+    path = str(tmp_path / "cns")
+    spark.range(10).write.parquet(path)
+    enable_pointer_swaps(path)
+    atomic_swap_write(spark.range(20), path, [])  # grace gen_0, cur gen_1
+    # crashed swap: gen_2 fully committed by Spark, link never flipped
+    stray = f"{path}.__gen_2__"
+    spark.range(30).write.parquet(stray)
+    assert os.path.exists(os.path.join(stray, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(stray, ".__served__"))
+    prev = rollback_pointer_swap(path)
+    assert prev.endswith(".__gen_0__")  # never forward onto gen_2
+    assert spark.read.parquet(path).count() == 10
+    # flip-flop (newer-than-current but genuinely served) still works
+    assert rollback_pointer_swap(path).endswith(".__gen_1__")
+    assert spark.read.parquet(path).count() == 20

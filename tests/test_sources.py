@@ -107,6 +107,19 @@ def test_hadoop_style_filenames_rename_and_flatten(spark, tmp_path):
     back = spark.read.option("recursiveFileLookup", "true").parquet(p2)
     assert sorted(r.id for r in back.collect()) == [1, 2, 3, 4]
 
+    # idempotent: a second pass finds nothing to rename...
+    assert hadoop_style_filenames(p1) == {}
+    # ...and a rename that would land on an existing finalized file
+    # REFUSES instead of silently overwriting committed data
+    import pytest
+
+    victim_dir = next(iter(renamed))
+    open(os.path.join(victim_dir, "part-00000-new.snappy.parquet"), "wb").write(
+        b"x"
+    )
+    with pytest.raises(FileExistsError, match="refusing to overwrite"):
+        hadoop_style_filenames(p1)
+
 
 def test_write_null_noop_sink(spark):
     from hadoop_2_10_0_src_mapreduce_spark.sources.writers import write_null
