@@ -321,6 +321,7 @@ def stream_incremental_corpus_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Streaming face of ``dedup.incremental_exact_dedup`` — the
     continuous-ingestion pipeline end to end: every micro-batch of
@@ -354,7 +355,13 @@ def stream_incremental_corpus_dedup(
     index did not, re-emitted rows are possible — the standard
     foreachBatch contract (_start_sink docstring); order the two
     appends index-first to shrink that window... out_dir is written
-    AFTER the index here for exactly that reason."""
+    AFTER the index here for exactly that reason.
+
+    ``max_files_per_trigger`` bounds each micro-batch to N source
+    files (availableNow still drains everything, in N-file batches) —
+    the production rate-limit knob, and what the decade check uses to
+    measure per-batch cost as the index grows (flat per-batch wall is
+    THE scale claim of the shuffle-free novel filter)."""
     from pyspark.errors import AnalysisException
 
     from hadoop_2_10_0_src_mapreduce_spark.functions.text import fingerprint
@@ -402,7 +409,10 @@ def stream_incremental_corpus_dedup(
         )
         fresh.select(id_col, text_col).write.mode("append").parquet(out_dir)
 
-    src = spark.readStream.schema(schema).json(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.json(source_dir)
     writer = src.writeStream.foreachBatch(sink).trigger(availableNow=True)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)

@@ -12,7 +12,15 @@ Usage:
   python tools/dedup_decade.py CORPUS_DIR OP [--max-doc-freq=N]
         [--max-bucket=N] [--include-mega]
   OP ∈ {exact, minhash, minhash_cands, components, jaccard, prefix,
-        simhash, simhash_cands, winnow, xgram}
+        simhash, simhash_cands, winnow, xgram, stream}
+
+  stream: the STREAMING incremental corpus dedup decade check — the
+  corpus drains through stream_incremental_corpus_dedup in ~10
+  micro-batches (maxFilesPerTrigger=1 over 10 JSON shards) against a
+  persistent on-disk fingerprint index; records the per-batch wall
+  sequence from the streaming progress API. The scale claim under
+  test: per-batch cost stays ~FLAT as the index grows (the novel
+  filter is shuffle-free; the index scan is bloom+min/max-skipped).
 
   --max-bucket engages the r8 linked-edge candidate cap in
   minhash/simhash/components; --include-mega runs components over the
@@ -212,6 +220,62 @@ def main() -> int:
                 docs, "text", "doc_id", max_bucket=max_bucket
             ).count()
             out["max_bucket"] = max_bucket
+
+    elif op == "stream":
+        import shutil
+        import tempfile
+
+        from hadoop_2_10_0_src_mapreduce_spark.streaming.windows import (
+            stream_incremental_corpus_dedup,
+        )
+
+        work = tempfile.mkdtemp(prefix="dedup_stream_")
+        src_dir = os.path.join(work, "src")
+        n_batches = 10
+        # one JSON file per batch → maxFilesPerTrigger=1 gives exactly
+        # one micro-batch per shard, so recentProgress durations map
+        # 1:1 to index-growth steps
+        (
+            docs.select("doc_id", "text")
+            .withColumn(
+                "_b", F.floor(F.col("doc_id") % n_batches)
+            )
+            .repartition(n_batches, "_b")
+            .sortWithinPartitions("_b")
+            .drop("_b")
+            .write.mode("overwrite")
+            .json(src_dir)
+        )
+        # keep exactly one data file per batch slice: Spark wrote one
+        # file per partition above; count them
+        shards = [
+            f for f in os.listdir(src_dir)
+            if f.startswith("part-") and not f.endswith(".crc")
+        ]
+        t0 = time.time()
+        q = stream_incremental_corpus_dedup(
+            spark,
+            src_dir,
+            "doc_id long, text string",
+            os.path.join(work, "index"),
+            os.path.join(work, "out"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        out["batches"] = len(q.recentProgress)
+        out["n_shards"] = len(shards)
+        out["batch_walls_s"] = [
+            round(p["durationMs"]["triggerExecution"] / 1000, 2)
+            for p in q.recentProgress
+        ]
+        out["kept"] = spark.read.parquet(os.path.join(work, "out")).count()
+        out["expected_kept_max"] = (
+            n_docs
+            - truth["exact"]["clusters"] * (truth["exact"]["size"] - 1)
+            - (truth["mega"]["size"] - truth["mega"]["variants"])
+        )
+        shutil.rmtree(work, ignore_errors=True)
 
     else:
         raise SystemExit(f"unknown op {op!r}")
