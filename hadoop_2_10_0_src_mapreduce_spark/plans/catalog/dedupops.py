@@ -379,7 +379,7 @@ JOIN sizes sb ON sb.doc_id = id_b
 """
 
 _NGRAM_ORACLE = f"""
-WITH pairs AS ({_JACCARD_SQL_PAIRS})
+WITH pairs AS MATERIALIZED ({_JACCARD_SQL_PAIRS})
 SELECT 'plain' AS branch, id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6
 UNION ALL
 SELECT 'prefix' AS branch, id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
@@ -427,8 +427,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # id_b is the component representative and score is NULL.
 
 _MINHASH_ORACLE = f"""
-WITH RECURSIVE pairs AS (
-    SELECT id_a, id_b FROM ({_JACCARD_SQL_PAIRS}) WHERE jaccard >= 0.8
+WITH RECURSIVE pairs AS MATERIALIZED (
+    -- MATERIALIZED: the shared-shingle Jaccard replay is the gate's
+    -- dominant cost (the r8 sf1 long pole at 568 s) and this CTE
+    -- feeds the adjacency twice AND the 'pairs' branch — inlining
+    -- re-ran the whole inverted-index self-join per reference
+    SELECT id_a, id_b, jaccard
+    FROM ({_JACCARD_SQL_PAIRS}) WHERE jaccard >= 0.8
 ),
 adj AS (
     SELECT id_a AS src, id_b AS dst FROM pairs
@@ -444,7 +449,7 @@ clusters AS (
     SELECT id, MIN(lab) AS rep FROM walk GROUP BY id
 )
 SELECT 'pairs' AS branch, id_a, id_b, jaccard AS score
-FROM ({_JACCARD_SQL_PAIRS}) WHERE jaccard >= 0.8
+FROM pairs
 UNION ALL
 SELECT 'clusters' AS branch, id AS id_a, rep AS id_b,
        CAST(NULL AS DOUBLE) AS score
