@@ -590,6 +590,7 @@ def stream_index_vectors(
     vec_col: str = "embedding",
     checkpoint_dir: str | None = None,
     compact_every: int | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """CONTINUOUS ANN INDEXING — the streaming face of
     ``similarity.append_to_ivf_index``, completing the serving story:
@@ -664,7 +665,10 @@ def stream_index_vectors(
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_ivf_index(s, index_path)
 
-    src = spark.readStream.schema(schema).json(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.json(source_dir)
     writer = src.writeStream.foreachBatch(sink).trigger(availableNow=True)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
