@@ -334,21 +334,33 @@ def dup_ngram_fraction(
     return dup_ngram_fractions(col, (n,), toks)[n]
 
 
+def dup_ngram_grams_sql(toks_expr: str, n: int) -> str:
+    """The n-gram list over an already-tokenized array expression —
+    split out so an oracle can hoist ONE tokenization (and one gram
+    list per n) into a materialized CTE instead of re-running the
+    token regex per feature column (the r8 sf1 oracle-wall cut)."""
+    return (
+        f"list_transform(range(1, greatest(len({toks_expr}) - {n - 1}, 0) + 1),"
+        f" i -> array_to_string({toks_expr}[i:i+{n - 1}], ' '))"
+    )
+
+
+def dup_ngram_fraction_from_grams_sql(grams_expr: str) -> str:
+    """The fraction over a (possibly hoisted) gram-list expression."""
+    return (
+        f"CASE WHEN len({grams_expr}) > 0 THEN "
+        f"round((len({grams_expr}) - len(list_distinct({grams_expr})))"
+        f" / CAST(len({grams_expr}) AS DOUBLE), 6) ELSE 0.0 END"
+    )
+
+
 def dup_ngram_fraction_sql(expr: str, n: int) -> str:
     """DuckDB twin of dup_ngram_fraction. The engines hash n-grams
     differently (xxhash64 chain vs the literal string), but distinct-
     vs-total COUNTS agree modulo a ~2^-64 collision — the same
     equivalence _shingled relies on."""
     toks = f"regexp_extract_all(lower({expr}), '{TOKEN_PATTERN}')"
-    grams = (
-        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1),"
-        f" i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
-    )
-    return (
-        f"CASE WHEN len({grams}) > 0 THEN "
-        f"round((len({grams}) - len(list_distinct({grams})))"
-        f" / CAST(len({grams}) AS DOUBLE), 6) ELSE 0.0 END"
-    )
+    return dup_ngram_fraction_from_grams_sql(dup_ngram_grams_sql(toks, n))
 
 
 def top_ngram_stats(
