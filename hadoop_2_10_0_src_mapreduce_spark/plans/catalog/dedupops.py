@@ -50,6 +50,8 @@ def corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKS = f"regexp_extract_all(lower(text), '{T.TOKEN_PATTERN}')"
 
+# the near-dup leg tokenizes ONCE in a subquery (the inline form ran
+# the token regex three times per row — part of the r8 oracle-wall cut)
 _CORPUS_SQL = f"""
     SELECT doc_id, text FROM documents
     UNION ALL
@@ -57,8 +59,10 @@ _CORPUS_SQL = f"""
     FROM documents WHERE doc_id % 10 = 0
     UNION ALL
     SELECT doc_id + {2 * PLANT_OFFSET} AS doc_id,
-           array_to_string(({_TOKS})[1:len({_TOKS})-5], ' ') AS text
-    FROM documents WHERE doc_id % 7 = 0 AND len({_TOKS}) > 10
+           array_to_string(toks[1:len(toks)-5], ' ') AS text
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+          WHERE doc_id % 7 = 0)
+    WHERE len(toks) > 10
 """
 
 # --- exact dedup + winnowing (two hash-checked branches) ---------------
@@ -103,8 +107,11 @@ exact AS (
     FROM corpus GROUP BY fp
 ),
 tok AS (
-    SELECT doc_id, {shingles_sql('text')} AS sgs FROM corpus
-    WHERE len({shingles_sql('text')}) > 0
+    -- shingle ONCE per row (the inline WHERE re-ran the whole
+    -- tokenize+gram build; same r8 oracle-wall cut)
+    SELECT doc_id, sgs
+    FROM (SELECT doc_id, {shingles_sql('text')} AS sgs FROM corpus)
+    WHERE len(sgs) > 0
 ),
 pos AS (
     SELECT doc_id, unnest(sgs) AS s, generate_subscripts(sgs, 1) AS i FROM tok
