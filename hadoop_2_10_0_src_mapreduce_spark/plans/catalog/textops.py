@@ -106,13 +106,14 @@ _MODEL_BIAS = -0.5
 # (~3.5x — the inline form re-ran the token regex per feature column:
 # the r8 gate's second-longest pole).
 _Q_NTOK_H = "greatest(len(toks), 1)"
+# text-based features (n_chars/punct/digit) inherit from _Q_FEATURES —
+# single source of truth; only the token-array features re-key to the
+# hoisted column
 _Q_FEATURES_H = {
-    "n_chars": "length(text)",
+    **_Q_FEATURES,
     "n_tokens": "len(toks)",
     "mean_token_len": f"round(list_sum(list_transform(toks, t -> length(t))) / {_Q_NTOK_H}, 6)",
-    "punct_ratio": _Q_FEATURES["punct_ratio"],
     "stopword_ratio": f"round(len(list_filter(toks, t -> list_contains({_Q_STOP}, t))) / {_Q_NTOK_H}, 6)",
-    "digit_ratio": _Q_FEATURES["digit_ratio"],
 }
 _Q_SCORE_SQL_H = (
     "round("

@@ -300,16 +300,29 @@ def hadoop_style_filenames(
     tree must recover the partition value from the file name
     (recursiveFileLookup) since the dir encoding is gone.
 
-    Returns {directory: [new file names]} for logging/tests. Skips
-    ``_SUCCESS``/metadata files (kept in place, MR wrote one too) and
-    files already carrying the ``-r-NNNNN`` finalized form (so the
-    pass is idempotent); a rename whose target name already exists
-    raises instead of silently overwriting committed data (re-run
-    after an append: new task files would otherwise land on the
-    previously finalized numbers)."""
+    Returns {directory: [new file names]} (directories as they exist
+    AFTER the pass, i.e. post-ancestor-rename in flatten mode) for
+    logging/tests. Skips ``_SUCCESS``/metadata files (kept in place,
+    MR wrote one too) and files already carrying the ``-r-NNNNN``
+    finalized form (so the pass is idempotent); a rename whose target
+    name already exists raises instead of silently overwriting
+    committed data (re-run after an append: new task files would
+    otherwise land on the previously finalized numbers). The ``path``
+    ROOT itself is never value-derived even when its name looks like
+    ``col=value`` (pointing finalize at one partition subdir must not
+    move files outside it); a flatten whose derived file name would
+    start with '_' or '.' (e.g. the null partition
+    ``__HIVE_DEFAULT_PARTITION__``) raises — both MR and Spark
+    readers silently HIDE such files, which would be silent data
+    loss, not parity."""
     import os
     import re as _re
 
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"hadoop_style_filenames: no directory {path}"
+        )
+    root = os.path.realpath(path)
     renamed: dict[str, list[str]] = {}
     _finalized = _re.compile(r".+-r-\d{5}(\.[A-Za-z0-9.]+)?$")
 
@@ -340,16 +353,33 @@ def hadoop_style_filenames(
             f".{s}" for s in segs if not _re.fullmatch(r"c\d+", s)
         )
 
+    def derived_name(dirpath: str) -> str | None:
+        # value-derive STRICT subdirs only, never the root itself
+        if os.path.realpath(dirpath) == root:
+            return None
+        m = _re.fullmatch(r"[^=]+=(.+)", os.path.basename(dirpath))
+        if not m:
+            return None
+        val = m.group(1)
+        if val.startswith(("_", ".")):
+            raise ValueError(
+                f"hadoop_style_filenames: flattening {dirpath} would "
+                f"produce hidden file/dir name {val!r} (MR and Spark "
+                "readers skip names starting with '_' or '.' — the "
+                "null partition __HIVE_DEFAULT_PARTITION__ is the "
+                "usual culprit); drop or rename that partition first"
+            )
+        return val
+
     for dirpath, dirnames, filenames in sorted(os.walk(path, topdown=False)):
         files = sorted(f for f in filenames if is_data(f))
         if not files:
             continue
-        base = os.path.basename(dirpath)
-        m = _re.fullmatch(r"[^=]+=(.+)", base)
-        if flatten and m and not dirnames:
+        fname = derived_name(dirpath) if flatten else None
+        if flatten and fname is not None and not dirnames:
             # leaf partition dir -> files named after the VALUE in the
             # parent; the dir itself goes away
-            dest_dir, fname = os.path.dirname(dirpath), m.group(1)
+            dest_dir = os.path.dirname(dirpath)
             for i, f in enumerate(files):
                 new = f"{fname}-r-{i:05d}{ext_of(f)}"
                 safe_replace(
@@ -373,15 +403,21 @@ def hadoop_style_filenames(
                 renamed.setdefault(dirpath, []).append(new)
     if flatten:
         # ancestor partition levels drop the "col=" prefix (a derived
-        # name containing '/'); deepest-first so renames don't collide
+        # name containing '/'); deepest-first so renames don't collide,
+        # and the returned dict keys are translated to the FINAL paths
         dirs = sorted(
             (d for d, _, _ in os.walk(path)), key=len, reverse=True
         )
         for d in dirs:
-            base = os.path.basename(d)
-            m = _re.fullmatch(r"[^=]+=(.+)", base)
-            if m and os.path.isdir(d):
-                os.replace(d, os.path.join(os.path.dirname(d), m.group(1)))
+            val = derived_name(d)
+            if val is not None and os.path.isdir(d):
+                newd = os.path.join(os.path.dirname(d), val)
+                os.replace(d, newd)
+                renamed = {
+                    (newd + k[len(d):] if k == d or k.startswith(d + os.sep)
+                     else k): v
+                    for k, v in renamed.items()
+                }
     return renamed
 
 
@@ -584,8 +620,19 @@ def _mark_served(gen_path: str) -> None:
     try:
         with open(os.path.join(gen_path, ".__served__"), "w") as f:
             f.write("")
-    except OSError:
-        pass  # marker is advisory; serving already switched
+    except OSError as e:
+        # serving already switched, so don't fail the swap — but the
+        # marker is load-bearing for FORWARD rollback eligibility
+        # (rollback_pointer_swap trusts it), so surface the miss
+        import warnings
+
+        warnings.warn(
+            f"could not stamp {gen_path}/.__served__ ({e}); this "
+            "generation will not be a forward-rollback (flip-flop) "
+            "target until re-served",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def enable_pointer_swaps(path: str) -> None:
@@ -664,19 +711,28 @@ def rollback_pointer_swap(path: str) -> str:
     # a rolled-back-FROM generation is newer than current but was
     # genuinely live).
     cur_num = _gen_num(cur) if ".__gen_" in cur else -1
+    # pre-marker trees (converted before .__served__ existed) have NO
+    # markers anywhere, including on the served generation — for those,
+    # fall back to the _SUCCESS rule so a legitimate pre-upgrade
+    # flip-flop target stays reachable; the moment any marker exists
+    # the tree is post-upgrade and only markers are trusted
+    any_marked = os.path.exists(os.path.join(cur, ".__served__")) or any(
+        os.path.exists(os.path.join(g, ".__served__")) for g in others
+    )
+    newer_ok = ".__served__" if any_marked else "_SUCCESS"
     others = [
         g
         for g in others
         if _gen_num(g) < cur_num
-        or os.path.exists(os.path.join(g, ".__served__"))
+        or os.path.exists(os.path.join(g, newer_ok))
     ]
     if not others:
         raise ValueError(
             f"rollback_pointer_swap: no previous COMPLETE generation of "
             f"{path} survives (the grace window is ONE swap deep — a "
             "later swap already reaped it — and newer generations "
-            "without a _SUCCESS marker are crashed-write strays, not "
-            "rollback targets)"
+            "without a .__served__ marker are crashed-write or "
+            "committed-but-never-served strays, not rollback targets)"
         )
     prev = others[-1]
     tmp_link = f"{path}.__ptr_tmp__"

@@ -1116,6 +1116,34 @@ def test_rollback_skips_crashed_write_stray(spark, tmp_path):
         rollback_pointer_swap(path)
 
 
+def test_rollback_pre_marker_tree_falls_back_to_success(spark, tmp_path):
+    """Second-review fix: a tree converted BEFORE .__served__ markers
+    existed has none anywhere — rollback must fall back to the
+    _SUCCESS rule there so a genuinely served pre-upgrade flip-flop
+    target stays reachable, while any tree with markers trusts only
+    markers."""
+    import os
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        atomic_swap_write,
+        enable_pointer_swaps,
+        rollback_pointer_swap,
+    )
+
+    path = str(tmp_path / "pre")
+    spark.range(10).write.parquet(path)
+    enable_pointer_swaps(path)
+    atomic_swap_write(spark.range(20), path, [])
+    rollback_pointer_swap(path)  # cur = gen_0, gen_1 is flip-flop target
+    # simulate a pre-upgrade tree: strip every marker
+    for g in [f"{path}.__gen_0__", f"{path}.__gen_1__"]:
+        m = os.path.join(g, ".__served__")
+        if os.path.exists(m):
+            os.remove(m)
+    assert rollback_pointer_swap(path).endswith(".__gen_1__")
+    assert spark.read.parquet(path).count() == 20
+
+
 def test_rollback_skips_committed_but_never_served_stray(spark, tmp_path):
     """Review fix: a swap that COMMITTED its parquet (_SUCCESS
     present) but crashed before the link replace is indistinguishable

@@ -121,6 +121,55 @@ def test_hadoop_style_filenames_rename_and_flatten(spark, tmp_path):
         hadoop_style_filenames(p1)
 
 
+def test_hadoop_style_filenames_guards(spark, tmp_path):
+    """Second-review hardening: (a) a missing path errors instead of
+    reporting success over nothing; (b) the path ROOT is never
+    value-derived even when named col=value (files must not move
+    outside the tree); (c) a flatten that would produce a hidden
+    ('_'/'.'-prefixed) file name — the null partition — refuses,
+    because MR and Spark readers silently skip such files; (d) in
+    flatten mode the returned dict keys are the FINAL (post-ancestor-
+    rename) directories."""
+    import os
+
+    import pytest
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        hadoop_style_filenames,
+        write_partitioned,
+    )
+
+    with pytest.raises(FileNotFoundError):
+        hadoop_style_filenames(str(tmp_path / "nope"))
+
+    # (b): point finalize at one partition subdir named col=value
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "a")], ["id", "grp"])
+    write_partitioned(df.repartition(1), base, "grp", mode="overwrite")
+    sub = os.path.join(base, "grp=a")
+    out = hadoop_style_filenames(sub, flatten=True)
+    assert os.path.isdir(sub)  # root untouched, files renamed inside it
+    assert list(out) == [sub]
+    assert out[sub] == ["part-r-00000.snappy.parquet"]
+
+    # (c): null partition -> __HIVE_DEFAULT_PARTITION__ must refuse
+    p2 = str(tmp_path / "nulls")
+    dfn = spark.createDataFrame([(1, "a"), (2, None)], ["id", "grp"])
+    write_partitioned(dfn.repartition(1), p2, "grp", mode="overwrite")
+    with pytest.raises(ValueError, match="hidden file/dir name"):
+        hadoop_style_filenames(p2, flatten=True)
+
+    # (d): flatten return keys are final paths
+    p3 = str(tmp_path / "keys")
+    df3 = spark.createDataFrame([(1, "a", "x")], ["id", "grp", "sub"])
+    write_partitioned(
+        df3.repartition(1), p3, "grp", "sub", mode="overwrite"
+    )
+    out3 = hadoop_style_filenames(p3, flatten=True)
+    (k,) = out3
+    assert k == os.path.join(p3, "a") and os.path.isdir(k)
+
+
 def test_write_null_noop_sink(spark):
     from hadoop_2_10_0_src_mapreduce_spark.sources.writers import write_null
 

@@ -240,7 +240,7 @@ def main() -> int:
             .withColumn(
                 "_b", F.floor(F.col("doc_id") % n_batches)
             )
-            .repartition(n_batches, "_b")
+            .repartitionByRange(n_batches, "_b")
             .sortWithinPartitions("_b")
             .drop("_b")
             .write.mode("overwrite")
