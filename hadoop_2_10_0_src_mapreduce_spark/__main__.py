@@ -65,6 +65,12 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--min-tokens", type=int, default=5)
     pl.add_argument("--near-dup-threshold", type=float, default=0.8)
     pl.add_argument("--max-dup-3gram-frac", type=float, default=0.5)
+    pl.add_argument("--max-bucket", type=int, default=64,
+                    help="near-dup step: cap in-bucket candidate "
+                    "generation (oversized LSH buckets emit "
+                    "connectivity-preserving linked edges — identical "
+                    "clusters, no C(m,2) blowup on boilerplate "
+                    "mega-clusters); 0 restores exact all-pairs")
     pl.add_argument("--chunk", metavar="MAX[,OVERLAP]",
                     help="after cleaning, cut long documents into "
                          "training chunks of at most MAX tokens "
@@ -213,6 +219,7 @@ def main(argv: list[str] | None = None) -> int:
             min_tokens=args.min_tokens,
             near_dup_threshold=args.near_dup_threshold,
             max_dup_3gram_frac=args.max_dup_3gram_frac,
+            max_bucket=args.max_bucket or None,
             redact=not args.no_redact,
             split_weights=split_weights,
             cut_spans_min_tokens=args.cut_spans,

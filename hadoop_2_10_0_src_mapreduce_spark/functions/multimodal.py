@@ -68,7 +68,12 @@ def _netpbm_header(blob: bytes, n_vals: int) -> tuple[list[int], int]:
     disagree on a blob): parse ``n_vals`` ints after the magic,
     skipping arbitrary whitespace and ``#`` comments. Returns (vals,
     offset-just-past-the-last-digit). Raises ValueError on malformed
-    headers (incl. a comment with no terminating newline)."""
+    headers (incl. a comment with no terminating newline, and a magic
+    with no delimiter after it — b'P6123 45' must not silently parse
+    width=123; the spec requires whitespace/comment after the magic,
+    ADVICE r9)."""
+    if not (blob[2:3].isspace() or blob[2:3] == b"#"):
+        raise ValueError("bad netpbm header: no delimiter after magic")
     vals: list[int] = []
     i = 2
     while len(vals) < n_vals:
@@ -436,15 +441,25 @@ def resize_images(
                     if KINDS.get(kind) != "image":
                         out.append(blob)
                         continue
-                    if len(payload) == w * h:
-                        raster = np.frombuffer(
-                            payload, dtype=np.uint8
-                        ).reshape(h, w)
-                        out.append(pack_fake_media(
-                            1, new_w, new_h,
-                            _nn_resize(raster, new_w, new_h).tobytes(),
-                        ))
-                        continue
+                    if len(payload) != w * h:
+                        # a corrupt FAKE container must NOT fall
+                        # through to decode_image — with pillow
+                        # installed PIL would raise its own
+                        # UnidentifiedImageError on the FAKE bytes,
+                        # breaking the documented codec-boundary
+                        # contract (ADVICE r9)
+                        raise ValueError(
+                            f"FAKE image payload length {len(payload)} "
+                            f"!= w*h = {w * h} — corrupt container"
+                        )
+                    raster = np.frombuffer(
+                        payload, dtype=np.uint8
+                    ).reshape(h, w)
+                    out.append(pack_fake_media(
+                        1, new_w, new_h,
+                        _nn_resize(raster, new_w, new_h).tobytes(),
+                    ))
+                    continue
                 # real formats: decode (PPM/PGM/BMP/PNG on-box; else
                 # the codec boundary raises), resize, publish as
                 # netpbm — except alpha-bearing rasters (PNG RGBA /

@@ -53,12 +53,28 @@ batch boundary.
 from __future__ import annotations
 
 import re
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadoop_2_10_0_src_mapreduce_spark.functions.text import fingerprint, tokens
+
+
+def _warn_if_unguarded_allpairs(df: DataFrame, op: str) -> None:
+    """Surface the plans.lint unguarded-all-pairs finding as a Python
+    warning when an uncapped pair generator runs over a large input —
+    the quadratic-mega-cluster class the r8 decade check measured
+    (lint.ALLPAIRS_GUARD_BYTES documents the calibration). Lazy import:
+    plans.catalog imports this module at registry-build time."""
+    from hadoop_2_10_0_src_mapreduce_spark.plans.lint import (
+        unguarded_allpairs_finding,
+    )
+
+    finding = unguarded_allpairs_finding(df, op)
+    if finding is not None:
+        warnings.warn(finding, stacklevel=3)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -1140,6 +1156,8 @@ def minhash_lsh_pairs(
     forfeited for oversized buckets only). Default None preserves
     exact all-pairs semantics.
     """
+    if max_bucket is None:
+        _warn_if_unguarded_allpairs(df, "minhash_lsh_pairs")
     rows_per_band = num_hashes // bands
     # persist both reused intermediates: the signature table feeds both
     # sides of the bucket self-join, and the capped index feeds both
@@ -1335,6 +1353,8 @@ def simhash_pairs(
     all-pairs and the max_bucket branch over the same corpus)."""
     if max_hamming >= 8:
         raise ValueError("simhash_pairs supports max_hamming <= 7 (8 chunks)")
+    if max_bucket is None:
+        _warn_if_unguarded_allpairs(df, "simhash_pairs")
     if sigs is None:
         sigs = simhash_signatures(
             df, text_col, id_col, token_hash=token_hash

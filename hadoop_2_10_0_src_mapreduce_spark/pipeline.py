@@ -39,6 +39,7 @@ def prepare_training_corpus(
     min_tokens: int = 5,
     near_dup_threshold: float = 0.8,
     max_doc_freq: int | None = 100,
+    max_bucket: int | None = 64,
     max_dup_3gram_frac: float | None = 0.5,
     redact: bool = True,
     eval_df: DataFrame | None = None,
@@ -63,7 +64,18 @@ def prepare_training_corpus(
     2. NEAR-dup clustering — MinHash+LSH candidate pairs, exact-Jaccard
        verified at ``near_dup_threshold``, connected components over
        the pair graph; only each cluster's min-id representative
-       survives.
+       survives. ``max_bucket`` (default 64) caps in-bucket candidate
+       generation: a boilerplate mega-cluster of m near-identical docs
+       otherwise owes C(m,2) candidates per band (measured 200M
+       candidates / 1009 s on one 20k-doc cluster at 500k docs —
+       fixtures/DEDUP_DECADE_baseline.jsonl); oversized buckets emit
+       connectivity-preserving consecutive edges instead, and because
+       this step only consumes ``duplicate_components(pairs)`` — whose
+       output is pinned identical under the cap
+       (tests/test_extensions.py
+       test_minhash_max_bucket_linked_preserves_clusters) — the
+       surviving corpus is bit-unchanged. Set ``max_bucket=None`` only
+       if you need the raw all-pairs list for something else.
     2b. SPAN CUTTING — when ``cut_spans_min_tokens`` is set, maximal
        cross-document repeated runs of at least that many tokens are
        REMOVED from the surviving documents
@@ -115,6 +127,7 @@ def prepare_training_corpus(
     pairs = dedup.minhash_lsh_pairs(
         uniq, "text", "id",
         threshold=near_dup_threshold, max_doc_freq=max_doc_freq,
+        max_bucket=max_bucket,
     )
     losers = (
         dedup.duplicate_components(pairs)

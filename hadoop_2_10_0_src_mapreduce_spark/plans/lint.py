@@ -57,6 +57,51 @@ _RULES: tuple[tuple[str, str, str], ...] = (
 )
 
 
+# Inputs estimated above this get a WARN when an all-pairs dedup runs
+# without a bucket cap. Calibrated against the repo's own decade data:
+# the 500k-doc corpus (~95 MiB parquet) with one 20k-doc boilerplate
+# cluster owed C(20k,2) ≈ 200M candidates per band uncapped
+# (fixtures/DEDUP_DECADE_baseline.jsonl: 1009 s); the sf0.01/sf0.1
+# driver inputs (<10 MiB) stay silent.
+ALLPAIRS_GUARD_BYTES = 32 * 1024 * 1024
+
+
+def unguarded_allpairs_finding(df: DataFrame, op: str) -> str | None:
+    """Lint rule for the quadratic class the r8 decade check caught:
+    ``op`` (an LSH-bucketed pair generator) is about to run with
+    ``max_bucket=None`` — exact all-pairs in-bucket candidates — over
+    ``df``. If Catalyst's size estimate for ``df`` exceeds
+    ``ALLPAIRS_GUARD_BYTES``, return a WARN string (None otherwise):
+    at that scale one boilerplate mega-cluster of m near-identical
+    docs owes C(m,2) candidates per band, and web corpora always have
+    one. The pair generators call this themselves and surface it via
+    ``warnings.warn``; it is exposed here so user plans get the same
+    audit the engine applies to its own.
+
+    Static: reads optimizer statistics only, never executes ``df``.
+    The estimate is conservative for non-file inputs (joins multiply
+    stats), which errs toward warning — the cheap direction, since the
+    fix (``max_bucket=64``) is clustering-identity-preserving."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+    if size < ALLPAIRS_GUARD_BYTES:
+        return None
+    return (
+        f"WARN: unguarded-all-pairs: {op}(max_bucket=None) over a "
+        f"~{size >> 20} MiB input — one oversized LSH bucket (a "
+        "boilerplate mega-cluster) makes candidate generation "
+        "quadratic in the cluster size (measured: 200M candidates / "
+        "1009 s for one 20k-doc cluster at 500k docs). Pass "
+        "max_bucket (e.g. 64): oversized buckets emit "
+        "connectivity-preserving linked edges and "
+        "duplicate_components is unchanged."
+    )
+
+
 def lint_plan(df: DataFrame) -> list[str]:
     """Inspect ``df``'s physical plan (without executing it) and return
     scale findings, worst first. Empty list = nothing flagged.

@@ -371,6 +371,95 @@ def hadoop_style_filenames(
             )
         return val
 
+    def preflight() -> None:
+        """Compute EVERY target name this pass would create and raise
+        on any collision BEFORE the first rename (ADVICE r9): the pass
+        has no rollback, so sibling partitions deriving the same name
+        (k1=x/ and k2=x/ under one parent), or a target landing on a
+        previously finalized file, must abort while the tree is still
+        pristine rather than via safe_replace/os.replace mid-pass.
+        Also hoists the hidden-derived-name refusal to pre-rename.
+        Pure simulation — reads the tree, touches nothing."""
+        for parent, dirnames_, filenames_ in os.walk(path):
+            fname_p = derived_name(parent) if flatten else None
+            planned: dict[str, str] = {}
+            # entries this pass leaves under their current names
+            surviving = set(filenames_) - {
+                f for f in filenames_ if is_data(f)
+            }
+            if flatten:
+                surviving |= {
+                    d for d in dirnames_
+                    if derived_name(os.path.join(parent, d)) is None
+                }
+            else:
+                surviving |= set(dirnames_)
+
+            def claim(target: str, source: str) -> None:
+                prev = planned.get(target)
+                if prev is not None:
+                    raise FileExistsError(
+                        f"hadoop_style_filenames: {source} and {prev} "
+                        f"both resolve to "
+                        f"{os.path.join(parent, target)} — refusing "
+                        "before any rename (the pass has no rollback); "
+                        "disambiguate the partition values or finalize "
+                        "the subtrees separately"
+                    )
+                if target in surviving:
+                    raise FileExistsError(
+                        f"refusing to overwrite "
+                        f"{os.path.join(parent, target)} (target of "
+                        f"{source}) — the directory holds previously "
+                        "finalized files; renumber or clean before "
+                        "re-finalizing"
+                    )
+                planned[target] = source
+
+            own = sorted(f for f in filenames_ if is_data(f))
+            # a flatten-leaf's own files move to the PARENT namespace —
+            # claimed below from the parent's iteration, not here
+            if not (flatten and fname_p is not None and not dirnames_):
+                for i, f in enumerate(own):
+                    claim(
+                        f"{name}-r-{i:05d}{ext_of(f)}",
+                        os.path.join(parent, f),
+                    )
+            if not flatten:
+                continue
+            for d in sorted(dirnames_):
+                sub = os.path.join(parent, d)
+                val = derived_name(sub)
+                if val is None:
+                    continue
+                entries = os.listdir(sub)
+                has_subdir = any(
+                    os.path.isdir(os.path.join(sub, e)) for e in entries
+                )
+                data = sorted(
+                    e for e in entries
+                    if not os.path.isdir(os.path.join(sub, e))
+                    and is_data(e)
+                )
+                if not has_subdir and data:
+                    for i, f in enumerate(data):
+                        claim(
+                            f"{val}-r-{i:05d}{ext_of(f)}",
+                            os.path.join(sub, f),
+                        )
+                    leftover = [
+                        e for e in entries
+                        if not os.path.isdir(os.path.join(sub, e))
+                        and not e.startswith((".", "_"))
+                        and e not in set(data)
+                    ]
+                    if leftover:  # dir stays, ancestor pass renames it
+                        claim(val, sub)
+                else:
+                    claim(val, sub)
+
+    preflight()
+
     for dirpath, dirnames, filenames in sorted(os.walk(path, topdown=False)):
         files = sorted(f for f in filenames if is_data(f))
         if not files:

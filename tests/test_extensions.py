@@ -744,6 +744,31 @@ def test_prepare_training_corpus_end_to_end(spark):
     assert again == {1, 5}
 
 
+def test_prepare_training_corpus_max_bucket_keeps_same_corpus(spark):
+    """The r9 recipe guard: the default ``max_bucket=64`` (linked-edge
+    candidate capping in the near-dup step) must yield the IDENTICAL
+    keeper set as the exact all-pairs path — the recipe only consumes
+    duplicate_components(pairs), whose clustering is pinned unchanged
+    under the cap. Exercised on a corpus with a genuine mega-cluster
+    (every band bucket overflows a tiny cap) plus singletons."""
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import (
+        prepare_training_corpus,
+    )
+
+    docs = _mega_corpus(spark)
+    # exact dedup collapses the 4 verbatim copies per variant first, so
+    # the minhash stage sees 3-doc buckets — cap at 2 to overflow them
+    kw = dict(near_dup_threshold=0.5, min_quality=0.0, min_tokens=1,
+              max_doc_freq=None)
+    capped = {r.id for r in prepare_training_corpus(
+        docs, max_bucket=2, **kw).collect()}
+    exact = {r.id for r in prepare_training_corpus(
+        docs, max_bucket=None, **kw).collect()}
+    assert capped == exact
+    # the mega cluster really collapsed to its min-id representative
+    assert 0 in capped and not any(i in capped for i in range(1, 12))
+
+
 def test_incremental_exact_dedup_equals_batch_recompute(spark, dup_corpus):
     """THE incremental invariant: folding the planted-dup batch into
     the original documents' index must equal one exact_dedup over the

@@ -69,6 +69,17 @@ def test_resize_images_nearest_neighbor(spark):
     assert sums[1] == (4, 2, sum(raster))
     assert sums[2] == (8000, 100, sum(b"aud"))
 
+    # ADVICE r9: a corrupt FAKE image (payload length != w*h) must
+    # raise the codec-boundary ValueError, NOT fall through to
+    # decode_image (where an installed pillow would raise its own
+    # UnidentifiedImageError on the FAKE bytes)
+    bad = spark.createDataFrame(
+        [(9, mm.pack_fake_media(1, 4, 2, b"short"))],
+        "id long, media binary",
+    )
+    with pytest.raises(Exception, match="FAKE image payload length"):
+        mm.resize_images(bad, 2, 2).collect()
+
 
 def _tiny_bmp() -> tuple[bytes, "object"]:
     """Hand-built 3×2 uncompressed 24-bit BMP (bottom-up rows, 4-byte
@@ -116,6 +127,10 @@ def test_ppm_bmp_pure_numpy_codecs_roundtrip():
     assert np.array_equal(mm.decode_ppm(mm.encode_ppm(gray)), gray)
     with pytest.raises(NotImplementedError, match="16-bit"):
         mm.decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+    # ADVICE r9: a magic with NO delimiter after it must refuse —
+    # b'P6123 45 255' previously parsed width=123 silently
+    with pytest.raises(ValueError, match="no delimiter after magic"):
+        mm.decode_ppm(b"P6123 45 255\n" + bytes(123 * 45 * 3))
 
     bmp, expect = _tiny_bmp()
     assert np.array_equal(mm.decode_bmp(bmp), expect)

@@ -624,6 +624,39 @@ def test_lint_plan_flags_killers_and_passes_clean_plans(spark, tmp_path):
     assert lint_plan(clean) == []
 
 
+def test_unguarded_allpairs_lint_rule(spark, monkeypatch):
+    """The r9 lint rule encoding the decade-check class: an uncapped
+    pair generator over a large input warns; capped or small inputs
+    are silent. Threshold behavior checked statically (never executes
+    the big frame), warning wiring checked through the real generator
+    with a shrunk threshold."""
+    import warnings as W
+
+    from hadoop_2_10_0_src_mapreduce_spark.plans import lint
+    from hadoop_2_10_0_src_mapreduce_spark.operators import dedup as D
+
+    # static: Catalyst estimates range(10M) at 80 MB — over the 32 MiB
+    # bar — without executing anything; a 10-row frame is under it
+    big = spark.range(10_000_000)
+    f = lint.unguarded_allpairs_finding(big, "minhash_lsh_pairs")
+    assert f is not None and "unguarded-all-pairs" in f and "WARN" in f
+    assert lint.unguarded_allpairs_finding(spark.range(10), "x") is None
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    monkeypatch.setattr(lint, "ALLPAIRS_GUARD_BYTES", 1)
+    with pytest.warns(UserWarning, match="unguarded-all-pairs"):
+        D.minhash_lsh_pairs(docs, "text", "doc_id")
+    with pytest.warns(UserWarning, match="unguarded-all-pairs"):
+        D.simhash_pairs(docs, "text", "doc_id")
+    with W.catch_warnings():
+        W.simplefilter("error")  # any warning would fail the test
+        D.minhash_lsh_pairs(docs, "text", "doc_id", max_bucket=64)
+        D.simhash_pairs(docs, "text", "doc_id", max_bucket=64)
+
+
 def test_interval_join_matches_naive_theta_and_plans_equi(spark):
     """The two-sided bin decomposition with one-bin pair claiming must
     be invisible (same pairs as the naive overlap predicate, both

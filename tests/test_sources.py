@@ -170,6 +170,77 @@ def test_hadoop_style_filenames_guards(spark, tmp_path):
     assert k == os.path.join(p3, "a") and os.path.isdir(k)
 
 
+def test_hadoop_style_filenames_flatten_collision_preflight(tmp_path):
+    """ADVICE r9: sibling partitions whose values derive the SAME name
+    (k1=x/ and k2=x/ under one parent) must refuse BEFORE the first
+    rename — previously safe_replace/os.replace aborted mid-pass,
+    leaving a partially renamed tree with no rollback. Pure-fs test:
+    both the leaf-file collision and the ancestor-dir collision are
+    caught with the tree bit-untouched."""
+    import os
+
+    import pytest
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        hadoop_style_filenames,
+    )
+
+    def mkleaf(d, n=1):
+        os.makedirs(d)
+        for i in range(n):
+            with open(
+                os.path.join(d, f"part-{i:05d}-abc.snappy.parquet"), "wb"
+            ) as fh:
+                fh.write(b"x")
+
+    def snapshot(root):
+        return sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(root)
+            for f in fs
+        )
+
+    # leaf-file collision: k1=x and k2=x both flatten into the parent
+    p1 = str(tmp_path / "leafcol")
+    mkleaf(os.path.join(p1, "k1=x"))
+    mkleaf(os.path.join(p1, "k2=x"))
+    before = snapshot(p1)
+    with pytest.raises(FileExistsError, match="both resolve to"):
+        hadoop_style_filenames(p1, flatten=True)
+    assert snapshot(p1) == before  # nothing was renamed
+
+    # ancestor-dir collision: two NON-leaf partition dirs derive 'x'
+    p2 = str(tmp_path / "dircol")
+    mkleaf(os.path.join(p2, "k1=x", "k3=a"))
+    mkleaf(os.path.join(p2, "k2=x", "k3=b"))
+    before = snapshot(p2)
+    with pytest.raises(FileExistsError, match="both resolve to"):
+        hadoop_style_filenames(p2, flatten=True)
+    assert snapshot(p2) == before
+
+    # target landing on a previously finalized file refuses pre-rename
+    p3 = str(tmp_path / "refin")
+    mkleaf(os.path.join(p3, "k1=x"))
+    with open(
+        os.path.join(p3, "x-r-00000.snappy.parquet"), "wb"
+    ) as fh:
+        fh.write(b"x")
+    before = snapshot(p3)
+    with pytest.raises(FileExistsError, match="refusing to overwrite"):
+        hadoop_style_filenames(p3, flatten=True)
+    assert snapshot(p3) == before
+
+    # hidden-name refusal is now ALSO pre-rename: a sibling that would
+    # rename fine must be untouched when another sibling refuses
+    p4 = str(tmp_path / "hidden")
+    mkleaf(os.path.join(p4, "grp=ok"))
+    mkleaf(os.path.join(p4, "grp=__HIVE_DEFAULT_PARTITION__"))
+    before = snapshot(p4)
+    with pytest.raises(ValueError, match="hidden file/dir name"):
+        hadoop_style_filenames(p4, flatten=True)
+    assert snapshot(p4) == before
+
+
 def test_write_null_noop_sink(spark):
     from hadoop_2_10_0_src_mapreduce_spark.sources.writers import write_null
 
