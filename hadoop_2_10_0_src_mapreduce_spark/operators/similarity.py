@@ -314,6 +314,96 @@ def adaptive_tables_sql(
     return f"(SELECT CASE{whens} ELSE {tables_at(max_planes)} END FROM {corpus})"
 
 
+LSH_MULTIPROBE_CAP = 4
+
+
+def adaptive_multiprobe(
+    n_planes: int,
+    n_tables: int,
+    *,
+    base: int = LSH_TABLE_BASE,
+    base_planes: int = LSH_BASE_PLANES,
+    cap: int = LSH_MULTIPROBE_CAP,
+) -> int:
+    """Multi-probe flip-count rule for ``n_multiprobe="auto"`` — the
+    third adaptive recall dial, covering the bit deficit the TABLE
+    rule didn't: ``adaptive_tables_for_planes`` orders one table
+    doubling per bit past the 10-bit geometry, but the table count is
+    capped (store is linear in tables) and a user may pin a smaller
+    count to bound store. Rule: flips = the number of bits past
+    base_planes NOT covered by a table doubling, plus one when any
+    deficit exists,
+
+        covered = floor(log2(n_tables / base))   (0 if below base)
+        deficit = max(0, (bits − base_planes) − covered)
+        flips   = min(cap, deficit + 1 if deficit else 0)
+
+    Each flip level probes the 2^q lowest-|margin|
+    perturbations, the multi-probe result that one perturbed probe is
+    worth nearly one extra table for near neighbors (Lv et al. 2007).
+    Measured on the 200k-vector/13-bit corpus
+    (tools/lsh_table_sweep.py --multiprobe, r9): at 16 tables
+    recall@10 q=0 → 0.070, q=1 → 0.136, q=2 → 0.238, q=3 → 0.386,
+    q=4 → 0.542; at 32 tables q=0 → 0.137, q=1 → 0.242, q=2 → 0.400,
+    q=3 → 0.597, q=4 → 0.776 — each flip tracks the table doubling it
+    substitutes for within ~11% ((16, q) vs (16·2^q, 0): 0.136/0.137,
+    0.238/0.244, 0.386/0.435), and serve walls stay FLAT across the
+    grid (2.7–9.3 s; perturbed buckets prune through the same
+    broadcast semi-join, so probes cost reads, not planning). The +1
+    covers the compounding ~11% per-flip shortfall: at volume parity
+    (flips = deficit exactly) a pinned 16-table store serves 0.386 <
+    the 0.435 the uncapped table rule would have bought, while one
+    extra flip lands 0.542 at 1/8 the store (and a 2×-store pin
+    lands 0.597) — strictly better than the table rule's point at a
+    fraction of its bytes. At every auto-resolved geometry the
+    deficit is 0 by construction until the table cap binds
+    (bits > 13), and at the ≤10-bit driver fixtures it is 0 outright
+    — every existing hash carries. Integer arithmetic with an exact
+    SQL twin (``adaptive_multiprobe_sql``)."""
+    covered = 0
+    while n_tables >= (base << (covered + 1)):
+        covered += 1
+    deficit = max(0, (n_planes - base_planes) - covered)
+    return min(cap, deficit + 1 if deficit else 0)
+
+
+def adaptive_multiprobe_sql(
+    corpus: str = "e",
+    *,
+    n_tables: int | None = None,
+    base: int = LSH_TABLE_BASE,
+    base_planes: int = LSH_BASE_PLANES,
+    cap: int = LSH_MULTIPROBE_CAP,
+    target_bucket: int = LSH_TARGET_BUCKET,
+    min_planes: int = LSH_MIN_PLANES,
+    max_planes: int = LSH_MAX_PLANES,
+    max_tables: int = LSH_MAX_TABLES,
+) -> str:
+    """Scalar-subquery twin of ``adaptive_multiprobe``: the same
+    integer count thresholds as ``adaptive_planes_sql`` (both rules
+    key off the identical bit count), each mapped to its flip count.
+    ``n_tables=None`` replays the auto table rule (deficit is the cap
+    overflow only); an explicit count replays a user-pinned store."""
+
+    def flips_at(p: int) -> int:
+        t = (
+            min(max_tables, base << max(0, p - base_planes))
+            if n_tables is None
+            else n_tables
+        )
+        covered = 0
+        while t >= (base << (covered + 1)):
+            covered += 1
+        deficit = max(0, (p - base_planes) - covered)
+        return min(cap, deficit + 1 if deficit else 0)
+
+    whens = "".join(
+        f" WHEN COUNT(*) <= {(1 << p) * target_bucket} THEN {flips_at(p)}"
+        for p in range(min_planes, max_planes)
+    )
+    return f"(SELECT CASE{whens} ELSE {flips_at(max_planes)} END FROM {corpus})"
+
+
 def _resolve_tables(n_planes_resolved: int, n_tables, **kw) -> int:
     """Resolve ``n_tables`` AFTER planes: "auto" keys off the resolved
     plane count (no extra count() job — the planes resolution already
@@ -675,6 +765,7 @@ def lsh_signatures(
     seed: int = 42,
     keep_vec: bool = False,
     planes: np.ndarray | None = None,
+    n_flip: int = 0,
 ) -> DataFrame:
     """Multi-table random-hyperplane LSH: ``n_tables`` independent
     sign-bit buckets of ``n_planes`` bits each. One output row per
@@ -695,12 +786,28 @@ def lsh_signatures(
     ``keep_vec`` carries the vector through to the output so a
     downstream groupBy(table, bucket) co-locates each bucket's vectors
     for block scoring — the vector fans out L× (an LSH index stores L
-    copies by construction); leave False when only ids should shuffle."""
+    copies by construction); leave False when only ids should shuffle.
+
+    ``n_flip`` is the MULTI-PROBE dial (query-side only — an index is
+    always built at n_flip=0): for each (vector, table), ALSO emit the
+    buckets reached by flipping every non-empty subset of the
+    ``n_flip`` sign bits with the smallest |margin| (margin = the
+    vector·plane dot the sign came from) — 2^n_flip rows per (vector,
+    table) in place of 1. A near neighbor that disagrees with the
+    query on one hyperplane almost always disagrees on a plane the
+    QUERY itself barely cleared, so probing the low-margin
+    perturbations recovers most of the recall extra tables would buy,
+    at ZERO extra store (multi-probe LSH, Lv et al., VLDB 2007). Ties
+    in |margin| break by plane index (stable argsort), so the probe
+    set is deterministic and engine-replayable in exact mode. Flipped
+    subsets of distinct bits XOR to distinct buckets, so the 2^n_flip
+    buckets per (vector, table) never collide."""
     exact = planes is not None
     if planes is None:
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((n_tables * n_planes, dim))
     shifts = np.arange(n_planes, dtype=np.uint64)
+    n_flip = min(n_flip, n_planes)
 
     def batches(it):
         for pdf in it:
@@ -715,20 +822,33 @@ def lsh_signatures(
                 )
             if exact:
                 mat = mat.astype(np.float64)
-                acc = np.zeros((len(mat), planes.shape[0]))
+                prod = np.zeros((len(mat), planes.shape[0]))
                 for d in range(planes.shape[1]):
-                    acc += mat[:, d : d + 1] * planes[:, d][None, :]
-                signs = acc > 0
+                    prod += mat[:, d : d + 1] * planes[:, d][None, :]
             else:
-                signs = (mat @ planes.T) > 0  # (rows, tables*planes)
-            signs = signs.reshape(len(mat), n_tables, n_planes)
+                prod = mat @ planes.T  # (rows, tables*planes)
+            signs = (prod > 0).reshape(len(mat), n_tables, n_planes)
             buckets = (signs.astype(np.uint64) << shifts).sum(axis=2).astype(np.int64)
+            variants = [buckets]
+            if n_flip > 0:
+                # q lowest-|margin| plane indices per (row, table);
+                # stable argsort breaks |margin| ties by plane index
+                margins = np.abs(prod).reshape(len(mat), n_tables, n_planes)
+                low = np.argsort(margins, axis=2, kind="stable")[:, :, :n_flip]
+                bitvals = (np.int64(1) << low.astype(np.int64))
+                for s in range(1, 1 << n_flip):
+                    mask = np.zeros_like(buckets)
+                    for j in range(n_flip):
+                        if s >> j & 1:
+                            mask ^= bitvals[:, :, j]
+                    variants.append(buckets ^ mask)
             base = pdf if keep_vec else pdf.drop(columns=[vec_col])
             for t in range(n_tables):
-                out = base.copy()
-                out["table_idx"] = t
-                out["bucket"] = buckets[:, t]
-                yield out
+                for var in variants:
+                    out = base.copy()
+                    out["table_idx"] = t
+                    out["bucket"] = var[:, t]
+                    yield out
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
@@ -1745,15 +1865,28 @@ def query_lsh_index(
     vec_col: str = "embedding",
     k: int = 5,
     round_digits: int = 6,
+    n_multiprobe: int | str = "auto",
 ) -> DataFrame:
     """Serve a query batch from a ``save_lsh_index`` directory: re-derive
     the md5 hyperplanes from the stored conf, bucket the queries, read
     ONLY the probed (table_idx, bucket) partitions (an OR-of-ANDs
     literal predicate per table — directory-level pruning, bounded by
-    |batch|·n_tables pairs of ints collected to the driver), generate
-    distinct candidate id pairs, rescore through the two-table Arrow
-    join-back, and re-rank globally. A query whose id equals a stored
-    id is the same vector and is excluded from its own neighbors.
+    |batch|·n_tables·2^flips pairs of ints collected to the driver),
+    generate distinct candidate id pairs, rescore through the two-table
+    Arrow join-back, and re-rank globally. A query whose id equals a
+    stored id is the same vector and is excluded from its own neighbors.
+
+    ``n_multiprobe`` — flips, the multi-probe dial: each query probes,
+    per table, the 2^flips buckets reached by flipping subsets of its
+    lowest-|margin| sign bits (``lsh_signatures`` ``n_flip``), buying
+    table-doubling recall at FIXED store. ``"auto"`` resolves
+    ``adaptive_multiprobe(bits, tables)`` from the stored conf — the
+    bit deficit the table rule left uncovered — which is 0 at every
+    auto-built geometry until the table cap binds and 0 at all ≤10-bit
+    fixtures, so existing results are bit-identical; it engages
+    exactly when a store was pinned smaller than the table rule
+    orders. A stored-side vector's own membership rows are never
+    perturbed (an index is built at flips=0).
 
     Results match the in-session self-ANN (``ann_lsh_topk``) whenever
     no bucket hits the storage cap (pinned by test); for capped buckets
@@ -1768,12 +1901,15 @@ def query_lsh_index(
     spark = queries.sparkSession
     conf = spark.read.parquet(f"{path}/conf").collect()[0]
     planes = md5_planes(conf.n_tables, conf.n_planes, conf.dim)
+    if n_multiprobe == "auto":
+        n_multiprobe = adaptive_multiprobe(conf.n_planes, conf.n_tables)
     qsig = lsh_signatures(
         queries.select(id_col, vec_col),
         vec_col=vec_col,
         n_planes=conf.n_planes,
         n_tables=conf.n_tables,
         planes=planes,
+        n_flip=int(n_multiprobe),
     ).persist()
     # bounded driver collect: ≤ |batch|·n_tables (table, bucket) int
     # pairs — the partition-pruning predicate

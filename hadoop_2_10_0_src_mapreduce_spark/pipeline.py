@@ -38,7 +38,7 @@ def prepare_training_corpus(
     min_quality: float = 0.3,
     min_tokens: int = 5,
     near_dup_threshold: float = 0.8,
-    max_doc_freq: int | None = 100,
+    max_doc_freq: int | None = None,
     max_bucket: int | None = 64,
     max_dup_3gram_frac: float | None = 0.5,
     redact: bool = True,
@@ -76,6 +76,21 @@ def prepare_training_corpus(
        test_minhash_max_bucket_linked_preserves_clusters) — the
        surviving corpus is bit-unchanged. Set ``max_bucket=None`` only
        if you need the raw all-pairs list for something else.
+       ``max_doc_freq`` defaults to None HERE on purpose (the
+       operator's own default): the r9 end-to-end decade run caught
+       the composition defect a df cap hides — a near-dup cluster of
+       m > cap docs has ALL its shared shingles above the cap, so
+       every member's signature is built from its few unique edit
+       shingles (disjoint across members) and the cluster sails
+       through near-dedup undetected; the planted 200-variant
+       mega-cluster survived 200-strong at cap=100 and collapsed to 1
+       at None (tools/dedup_decade.py 'recipe'). The boilerplate docs
+       a df cap blinds the step to are exactly the most-duplicated
+       content in a web corpus. In the MINHASH path the cap was only
+       ever a candidate-volume guard, and ``max_bucket`` now bounds
+       that at O(bucket) without touching recall — set a df cap here
+       only for the stop-shingle SEMANTICS (scoring Jaccard over rare
+       shingles), never for cost.
     2b. SPAN CUTTING — when ``cut_spans_min_tokens`` is set, maximal
        cross-document repeated runs of at least that many tokens are
        REMOVED from the surviving documents

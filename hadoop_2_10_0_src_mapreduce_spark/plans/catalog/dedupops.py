@@ -100,20 +100,24 @@ _HEX2INT_LO = " + ".join(
 )
 
 _EXACT_ORACLE = f"""
-WITH corpus AS ({_CORPUS_SQL}),
+WITH corpus AS MATERIALIZED ({_CORPUS_SQL}),
 exact AS (
     SELECT 'exact' AS branch, {fingerprint_sql('text')} AS fp,
            MIN(doc_id) AS keeper, COUNT(*) AS n_copies
     FROM corpus GROUP BY fp
 ),
-tok AS (
-    -- shingle ONCE per row (the inline WHERE re-ran the whole
-    -- tokenize+gram build; same r8 oracle-wall cut)
-    SELECT doc_id, sgs
-    FROM (SELECT doc_id, {shingles_sql('text')} AS sgs FROM corpus)
-    WHERE len(sgs) > 0
+tokraw AS MATERIALIZED (
+    -- two-stage shingle build (the r9 oracle-wall finding): DuckDB
+    -- inlines a subselect's column into the WHERE predicate, so the
+    -- one-CTE form ran the whole tokenize+gram build TWICE per row
+    -- (once in the filter, once in the projection); materializing the
+    -- raw build first makes the filter a cheap len() over stored rows
+    SELECT doc_id, {shingles_sql('text')} AS sgs FROM corpus
 ),
-pos AS (
+tok AS MATERIALIZED (
+    SELECT doc_id, sgs FROM tokraw WHERE len(sgs) > 0
+),
+pos AS MATERIALIZED (
     SELECT doc_id, unnest(sgs) AS s, generate_subscripts(sgs, 1) AS i FROM tok
 ),
 parsed AS (
@@ -123,7 +127,7 @@ parsed AS (
     FROM (SELECT doc_id, i, {_HEX2INT_HI} AS hi, {_HEX2INT_LO} AS lo
           FROM (SELECT doc_id, i, md5(s) AS h FROM pos))
 ),
-sigs AS (
+sigs AS MATERIALIZED (
     SELECT doc_id, list(v ORDER BY i) AS sg FROM parsed GROUP BY doc_id
 ),
 wins AS (
@@ -149,7 +153,7 @@ incr AS (
     -- runs the index-merge path and must land on the same rows
     SELECT 'incr' AS branch, fp, keeper, n_copies FROM exact
 ),
-flagged AS (
+flagged AS MATERIALIZED (
     -- cross-document repeated n-grams (exact-substring dedup at
     -- k-gram granularity): every position whose k-gram occurs in ≥2
     -- distinct docs; the oracle flags STRING shingles where Spark
@@ -174,7 +178,7 @@ islands AS (
            i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
     FROM flagged
 ),
-spans AS (
+spans AS MATERIALIZED (
     SELECT doc_id, MIN(i) AS s,
            MAX(i) - MIN(i) + {_XGRAM_K} AS len
     FROM islands GROUP BY doc_id, grp
@@ -355,14 +359,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DF_CAP = 100
 
 _JACCARD_SQL_PAIRS = f"""
-WITH corpus AS ({_CORPUS_SQL}),
-shingled AS (
+WITH corpus AS MATERIALIZED ({_CORPUS_SQL}),
+shraw AS MATERIALIZED (
+    -- two-stage shingle build: DuckDB inlines a subselect's column
+    -- into the WHERE predicate (the one-CTE form ran the tokenize+
+    -- gram build twice per row) and re-inlines non-materialized CTEs
+    -- per reference — materialize the raw build, then filter stored
+    -- rows (the r9 oracle-wall finding)
     SELECT doc_id, list_distinct({shingles_sql('text')}) AS sh
     FROM corpus
-    WHERE len({shingles_sql('text')}) > 0
 ),
-inv AS (SELECT doc_id, unnest(sh) AS h FROM shingled),
-kept AS (
+shingled AS MATERIALIZED (
+    SELECT doc_id, sh FROM shraw WHERE len(sh) > 0
+),
+inv AS MATERIALIZED (SELECT doc_id, unnest(sh) AS h FROM shingled),
+kept AS MATERIALIZED (
     SELECT doc_id, h FROM inv
     WHERE h IN (SELECT h FROM inv GROUP BY h HAVING COUNT(*) <= {_DF_CAP})
 ),
@@ -372,7 +383,7 @@ kept AS (
 -- shingle) and deriving |union| = |a| + |b| - |common| is EQUAL to the
 -- all-pairs cross join for every pair the branches keep — the round-5
 -- cross-join form was O(corpus^2) and infeasible at the sf1 gate
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
 common AS (
     SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_common
     FROM kept x JOIN kept y ON x.h = y.h AND x.doc_id < y.doc_id
@@ -544,7 +555,7 @@ def _simhash_oracle() -> str:
         for j in range(7)
     )
     return f"""
-WITH corpus AS ({_CORPUS_SQL}),
+WITH corpus AS MATERIALIZED ({_CORPUS_SQL}),
 toks AS (
     SELECT doc_id, unnest({_TOKS}) AS tok FROM corpus
 ),
@@ -555,10 +566,10 @@ dig AS (SELECT doc_id,
 sums AS (SELECT doc_id,
            {bit_sums}
          FROM dig GROUP BY doc_id),
-bits AS (SELECT doc_id,
+bits AS MATERIALIZED (SELECT doc_id,
            {sig_bits}
          FROM sums),
-chunks AS (SELECT doc_id,
+chunks AS MATERIALIZED (SELECT doc_id,
            {chunk_cols}
          FROM bits),
 pairs AS (
@@ -601,13 +612,13 @@ def _linked_ctes() -> str:
             tidx += 1
     tbl = "\n    UNION ALL\n".join(legs)
     lham = " + ".join(f"bit_count(xor(x.e{i}, y.e{i}))" for i in range(8))
-    return f"""ech AS (SELECT doc_id,
+    return f"""ech AS MATERIALIZED (SELECT doc_id,
            {echunks}
          FROM bits),
 tbl AS (
 {tbl}
 ),
-sized AS (
+sized AS MATERIALIZED (
     SELECT doc_id, tidx, bucket,
            COUNT(*) OVER (PARTITION BY tidx, bucket) AS bsz,
            LEAD(doc_id) OVER (

@@ -90,9 +90,16 @@ def unguarded_allpairs_finding(df: DataFrame, op: str) -> str | None:
         return None
     if size < ALLPAIRS_GUARD_BYTES:
         return None
+    # Catalyst's unknown-size sentinel (2^63-ish on joins without
+    # stats) is still worth the warning — the conservative direction —
+    # but printing it as MiB reads as garbage
+    shown = (
+        "unknown (no statistics)" if size >= 1 << 50
+        else f"~{size >> 20} MiB"
+    )
     return (
         f"WARN: unguarded-all-pairs: {op}(max_bucket=None) over a "
-        f"~{size >> 20} MiB input — one oversized LSH bucket (a "
+        f"{shown} input — one oversized LSH bucket (a "
         "boilerplate mega-cluster) makes candidate generation "
         "quadratic in the cluster size (measured: 200M candidates / "
         "1009 s for one 20k-doc cluster at 500k docs). Pass "

@@ -769,6 +769,33 @@ def test_prepare_training_corpus_max_bucket_keeps_same_corpus(spark):
     assert 0 in capped and not any(i in capped for i in range(1, 12))
 
 
+def test_recipe_df_cap_would_blind_mega_cluster(spark):
+    """The r9 end-to-end decade finding (tools/dedup_decade.py
+    'recipe'): a df cap BELOW a near-dup cluster's member count drops
+    every shingle the cluster shares, so each member's signature is
+    built from its few unique edit shingles — disjoint across members
+    — and the cluster sails through near-dedup whole (the planted
+    200-variant mega-cluster survived 200-strong at cap=100). The
+    recipe therefore defaults ``max_doc_freq=None``; ``max_bucket``
+    carries the candidate-cost guard without touching recall."""
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import (
+        prepare_training_corpus,
+    )
+
+    docs = _mega_corpus(spark)
+    kw = dict(near_dup_threshold=0.5, min_quality=0.0, min_tokens=1)
+    # default (max_doc_freq=None): the mega cluster collapses to its
+    # min-id representative
+    kept = {r.id for r in prepare_training_corpus(docs, **kw).collect()}
+    assert 0 in kept and not any(i in kept for i in range(1, 12))
+    # the blinded configuration this default guards against: a cap
+    # below the post-exact cluster size (3 variants share every base
+    # shingle, df=3 > 2) keeps ALL the variants
+    blind = {r.id for r in prepare_training_corpus(
+        docs, max_doc_freq=2, **kw).collect()}
+    assert {0, 4, 8} <= blind
+
+
 def test_incremental_exact_dedup_equals_batch_recompute(spark, dup_corpus):
     """THE incremental invariant: folding the planted-dup batch into
     the original documents' index must equal one exact_dedup over the
@@ -1479,6 +1506,53 @@ def test_lsh_index_roundtrip_serves_identically(spark, tmp_path):
     qtop1 = {r.query_id: r.neighbor_id for r in qserved.collect()}
     agree = sum(1 for q, n in top1.items() if qtop1.get(q) == n)
     assert agree / len(top1) > 0.8
+
+
+def test_query_lsh_index_multiprobe_dominance_and_default(spark, tmp_path):
+    """The r9 multi-probe serve dial: (a) at a ≤10-bit geometry the
+    "auto" default resolves to 0 flips, bit-identical to an explicit
+    n_multiprobe=0 serve (every existing hash carries); (b) flipping
+    probes a SUPERSET of the base candidate set, so per-(query, rank)
+    served similarity can only rise — top-k dominance, the recall
+    property at fixed store; (c) the probed volume per (query, table)
+    is exactly 2^flips buckets."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "lsh_mp")
+    # 12 bits / 8 tables: sparse buckets (recall headroom for flips);
+    # adaptive_multiprobe(12, 8) = 2+1 — deficit engages automatically
+    similarity.save_lsh_index(emb, path, n_planes=12, n_tables=8)
+    as_rows = lambda df: sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.sim) for r in df.collect()
+    )
+    base = similarity.query_lsh_index(emb, path, k=3, n_multiprobe=0)
+    flip = similarity.query_lsh_index(emb, path, k=3)  # auto → 3
+    base_rows, flip_rows = as_rows(base), as_rows(flip)
+    assert base_rows, "base serve returned no rows"
+    b = {(q, r): s for q, r, _n, s in base_rows}
+    f = {(q, r): s for q, r, _n, s in flip_rows}
+    assert set(b) <= set(f), "multiprobe lost a (query, rank) slot"
+    assert all(f[k] >= b[k] for k in b), "multiprobe lowered a rank's sim"
+    assert len(f) > len(b) or sum(f.values()) > sum(b.values()), (
+        "flips changed nothing at a sparse 12-bit geometry — dial inert"
+    )
+    # ≤10-bit index: auto is 0 and serves bit-identically
+    p10 = str(tmp_path / "lsh_p6")
+    similarity.save_lsh_index(emb, p10, n_planes=6, n_tables=8)
+    assert as_rows(
+        similarity.query_lsh_index(emb, p10, k=3)
+    ) == as_rows(similarity.query_lsh_index(emb, p10, k=3, n_multiprobe=0))
+    # probe volume: 2^flips buckets per (query, table)
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+        lsh_signatures,
+        md5_planes,
+    )
+    one = emb.limit(1)
+    sig = lsh_signatures(
+        one, n_planes=12, n_tables=8, planes=md5_planes(8, 12, 64), n_flip=2
+    )
+    assert sig.count() == 8 * 4
 
 
 def test_compact_table_cluster_by_skipping_layout(spark, tmp_path):

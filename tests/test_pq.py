@@ -692,6 +692,117 @@ def test_adaptive_tables_rule_and_twin(spark):
         ), n
 
 
+def test_adaptive_multiprobe_rule_and_twin(spark):
+    """n_multiprobe="auto" covers the bit deficit the TABLE rule left:
+    flips = (bits − 10) − log2(tables/16), capped — so probes·tables
+    equals the bucket-read volume the uncapped table rule orders, at
+    whatever store the stored table count costs. Zero at every
+    auto-built geometry until the table cap binds, zero at all
+    ≤10-bit driver fixtures (hashes carry), and it engages exactly
+    when a user pins a smaller store. SQL twin agrees at every bit
+    boundary, for both the auto table count and a pinned one."""
+    import duckdb
+
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+        LSH_MULTIPROBE_CAP,
+        LSH_TARGET_BUCKET,
+        adaptive_multiprobe,
+        adaptive_multiprobe_sql,
+        adaptive_planes,
+        adaptive_tables_for_planes,
+    )
+
+    # ≤10-bit geometries (every driver fixture through sf1): no flips
+    assert adaptive_multiprobe(6, 16) == 0
+    assert adaptive_multiprobe(10, 16) == 0
+    # auto-built 13-bit store gets 128 tables → fully covered
+    assert adaptive_multiprobe(13, 128) == 0
+    # user pins 16 tables at 13 bits → 3 uncovered bits → 3+1 flips
+    # (the +1 covers the measured ~11% per-flip shortfall vs a true
+    # table doubling: 0.542 recall@10 vs the table rule's 0.435)
+    assert adaptive_multiprobe(13, 16) == 4
+    assert adaptive_multiprobe(13, 32) == 3
+    # past the 128-table cap the deficit reappears even at auto tables
+    assert adaptive_multiprobe(14, 128) == 2
+    assert adaptive_multiprobe(24, 16) == LSH_MULTIPROBE_CAP  # cap
+    con = duckdb.connect()
+    edges = []
+    for p in range(6, 21):
+        n_edge = (1 << p) * LSH_TARGET_BUCKET
+        edges += [n_edge, n_edge + 1]
+    for n in edges + [500, 20_000, 200_000]:
+        con.execute("CREATE OR REPLACE TABLE e AS SELECT * FROM range(?)", [n])
+        bits = adaptive_planes(n)
+        got_auto = con.execute(
+            "SELECT " + adaptive_multiprobe_sql("e")
+        ).fetchone()[0]
+        assert got_auto == adaptive_multiprobe(
+            bits, adaptive_tables_for_planes(bits)
+        ), n
+        got_pinned = con.execute(
+            "SELECT " + adaptive_multiprobe_sql("e", n_tables=16)
+        ).fetchone()[0]
+        assert got_pinned == adaptive_multiprobe(bits, 16), n
+
+
+def test_lsh_signatures_n_flip_naive_reference(spark):
+    """Multi-probe signature generation against a pure-numpy replay:
+    per (vector, table), the engine emits the base bucket plus the
+    2^q−1 buckets from XOR-flipping every non-empty subset of the q
+    lowest-|margin| bits (ties broken by plane index), margins
+    accumulated in the same left-to-right dim order as exact mode.
+    n_flip=0 rows are exactly the base rows — the historical output."""
+    import numpy as np
+
+    from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
+        lsh_signatures,
+        md5_planes,
+    )
+
+    n_planes, n_tables, dim, q = 5, 3, 8, 2
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((12, dim)).astype(np.float32)
+    planes = md5_planes(n_tables, n_planes, dim)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(len(mat))],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.vec_id, r.table_idx, r.bucket)
+        for r in lsh_signatures(
+            emb, n_planes=n_planes, n_tables=n_tables, dim=dim,
+            planes=planes, n_flip=q,
+        ).collect()
+    }
+    base = {
+        (r.vec_id, r.table_idx, r.bucket)
+        for r in lsh_signatures(
+            emb, n_planes=n_planes, n_tables=n_tables, dim=dim,
+            planes=planes,
+        ).collect()
+    }
+    # reference replay
+    acc = np.zeros((len(mat), n_tables * n_planes))
+    m64 = mat.astype(np.float64)
+    for d in range(dim):
+        acc += m64[:, d : d + 1] * planes[:, d][None, :]
+    want = set()
+    for i in range(len(mat)):
+        for t in range(n_tables):
+            margins = acc[i, t * n_planes : (t + 1) * n_planes]
+            bucket = sum(1 << p for p in range(n_planes) if margins[p] > 0)
+            order = sorted(range(n_planes), key=lambda p: (abs(margins[p]), p))
+            lowbits = order[:q]
+            for s in range(1 << q):
+                mask = 0
+                for j in range(q):
+                    if s >> j & 1:
+                        mask ^= 1 << lowbits[j]
+                want.add((i, t, bucket ^ mask))
+    assert got == want
+    assert base <= got and len(got) == len(mat) * n_tables * (1 << q)
+
+
 def test_resolve_tables_keys_off_resolved_planes(spark):
     """Review fix: an EXPLICIT n_planes drives the table rule (the
     rule compensates per-bit recall loss, so it must key off the bits

@@ -12,7 +12,23 @@ Usage:
   python tools/dedup_decade.py CORPUS_DIR OP [--max-doc-freq=N]
         [--max-bucket=N] [--include-mega]
   OP ∈ {exact, minhash, minhash_cands, components, jaccard, prefix,
-        simhash, simhash_cands, winnow, xgram, stream}
+        simhash, simhash_cands, winnow, xgram, stream, recipe}
+
+  recipe: the END-TO-END prepare_training_corpus decade check — every
+  stage above has an individual 500k row, but the composed chain
+  (boilerplate→exact→minhash+components→cut→decontam→gates→redact→
+  split) is where cache-reuse, join-order, and repeated-tokenization
+  regressions hide. Measures the REAL pipeline.prepare_training_corpus
+  call end-to-end (total wall), then a cumulative prefix ladder
+  (mirroring the pipeline's own stage composition) whose wall DELTAS
+  attribute cost per stage; verifies the keeper set against the
+  planted truth (≤1 survivor per exact/near/mega/chain cluster — the
+  gates can only shrink, never split, a cluster). Stage knobs chosen
+  to EXERCISE every stage without perturbing the dedup truth:
+  boilerplate min_docs=1000 (above the mega replication factor, so
+  the scan runs but removes nothing), cut_spans_min_tokens=30
+  (above any background repeat), eval_df = the first 200 background
+  docs (decontam drops exactly the survivors among them).
 
   stream: the STREAMING incremental corpus dedup decade check — the
   corpus drains through stream_incremental_corpus_dedup in ~10
@@ -276,6 +292,116 @@ def main() -> int:
             - (truth["mega"]["size"] - truth["mega"]["variants"])
         )
         shutil.rmtree(work, ignore_errors=True)
+
+    elif op == "recipe":
+        from hadoop_2_10_0_src_mapreduce_spark.pipeline import (
+            prepare_training_corpus,
+        )
+
+        n_eval = 200
+        eval_df = docs.where(F.col("doc_id") < n_eval).persist()
+        eval_df.count()
+        kw = dict(
+            text_col="text",
+            id_col="doc_id",
+            near_dup_threshold=truth["threshold"],
+            max_doc_freq=mdf,
+            max_bucket=max_bucket,
+            drop_boilerplate_min_docs=1000,
+            cut_spans_min_tokens=30,
+            eval_df=eval_df,
+            split_weights={"train": 0.98, "val": 0.01, "test": 0.01},
+        )
+        # 1) the REAL end-to-end call, measured as one program (what a
+        # user pays): count() materializes every stage
+        t0 = time.time()
+        corpus = prepare_training_corpus(docs, **kw)
+        out["n_out"] = corpus.count()
+        out["wall_total_s"] = round(time.time() - t0, 2)
+
+        # 2) keeper-set verification against the planted truth — the
+        # gates can only SHRINK a cluster's survivors, never split it,
+        # so every planted cluster must have ≤ 1 surviving member
+        kept = corpus.select("id").persist()
+        def survivors(start: int, size: int) -> int:
+            return kept.where(
+                F.col("id").between(start, start + size - 1)
+            ).count()
+        nr, ex, mg, ch = truth["near"], truth["exact"], truth["mega"], truth["chain"]
+        near_surv = (
+            kept.where(
+                F.col("id").between(
+                    nr["start"], nr["start"] + nr["clusters"] * nr["size"] - 1
+                )
+            )
+            .groupBy(F.floor((F.col("id") - nr["start"]) / nr["size"]))
+            .count().where(F.col("count") > 1).count()
+        )
+        exact_surv = (
+            kept.where(
+                F.col("id").between(
+                    ex["start"], ex["start"] + ex["clusters"] * ex["size"] - 1
+                )
+            )
+            .groupBy(F.floor((F.col("id") - ex["start"]) / ex["size"]))
+            .count().where(F.col("count") > 1).count()
+        )
+        out["near_clusters_multi_survivor"] = near_surv
+        out["exact_clusters_multi_survivor"] = exact_surv
+        out["mega_survivors"] = survivors(mg["start"], mg["size"])
+        out["chain_survivors"] = survivors(ch["start"], ch["len"])
+        out["eval_leaked"] = kept.where(F.col("id") < n_eval).count()
+        out["truth_ok"] = bool(
+            near_surv == 0 and exact_surv == 0
+            and out["mega_survivors"] <= 1 and out["chain_survivors"] <= 1
+            and out["eval_leaked"] == 0
+        )
+        kept.unpersist()
+
+        # 3) cumulative prefix ladder (mirrors pipeline.py's stages 0-3
+        # composition exactly); wall DELTAS attribute marginal cost per
+        # stage INCLUDING its recompute of the prefix — an upper bound
+        # on the stage's standalone cost, and the gap between
+        # sum(deltas) and wall_total_s is what stage-fusion saves
+        base = docs.select(F.col("doc_id").alias("id"), F.col("text"))
+        stage_walls: dict[str, float] = {}
+        prev_wall = 0.0
+
+        def run_prefix(name: str, df) -> None:
+            nonlocal prev_wall
+            t = time.time()
+            out.setdefault("prefix_rows", {})[name] = df.count()
+            cum = time.time() - t
+            stage_walls[name] = round(cum - prev_wall, 2)
+            prev_wall = cum
+
+        # cumulative: each prefix recomputes the prior ones, so the
+        # delta (this prefix − previous prefix) ≈ the marginal stage
+        boiler = dedup.drop_boilerplate_lines(base, "text", "id", min_docs=1000)
+        run_prefix("boilerplate", boiler)
+        keep = dedup.exact_dedup(boiler, "text", "id").select(
+            F.col("keeper").alias("id")
+        )
+        uniq = boiler.join(keep, "id", "left_semi")
+        run_prefix("exact", uniq)
+        pairs = dedup.minhash_lsh_pairs(
+            uniq, "text", "id", threshold=truth["threshold"],
+            max_doc_freq=mdf, max_bucket=max_bucket,
+        )
+        losers = (
+            dedup.duplicate_components(pairs)
+            .where(F.col("id") != F.col("rep")).select("id")
+        )
+        surv = uniq.join(losers, "id", "left_anti")
+        run_prefix("neardup", surv)
+        cut = dedup.cut_repeated_spans(surv, "text", "id", min_span_tokens=30)
+        run_prefix("cut_spans", cut)
+        eval_base = eval_df.select(F.col("doc_id").alias("id"), "text")
+        deco = dedup.decontaminate(cut, eval_base, "text", "id", n=13)
+        run_prefix("decontam", deco)
+        out["stage_walls_s"] = stage_walls
+        out["prefix_ladder_sum_s"] = round(sum(stage_walls.values()), 2)
+        out["max_bucket"] = max_bucket
 
     else:
         raise SystemExit(f"unknown op {op!r}")

@@ -23,7 +23,20 @@ flat across the sweep.
 
 Usage: python tools/lsh_table_sweep.py [corpus_dir] [--tables=16,32,64,128]
                                        [--queries=100] [--k=10] [--int8]
+                                       [--multiprobe=0,1,2,3,4]
 Prints one JSON line per point.
+
+--multiprobe (r9): serve each table-count sub-store once per flip
+count — the measurement behind adaptive_multiprobe (flips substitute
+for table doublings at fixed store; the probed-bucket volume of
+(tables, flips) is tables·2^flips). One point per (tables, flips).
+
+r9 measured run (200k vectors / 13 bits / float store, 100 queries,
+k=10): recall@10 at 16 tables q=0..4 → 0.070, 0.136, 0.238, 0.386,
+0.542; at 32 tables → 0.137, 0.242, 0.400, 0.597, 0.776. Each flip
+tracks the table doubling it substitutes for within ~11%; q=4 at 16
+tables BEATS the 128-table point (0.435) at 1/8 the store, serve
+walls flat 2.7-9.3 s across the grid.
 """
 
 from __future__ import annotations
@@ -51,6 +64,7 @@ def main() -> int:
     corpus_dir = args[0] if args else "/tmp/vec200k"
     tables = [16, 32, 64, 128]
     n_queries, k = 100, 10
+    multiprobe = [0]
     quantize = "--int8" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--tables="):
@@ -59,6 +73,8 @@ def main() -> int:
             n_queries = int(a.split("=", 1)[1])
         elif a.startswith("--k="):
             k = int(a.split("=", 1)[1])
+        elif a.startswith("--multiprobe="):
+            multiprobe = [int(x) for x in a.split("=", 1)[1].split(",")]
 
     spark = get_spark(
         "lsh_table_sweep",
@@ -114,17 +130,21 @@ def main() -> int:
             }),
             f"{sub}/conf/part-0.parquet",
         )
-        t0 = time.time()
-        rows = similarity.query_lsh_index(queries, sub, k=k).collect()
-        el = round(time.time() - t0, 2)
-        rec = recall_at_k(rows, exact_rows, k)
-        spark.catalog.clearCache()
-        emb.persist().count()
-        queries.persist().count()
-        print(json.dumps({
-            "n_tables": t_count, "serve_sec": el, "recall": rec,
-            "store_mb": round(store_bytes / 1e6, 1),
-        }), flush=True)
+        for q_flip in multiprobe:
+            t0 = time.time()
+            rows = similarity.query_lsh_index(
+                queries, sub, k=k, n_multiprobe=q_flip
+            ).collect()
+            el = round(time.time() - t0, 2)
+            rec = recall_at_k(rows, exact_rows, k)
+            spark.catalog.clearCache()
+            emb.persist().count()
+            queries.persist().count()
+            print(json.dumps({
+                "n_tables": t_count, "multiprobe": q_flip,
+                "serve_sec": el, "recall": rec,
+                "store_mb": round(store_bytes / 1e6, 1),
+            }), flush=True)
     return 0
 
 
