@@ -8,16 +8,16 @@ else for media). The Spark-side design is the real deliverable here:
   never explodes into Python objects row-by-row; mapInPandas sees
   whole Arrow batches.
 - decode/resize/feature-extract run per batch; the codec boundary is
-  explicit and (since r8) SMALLER: binary PPM/PGM, uncompressed
-  24-bit BMP, AND 8-bit non-interlaced PNG decode ON-BOX with
-  pure-numpy codecs (``decode_ppm`` / ``decode_bmp`` /
-  ``decode_png`` — the PNG DEFLATE stream is stdlib zlib, the five
-  scanline filters unfilter in numpy), so ``decode_image`` is a real
-  end-to-end path for them; the remaining compressed formats
-  (JPEG/video — ffmpeg/torchaudio territory) still try PIL and
-  raise NotImplementedError when absent, while the deterministic FAKE
-  container format below exercises every seam (schema, batching,
-  partitioning, UDF signatures) end-to-end in tests.
+  explicit and keeps SHRINKING: binary PPM/PGM, uncompressed 24-bit
+  BMP, 8-bit non-interlaced PNG (r8), AND baseline JPEG (r9 —
+  SOF0, any chroma sampling, restart markers; ``decode_jpeg`` /
+  ``encode_jpeg``) decode ON-BOX with pure-numpy codecs, so
+  ``decode_image`` is a real end-to-end path for every common still
+  format; the remainder (progressive JPEG, video — ffmpeg territory)
+  still tries PIL and raises NotImplementedError when absent, while
+  the deterministic FAKE container format below exercises every seam
+  (schema, batching, partitioning, UDF signatures) end-to-end in
+  tests.
 
 FAKE container layout (big-endian):
     magic  b"FAKE"
@@ -116,9 +116,34 @@ def _media_dims(blob: bytes) -> tuple[str, int, int, int]:
         if blob[:8] == _PNG_SIG and len(blob) >= 24:
             w, h = _struct.unpack(">II", blob[16:24])
             return "image", w, h, len(blob)
+        if blob[:2] == b"\xff\xd8":
+            dims = _jpeg_dims(blob)
+            if dims is not None:
+                return "image", dims[0], dims[1], len(blob)
     except (ValueError, _struct.error):
         pass
     return "unknown", 0, 0, len(blob)
+
+
+def _jpeg_dims(blob: bytes) -> tuple[int, int] | None:
+    """(w, h) from the first SOFn segment — a header-only walk of the
+    marker stream (any SOF variant carries dims, even ones
+    decode_jpeg refuses); None when no SOF is found."""
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            return None
+        marker = blob[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            continue
+        ln = _struct.unpack(">H", blob[pos:pos + 2])[0]
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            h, w = _struct.unpack(">HH", blob[pos + 3:pos + 7])
+            return w, h
+        pos += ln
+    return None
 
 
 def decode_meta(df: DataFrame, media_col: str = "media", id_col: str = "id") -> DataFrame:
@@ -356,13 +381,525 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+# --- baseline JPEG (pure numpy + stdlib) --------------------------------
+# The last still-image format behind the codec boundary (r9): baseline
+# sequential DCT (SOF0), 8-bit, gray or YCbCr with any h/v sampling
+# (4:4:4 / 4:2:2 / 4:2:0), restart markers honored. Progressive (SOF2),
+# arithmetic coding, and 12-bit raise NotImplementedError — the
+# remaining boundary is progressive JPEG + video. Both halves share
+# nothing with the stream tables: the DECODER reads DQT/DHT from the
+# file, so round trips hold for ANY legal baseline stream, not just
+# ours. Entropy decode is inherently bit-serial (each Huffman symbol's
+# length is unknown until decoded), so the hot loop is per-block Python
+# over a numpy bit cursor — the documented trade; blocks after entropy
+# decode (dequant, IDCT, upsample, color) are vectorized numpy.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# orthonormal 8-point DCT-II basis: IDCT is C.T @ coef @ C
+_DCT_C = np.array([
+    [(np.sqrt(1 / 8) if k == 0 else 0.5)
+     * np.cos((2 * n + 1) * k * np.pi / 16) for n in range(8)]
+    for k in range(8)
+])
+
+# Annex K quantization tables (quality-scaled by encode_jpeg)
+_JPEG_LUM_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_JPEG_CHR_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K typical Huffman tables: (BITS[1..16], HUFFVAL). The encoder
+# emits these; the decoder never assumes them (it parses DHT).
+_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(12)))
+_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+           list(range(12)))
+_AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+_AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical-code map {(length, code): value} per ITU T.81 C.2."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict:
+    """{value: (code, length)} — the encoder-side view of C.2."""
+    return {
+        v: (c, ln) for (ln, c), v in _huff_decode_table(bits, vals).items()
+    }
+
+
+class _BitReader:
+    """MSB-first bit cursor over UNSTUFFED scan bytes; ``align`` snaps
+    to the next byte boundary at restart markers."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: np.ndarray):
+        self.data = data  # uint8 array
+        self.pos = 0  # bit position
+
+    def read_bit(self) -> int:
+        byte = self.data[self.pos >> 3]
+        bit = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return int(bit)
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _huff_read(br: _BitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.read_bit()
+        ln += 1
+        v = table.get((ln, code))
+        if v is not None:
+            return v
+    raise ValueError("bad JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 sign extension of an s-bit magnitude."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Pure-numpy baseline JPEG decode → uint8 (h, w) gray or
+    (h, w, 3) RGB. Parses DQT/DHT/SOF0/DRI/SOS from the stream (no
+    assumption of the Annex K tables), entropy-decodes the MCU
+    stream with restart-marker support, then dequantizes, inverse-
+    DCTs (orthonormal separable 8×8 basis), box-upsamples subsampled
+    chroma, and converts JFIF YCbCr→RGB. Progressive/arithmetic/12-bit
+    streams raise NotImplementedError (the codec boundary)."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id)
+    comps: list[dict] = []
+    w = h = 0
+    restart = 0
+    pos = 2
+    scan_comps: list[dict] = []
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = blob[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        ln = _struct.unpack(">H", blob[pos:pos + 2])[0]
+        seg = blob[pos + 2:pos + ln]
+        if marker == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                prec, tid = seg[s] >> 4, seg[s] & 15
+                if prec:
+                    tbl = np.frombuffer(
+                        seg[s + 1:s + 129], ">u2"
+                    ).astype(np.int64)
+                    s += 129
+                else:
+                    tbl = np.frombuffer(
+                        seg[s + 1:s + 65], np.uint8
+                    ).astype(np.int64)
+                    s += 65
+                qt[tid] = tbl
+        elif marker == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                cls, tid = seg[s] >> 4, seg[s] & 15
+                bits = list(seg[s + 1:s + 17])
+                n = sum(bits)
+                vals = list(seg[s + 17:s + 17 + n])
+                huff[(cls, tid)] = _huff_decode_table(bits, vals)
+                s += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            h, w = _struct.unpack(">HH", seg[1:5])
+            comps = [
+                {
+                    "id": seg[6 + 3 * i],
+                    "hs": seg[7 + 3 * i] >> 4,
+                    "vs": seg[7 + 3 * i] & 15,
+                    "tq": seg[8 + 3 * i],
+                }
+                for i in range(seg[5])
+            ]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline (SOF0) JPEG supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart = _struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cid)
+                scan_comps.append(
+                    {**comp, "dc": tabs >> 4, "ac": tabs & 15}
+                )
+            pos += ln
+            break
+        pos += ln
+    if not scan_comps or not w:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    # unstuff the entropy stream (FF00 → FF), recording where restart
+    # markers sat (as bit positions in the KEPT stream); stop at the
+    # first non-RST marker (EOI or a new segment)
+    raw = np.frombuffer(blob, np.uint8)[pos:]
+    rst_bits = []
+    kept = np.empty(len(raw), np.uint8)
+    i = kept_count = 0
+    while i < len(raw):
+        b = int(raw[i])
+        if b == 0xFF and i + 1 < len(raw):
+            m = int(raw[i + 1])
+            if m == 0x00:
+                kept[kept_count] = 0xFF
+                kept_count += 1
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:
+                rst_bits.append(kept_count * 8)
+                i += 2
+                continue
+            break
+        kept[kept_count] = b
+        kept_count += 1
+        i += 1
+    br = _BitReader(kept[:kept_count])
+
+    hmax = max(c["hs"] for c in scan_comps)
+    vmax = max(c["vs"] for c in scan_comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        c["id"]: np.zeros(
+            (mcuy * c["vs"] * 8, mcux * c["hs"] * 8), np.float64
+        )
+        for c in scan_comps
+    }
+    pred = {c["id"]: 0 for c in scan_comps}
+    n_mcu = mcux * mcuy
+    rst_i = 0
+    for m in range(n_mcu):
+        if restart and m and m % restart == 0:
+            # predictor reset + byte realignment at each restart; the
+            # recorded marker position is authoritative (pad bits
+            # before the marker are skipped by jumping to it)
+            if rst_i < len(rst_bits):
+                br.pos = rst_bits[rst_i]
+            else:
+                br.align()
+            rst_i += 1
+            for k in pred:
+                pred[k] = 0
+        my, mx = divmod(m, mcux)
+        for c in scan_comps:
+            dct, act = huff[(0, c["dc"])], huff[(1, c["ac"])]
+            q = qt[c["tq"]]
+            for by in range(c["vs"]):
+                for bx in range(c["hs"]):
+                    zz = np.zeros(64, np.int64)
+                    s = _huff_read(br, dct)
+                    diff = _extend(br.read_bits(s), s) if s else 0
+                    pred[c["id"]] += diff
+                    zz[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_read(br, act)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = _extend(br.read_bits(s), s)
+                        k += 1
+                    coef = np.zeros(64, np.float64)
+                    coef[_ZIGZAG] = zz * q
+                    block = (
+                        _DCT_C.T @ coef.reshape(8, 8) @ _DCT_C
+                    )
+                    py = (my * c["vs"] + by) * 8
+                    px = (mx * c["hs"] + bx) * 8
+                    planes[c["id"]][py:py + 8, px:px + 8] = block
+    out_planes = []
+    for c in scan_comps:
+        p = planes[c["id"]] + 128.0
+        p = np.repeat(
+            np.repeat(p, vmax // c["vs"], axis=0), hmax // c["hs"], axis=1
+        )
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        return np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.rint(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, ln: int) -> None:
+        self.acc = (self.acc << ln) | (code & ((1 << ln) - 1))
+        self.nbits += ln
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        pad = (8 - self.nbits % 8) % 8
+        if pad:
+            self.write((1 << pad) - 1, pad)  # 1-pad to a byte boundary
+
+
+def encode_jpeg(
+    arr: np.ndarray, *, quality: int = 90, subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (h, w) gray / (h, w, 3) RGB → baseline JFIF JPEG bytes
+    (Annex K tables scaled by ``quality`` 1..100 via the libjpeg
+    convention, standard Huffman tables written as DHT so any decoder
+    — including ours — reads them from the stream). ``subsample=True``
+    encodes color as 4:2:0 (2×2-mean chroma), exercising the decoder's
+    upsampling path; gray and default color are 4:4:4.
+    ``restart_interval=N`` writes DRI and emits RST markers every N
+    MCUs (predictor reset + byte-aligned), the independently-decodable
+    stripes a parallel or fault-tolerant decoder keys on. Lossy by
+    nature: round trips are pinned by tolerance, not byte equality."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError(f"encode_jpeg: unsupported shape {arr.shape}")
+    h, w = arr.shape[:2]
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((_JPEG_LUM_Q * scale + 50) // 100, 1, 255)
+    qc = np.clip((_JPEG_CHR_Q * scale + 50) // 100, 1, 255)
+
+    if gray:
+        planes = [arr.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def ds(p: np.ndarray) -> np.ndarray:
+                # pad to even, then 2×2 mean
+                p = np.pad(
+                    p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                    mode="edge",
+                )
+                return p.reshape(p.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+
+            cb, cr = ds(cb), ds(cr)
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qids = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # edge-pad each plane to its MCU-aligned size
+    padded = []
+    for p, (hs, vs) in zip(planes, samp):
+        th, tw = mcuy * vs * 8, mcux * hs * 8
+        padded.append(np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        ))
+
+    dc_tabs = [_huff_encode_table(*_DC_LUM), _huff_encode_table(*_DC_CHR)]
+    ac_tabs = [_huff_encode_table(*_AC_LUM), _huff_encode_table(*_AC_CHR)]
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            bw.out += bytes(
+                [0xFF, 0xD0 + (m // restart_interval - 1) % 8]
+            )
+            pred = [0] * len(planes)
+        my, mx = divmod(m, mcux)
+        for ci, (p, (hs, vs)) in enumerate(zip(padded, samp)):
+            q = ql if qids[ci] == 0 else qc
+            dct_t = dc_tabs[0 if ci == 0 else 1]
+            act_t = ac_tabs[0 if ci == 0 else 1]
+            qz = q[_ZIGZAG]
+            for by in range(vs):
+                for bx in range(hs):
+                    py = (my * vs + by) * 8
+                    px = (mx * hs + bx) * 8
+                    block = p[py:py + 8, px:px + 8]
+                    coef = (_DCT_C @ block @ _DCT_C.T).reshape(64)
+                    zz = np.rint(coef[_ZIGZAG] / qz).astype(np.int64)
+                    diff = int(zz[0]) - pred[ci]
+                    pred[ci] = int(zz[0])
+                    s = int(abs(diff)).bit_length()
+                    code, ln = dct_t[s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(
+                            diff if diff > 0 else diff + (1 << s) - 1, s
+                        )
+                    run = 0
+                    nz = np.nonzero(zz[1:])[0]
+                    last = nz[-1] + 1 if len(nz) else 0
+                    for k in range(1, last + 1):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = act_t[0xF0]  # ZRL
+                            bw.write(code, ln)
+                            run -= 16
+                        s = abs(v).bit_length()
+                        code, ln = act_t[(run << 4) | s]
+                        bw.write(code, ln)
+                        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if last < 63:
+                        code, ln = act_t[0x00]  # EOB
+                        bw.write(code, ln)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    def dqt(tid: int, tbl: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(int(x) for x in tbl))
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(
+            0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    ncomp = len(planes)
+    sof = bytes([8]) + _struct.pack(">HH", h, w) + bytes([ncomp])
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, qids[ci]])
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])  # full spectral selection, no approx
+    out = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + dqt(0, ql[_ZIGZAG])
+        + (dqt(1, qc[_ZIGZAG]) if ncomp > 1 else b"")
+        + dht(0, 0, *_DC_LUM) + dht(1, 0, *_AC_LUM)
+        + ((dht(0, 1, *_DC_CHR) + dht(1, 1, *_AC_CHR)) if ncomp > 1 else b"")
+        + (seg(0xDD, _struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+        + seg(0xC0, sof)
+        + seg(0xDA, sos)
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+    return out
+
+
 def decode_image(blob: bytes) -> np.ndarray:
     """REAL image decode → uint8 array — the codec boundary, shrunk in
     r8: FAKE-container rasters, binary PPM/PGM, uncompressed 24-bit
     BMP, and 8-bit non-interlaced PNG decode ON-BOX with the
-    pure-numpy codecs above; anything else (JPEG/video/…) needs PIL
-    and raises NotImplementedError when absent (this container has no
-    image libs)."""
+    pure-numpy codecs above; r9 adds baseline JPEG (SOF0, any
+    sampling, restart markers). Anything else (progressive JPEG,
+    video, …) needs PIL and raises NotImplementedError when absent
+    (this container has no image libs)."""
     if blob[:4] == MAGIC:
         kind, w, h, payload = _parse(blob)
         if KINDS.get(kind) == "image" and len(payload) == w * h:
@@ -373,15 +910,18 @@ def decode_image(blob: bytes) -> np.ndarray:
         return decode_bmp(blob)
     if blob[:8] == _PNG_SIG:
         return decode_png(blob)
+    if blob[:2] == b"\xff\xd8":
+        return decode_jpeg(blob)
     try:
         import io
 
         from PIL import Image
     except ImportError as e:  # pragma: no cover - PIL absent on-box
         raise NotImplementedError(
-            "compressed-format decoding requires PIL; install pillow on "
-            "the cluster, or supply PPM/PGM/uncompressed-BMP/8-bit-PNG "
-            "(decoded on-box) or the FAKE-container test path"
+            "decoding this format requires PIL; install pillow on the "
+            "cluster, or supply PPM/PGM/uncompressed-BMP/8-bit-PNG/"
+            "baseline-JPEG (decoded on-box) or the FAKE-container test "
+            "path"
         ) from e
     return np.asarray(Image.open(io.BytesIO(blob)))  # pragma: no cover
 
@@ -424,12 +964,13 @@ def resize_images(
     byte. Non-image kinds pass through untouched (a pipeline resizes
     its images and leaves audio/video alone); an image payload that is
     NOT a raw raster — and any non-container blob — goes through
-    ``decode_image``: PPM/PGM/uncompressed-BMP/8-bit-PNG decode
-    on-box (r8) and re-encode as netpbm (P6/P5 — the canonical
-    pure-codec output; gray/RGB PNG inputs therefore come back as
-    netpbm, while alpha-bearing PNGs re-encode as PNG since netpbm
-    can't carry alpha); the remaining compressed formats keep the
-    documented NotImplementedError boundary."""
+    ``decode_image``: PPM/PGM/uncompressed-BMP/8-bit-PNG (r8) and
+    baseline JPEG (r9) decode on-box and re-encode as netpbm (P6/P5 —
+    the canonical pure-codec output; gray/RGB PNG/JPEG inputs
+    therefore come back as netpbm, while alpha-bearing PNGs re-encode
+    as PNG since netpbm can't carry alpha); the remaining formats
+    (progressive JPEG, video) keep the documented
+    NotImplementedError boundary."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -138,8 +138,12 @@ def test_ppm_bmp_pure_numpy_codecs_roundtrip():
     with pytest.raises(NotImplementedError, match="24-bit"):
         # 8-bit paletted header
         mm.decode_bmp(bmp[:28] + b"\x08\x00" + bmp[30:])
-    with pytest.raises(NotImplementedError):  # compressed still gated
+    # baseline JPEG decodes on-box since r9; a truncated/garbage JPEG
+    # header is malformed input (ValueError), not a codec gap
+    with pytest.raises(ValueError):
         mm.decode_image(b"\xff\xd8\xff\xe0jpeg...")
+    with pytest.raises(NotImplementedError):  # video still gated
+        mm.decode_image(b"\x00\x00\x00 ftypisom....")
 
 
 def test_decode_meta_never_fails_a_batch_on_malformed_blobs(spark):
@@ -250,6 +254,64 @@ def test_png_pure_numpy_codec_roundtrip():
         )
     with pytest.raises(ValueError, match="not a PNG"):
         mm.decode_png(b"nope")
+
+
+def test_jpeg_pure_numpy_codec_roundtrip():
+    """The r9 baseline-JPEG codec (pure numpy + stdlib): flat blocks
+    round-trip EXACTLY (DC-only), smooth content within tight
+    tolerance at q95, gray/RGB/4:2:0/odd-size all land the right
+    shape, restart-marker streams decode bit-identically to their
+    non-restart twins, the stream dispatches through decode_image and
+    reports dims through _media_dims, and progressive (SOF2) raises
+    NotImplementedError — the remaining boundary."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:37, 0:45]
+    grad = (yy * 2.5 + xx * 1.5).astype(np.uint8)
+    rgb = np.stack([grad, grad[::-1], grad], -1).astype(np.uint8)
+
+    # flat gray: every block is DC-only → quant round-trip is exact
+    flat = np.full((16, 16), 128, np.uint8)
+    assert np.array_equal(mm.decode_jpeg(mm.encode_jpeg(flat)), flat)
+
+    # smooth gradient, odd dims: q95 keeps the raster within ±2
+    out = mm.decode_jpeg(mm.encode_jpeg(grad, quality=95))
+    assert out.shape == grad.shape
+    assert int(np.abs(out.astype(int) - grad.astype(int)).max()) <= 2
+
+    # RGB 4:4:4 and 4:2:0 (the chroma-upsampling path)
+    o444 = mm.decode_jpeg(mm.encode_jpeg(rgb, quality=95))
+    assert o444.shape == rgb.shape
+    assert int(np.abs(o444.astype(int) - rgb.astype(int)).max()) <= 2
+    o420 = mm.decode_jpeg(mm.encode_jpeg(rgb, quality=95, subsample=True))
+    assert int(np.abs(o420.astype(int) - rgb.astype(int)).max()) <= 8
+
+    # restart markers: DRI/RSTn streams decode to the IDENTICAL raster
+    # (predictor reset + byte realignment replayed exactly)
+    for kw in ({}, {"subsample": True}):
+        r = mm.decode_jpeg(
+            mm.encode_jpeg(rgb, quality=95, restart_interval=3, **kw)
+        )
+        n = mm.decode_jpeg(mm.encode_jpeg(rgb, quality=95, **kw))
+        assert np.array_equal(r, n)
+
+    # dispatch + header-only dims
+    blob = mm.encode_jpeg(rgb, quality=90)
+    assert mm.decode_image(blob).shape == rgb.shape
+    assert mm._media_dims(blob) == ("image", 45, 37, len(blob))
+
+    # noisy content stays a faithful (if lossy) photograph at q90
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 256, (24, 24), np.uint8)
+    dec = mm.decode_jpeg(mm.encode_jpeg(noise, quality=90))
+    assert float(np.abs(dec.astype(int) - noise.astype(int)).mean()) < 8.0
+
+    # progressive refused: flip the crafted stream's SOF0 to SOF2
+    prog = bytearray(mm.encode_jpeg(grad))
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        mm.decode_jpeg(bytes(prog))
 
 
 def test_resize_handles_png_inputs(spark):
