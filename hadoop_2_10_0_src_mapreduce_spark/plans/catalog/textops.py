@@ -125,12 +125,18 @@ _Q_SCORE_SQL_H = (
 )
 
 _QUALITY_ORACLE = f"""
-WITH d AS MATERIALIZED (
-    SELECT doc_id, text,
-           {_Q_TOKS} AS toks,
+WITH dt AS MATERIALIZED (
+    -- tokenize ONCE: g2/g3 referencing the toks lateral alias in the
+    -- same SELECT re-inlined the token regexp (3× the scan's scalar
+    -- cost — the r9 sf1 profile put 64 of the oracle's 76 s here);
+    -- materializing toks first makes the gram build a list slice
+    SELECT doc_id, text, {_Q_TOKS} AS toks FROM documents
+),
+d AS MATERIALIZED (
+    SELECT doc_id, text, toks,
            {T.dup_ngram_grams_sql('toks', 2)} AS g2,
            {T.dup_ngram_grams_sql('toks', 3)} AS g3
-    FROM documents
+    FROM dt
 )
 SELECT doc_id,
        {_Q_FEATURES_H['n_chars']} AS n_chars,
