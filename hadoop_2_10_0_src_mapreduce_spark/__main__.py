@@ -115,6 +115,12 @@ def main(argv: list[str] | None = None) -> int:
                     "(ceil(lists/16), floor 4)")
     ix.add_argument("--n-queries", type=int, default=10,
                     help="query: serve the first N embedding rows")
+    ix.add_argument("--n-multiprobe", type=_int_or_auto, default="auto",
+                    help="query --family lsh: multi-probe bit flips per "
+                    "(query, table) — probes the 2^q lowest-|margin| "
+                    "perturbed buckets; 'auto' (default) covers the bit "
+                    "deficit the table rule left (0 at auto-built "
+                    "geometries)")
     ix.add_argument("--where", help="append: SQL predicate selecting the "
                     "embedding rows to fold in (e.g. 'vec_id >= 500')")
     ix.add_argument("--ids", help="delete: comma-separated vec_ids to tombstone")
@@ -442,7 +448,9 @@ def main(argv: list[str] | None = None) -> int:
                     q, p, k=k, n_probe=args.n_probe
                 )
             else:
-                serve = similarity.query_lsh_index
+                serve = lambda q, p, k: similarity.query_lsh_index(
+                    q, p, k=k, n_multiprobe=args.n_multiprobe
+                )
             serve(queries, args.path, k=args.k).orderBy(
                 "query_id", "rnk"
             ).show(args.limit, truncate=False)
