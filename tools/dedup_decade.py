@@ -19,9 +19,11 @@ Usage:
   (boilerplate→exact→minhash+components→cut→decontam→gates→redact→
   split) is where cache-reuse, join-order, and repeated-tokenization
   regressions hide. Measures the REAL pipeline.prepare_training_corpus
-  call end-to-end (total wall), then a cumulative prefix ladder
-  (mirroring the pipeline's own stage composition) whose wall DELTAS
-  attribute cost per stage; verifies the keeper set against the
+  call end-to-end (total wall), then per-stage attribution: each
+  dedup stage runs against its PERSISTED input, timed through
+  construction + materialization (duplicate_components iterates
+  eagerly at construction, so a cumulative-delta ladder misbooks its
+  cost); verifies the keeper set against the
   planted truth (≤1 survivor per exact/near/mega/chain cluster — the
   gates can only shrink, never split, a cluster). Stage knobs chosen
   to EXERCISE every stage without perturbing the dedup truth:
@@ -358,49 +360,48 @@ def main() -> int:
         )
         kept.unpersist()
 
-        # 3) cumulative prefix ladder (mirrors pipeline.py's stages 0-3
-        # composition exactly); wall DELTAS attribute marginal cost per
-        # stage INCLUDING its recompute of the prefix — an upper bound
-        # on the stage's standalone cost, and the gap between
-        # sum(deltas) and wall_total_s is what stage-fusion saves
-        base = docs.select(F.col("doc_id").alias("id"), F.col("text"))
+        # 3) per-stage attribution: each stage runs against its
+        # PERSISTED input (materialized, untimed) and the timed span
+        # covers construction + materialization-into-cache of its own
+        # output — the only shape that attributes honestly here,
+        # because duplicate_components runs its label-propagation jobs
+        # EAGERLY at construction (a cumulative-prefix delta ladder
+        # booked that cost in the wrong stage) and minhash's internal
+        # persists otherwise leak across stages. The engine's fused
+        # end-to-end plan is wall_total_s above; the per-stage sum is
+        # higher by the persist/rescan overhead stage isolation pays.
+        spark.catalog.clearCache()
         stage_walls: dict[str, float] = {}
-        prev_wall = 0.0
-
-        def run_prefix(name: str, df) -> None:
-            nonlocal prev_wall
-            t = time.time()
-            out.setdefault("prefix_rows", {})[name] = df.count()
-            cum = time.time() - t
-            stage_walls[name] = round(cum - prev_wall, 2)
-            prev_wall = cum
-
-        # cumulative: each prefix recomputes the prior ones, so the
-        # delta (this prefix − previous prefix) ≈ the marginal stage
-        boiler = dedup.drop_boilerplate_lines(base, "text", "id", min_docs=1000)
-        run_prefix("boilerplate", boiler)
-        keep = dedup.exact_dedup(boiler, "text", "id").select(
-            F.col("keeper").alias("id")
-        )
-        uniq = boiler.join(keep, "id", "left_semi")
-        run_prefix("exact", uniq)
-        pairs = dedup.minhash_lsh_pairs(
-            uniq, "text", "id", threshold=truth["threshold"],
-            max_doc_freq=mdf, max_bucket=max_bucket,
-        )
-        losers = (
-            dedup.duplicate_components(pairs)
-            .where(F.col("id") != F.col("rep")).select("id")
-        )
-        surv = uniq.join(losers, "id", "left_anti")
-        run_prefix("neardup", surv)
-        cut = dedup.cut_repeated_spans(surv, "text", "id", min_span_tokens=30)
-        run_prefix("cut_spans", cut)
+        base = docs.select(F.col("doc_id").alias("id"), F.col("text"))
+        cur = base.persist()
+        cur.count()
         eval_base = eval_df.select(F.col("doc_id").alias("id"), "text")
-        deco = dedup.decontaminate(cut, eval_base, "text", "id", n=13)
-        run_prefix("decontam", deco)
+        stages = [
+            ("boilerplate", lambda d: dedup.drop_boilerplate_lines(
+                d, "text", "id", min_docs=1000)),
+            ("exact", lambda d: d.join(
+                dedup.exact_dedup(d, "text", "id").select(
+                    F.col("keeper").alias("id")), "id", "left_semi")),
+            ("neardup", lambda d: d.join(
+                dedup.duplicate_components(dedup.minhash_lsh_pairs(
+                    d, "text", "id", threshold=truth["threshold"],
+                    max_doc_freq=mdf, max_bucket=max_bucket,
+                )).where(F.col("id") != F.col("rep")).select("id"),
+                "id", "left_anti")),
+            ("cut_spans", lambda d: dedup.cut_repeated_spans(
+                d, "text", "id", min_span_tokens=30)),
+            ("decontam", lambda d: dedup.decontaminate(
+                d, eval_base, "text", "id", n=13)),
+        ]
+        for name, fn in stages:
+            t = time.time()
+            nxt = fn(cur).persist()
+            out.setdefault("prefix_rows", {})[name] = nxt.count()
+            stage_walls[name] = round(time.time() - t, 2)
+            cur.unpersist()
+            cur = nxt
         out["stage_walls_s"] = stage_walls
-        out["prefix_ladder_sum_s"] = round(sum(stage_walls.values()), 2)
+        out["stage_sum_s"] = round(sum(stage_walls.values()), 2)
         out["max_bucket"] = max_bucket
 
     else:
