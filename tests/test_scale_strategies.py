@@ -641,6 +641,12 @@ def test_unguarded_allpairs_lint_rule(spark, monkeypatch):
     f = lint.unguarded_allpairs_finding(big, "minhash_lsh_pairs")
     assert f is not None and "unguarded-all-pairs" in f and "WARN" in f
     assert lint.unguarded_allpairs_finding(spark.range(10), "x") is None
+    # a stats-less plan (a Python LocalRelation reports Long.Max) —
+    # still warn (the conservative direction), but never print the
+    # sentinel as MiB
+    nostats = spark.createDataFrame([(1, "x")], ["id", "text"])
+    g = lint.unguarded_allpairs_finding(nostats, "minhash_lsh_pairs")
+    assert g is not None and "unknown (no statistics)" in g and "MiB" not in g
 
     docs = spark.createDataFrame(
         [(i, f"tok{i} alpha beta gamma delta") for i in range(6)],
