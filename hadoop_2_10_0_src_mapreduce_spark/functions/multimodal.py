@@ -131,6 +131,8 @@ def _jpeg_dims(blob: bytes) -> tuple[int, int] | None:
     decode_jpeg refuses); None when no SOF is found."""
     pos = 2
     while pos + 4 <= len(blob):
+        while pos + 1 < len(blob) and blob[pos] == 0xFF and blob[pos + 1] == 0xFF:
+            pos += 1  # T.81 fill bytes before a marker
         if blob[pos] != 0xFF:
             return None
         marker = blob[pos + 1]
@@ -543,6 +545,10 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     pos = 2
     scan_comps: list[dict] = []
     while pos < len(blob):
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip to the last FF of the run
+        while pos + 1 < len(blob) and blob[pos] == 0xFF and blob[pos + 1] == 0xFF:
+            pos += 1
         if blob[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
         marker = blob[pos + 1]
@@ -604,6 +610,14 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 scan_comps.append(
                     {**comp, "dc": tabs >> 4, "ac": tabs & 15}
                 )
+            if len(scan_comps) != len(comps):
+                # a legal baseline stream MAY carry each component in
+                # its own scan; decoding only the first scan would
+                # silently return a luma-only raster for a color image
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG not "
+                    "supported"
+                )
             pos += ln
             break
         pos += ln
@@ -612,29 +626,28 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
 
     # unstuff the entropy stream (FF00 → FF), recording where restart
     # markers sat (as bit positions in the KEPT stream); stop at the
-    # first non-RST marker (EOI or a new segment)
+    # first non-RST marker (EOI or a new segment). Vectorized: this
+    # stage has no serial dependency (unlike the per-symbol Huffman
+    # loop), so FF classification, drops, and RST offsets are all
+    # numpy — a multi-MB scan unstuffs at C speed.
     raw = np.frombuffer(blob, np.uint8)[pos:]
-    rst_bits = []
-    kept = np.empty(len(raw), np.uint8)
-    i = kept_count = 0
-    while i < len(raw):
-        b = int(raw[i])
-        if b == 0xFF and i + 1 < len(raw):
-            m = int(raw[i + 1])
-            if m == 0x00:
-                kept[kept_count] = 0xFF
-                kept_count += 1
-                i += 2
-                continue
-            if 0xD0 <= m <= 0xD7:
-                rst_bits.append(kept_count * 8)
-                i += 2
-                continue
-            break
-        kept[kept_count] = b
-        kept_count += 1
-        i += 1
-    br = _BitReader(kept[:kept_count])
+    ff = np.where(raw[:-1] == 0xFF)[0] if len(raw) > 1 else np.empty(0, np.int64)
+    nxt = raw[ff + 1]
+    is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    stops = ff[(nxt != 0x00) & ~is_rst]
+    end = int(stops[0]) if len(stops) else len(raw)
+    in_scan = ff < end
+    stuffed = ff[in_scan & (nxt == 0x00)]   # drop the 00 after each
+    rst = ff[in_scan & is_rst]              # drop marker + its FF
+    drops = np.sort(np.concatenate([stuffed + 1, rst, rst + 1]))
+    keep_mask = np.ones(end, bool)
+    keep_mask[drops] = False
+    kept = raw[:end][keep_mask]
+    # kept-stream byte offset of each RST = marker pos − drops before it
+    rst_bits = [
+        int((r - np.searchsorted(drops, r)) * 8) for r in rst
+    ]
+    br = _BitReader(kept)
 
     hmax = max(c["hs"] for c in scan_comps)
     vmax = max(c["vs"] for c in scan_comps)
@@ -755,6 +768,8 @@ def encode_jpeg(
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError(f"encode_jpeg: unsupported shape {arr.shape}")
+    if not 1 <= quality <= 100:
+        raise ValueError(f"encode_jpeg: quality must be 1..100, got {quality}")
     h, w = arr.shape[:2]
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
     ql = np.clip((_JPEG_LUM_Q * scale + 50) // 100, 1, 255)
@@ -911,7 +926,13 @@ def decode_image(blob: bytes) -> np.ndarray:
     if blob[:8] == _PNG_SIG:
         return decode_png(blob)
     if blob[:2] == b"\xff\xd8":
-        return decode_jpeg(blob)
+        try:
+            return decode_jpeg(blob)
+        except NotImplementedError:
+            # progressive/arithmetic/12-bit/multi-scan: fall through
+            # to PIL so a pillow-equipped cluster still decodes them
+            # (malformed streams keep raising ValueError directly)
+            pass
     try:
         import io
 

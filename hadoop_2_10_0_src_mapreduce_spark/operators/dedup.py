@@ -1133,6 +1133,7 @@ def minhash_lsh_pairs(
     df: DataFrame, text_col: str, id_col: str, *, k: int = 3,
     num_hashes: int = 128, bands: int = 32, threshold: float = 0.8,
     max_doc_freq: int | None = None, max_bucket: int | None = None,
+    warn_unguarded: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band the signature, bucket-join,
     then verify candidates with EXACT Jaccard ≥ threshold (so false
@@ -1156,7 +1157,10 @@ def minhash_lsh_pairs(
     forfeited for oversized buckets only). Default None preserves
     exact all-pairs semantics.
     """
-    if max_bucket is None:
+    if max_bucket is None and warn_unguarded:
+        # warn_unguarded=False is for callers whose CONTRACT is exact
+        # all-pairs over a bounded corpus (the hash-frozen catalog
+        # gates) — suppressing, not disabling, the lint class
         _warn_if_unguarded_allpairs(df, "minhash_lsh_pairs")
     rows_per_band = num_hashes // bands
     # persist both reused intermediates: the signature table feeds both
@@ -1324,7 +1328,7 @@ def simhash_signatures(
 def simhash_pairs(
     df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 6,
     token_hash: str = "xxhash64", max_bucket: int | None = None,
-    sigs: DataFrame | None = None,
+    sigs: DataFrame | None = None, warn_unguarded: bool = True,
 ) -> DataFrame:
     """Pairs within hamming distance via chunk-PAIR pigeonhole (the
     block-permutation idea from Manku et al.'s SimHash dedup paper,
@@ -1353,7 +1357,7 @@ def simhash_pairs(
     all-pairs and the max_bucket branch over the same corpus)."""
     if max_hamming >= 8:
         raise ValueError("simhash_pairs supports max_hamming <= 7 (8 chunks)")
-    if max_bucket is None:
+    if max_bucket is None and warn_unguarded:
         _warn_if_unguarded_allpairs(df, "simhash_pairs")
     if sigs is None:
         sigs = simhash_signatures(

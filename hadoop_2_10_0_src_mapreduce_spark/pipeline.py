@@ -69,13 +69,22 @@ def prepare_training_corpus(
        otherwise owes C(m,2) candidates per band (measured 200M
        candidates / 1009 s on one 20k-doc cluster at 500k docs —
        fixtures/DEDUP_DECADE_baseline.jsonl); oversized buckets emit
-       connectivity-preserving consecutive edges instead, and because
-       this step only consumes ``duplicate_components(pairs)`` — whose
-       output is pinned identical under the cap
-       (tests/test_extensions.py
-       test_minhash_max_bucket_linked_preserves_clusters) — the
-       surviving corpus is bit-unchanged. Set ``max_bucket=None`` only
-       if you need the raw all-pairs list for something else.
+       id-sorted consecutive edges instead. This step only consumes
+       ``duplicate_components(pairs)``, and the linked-edge clustering
+       is pinned identical on near-dup cluster pile-ups (the case the
+       cap exists for: every consecutive pair in such a bucket passes
+       the Jaccard verify — tests/test_extensions.py
+       test_minhash_max_bucket_linked_preserves_clusters, plus the
+       500k/5M decade runs where the component histogram equals the
+       planted truth exactly). The contract is NOT unconditional
+       exactness: if an oversized bucket interleaves a true near-dup
+       pair with sub-threshold interlopers in EVERY band they share,
+       the consecutive edges through the interlopers fail verify and
+       that pair's cluster can split locally (_capped_bucket_pairs
+       documents the same limit) — the deliberate trade against a
+       candidate list quadratic in cluster size. Set
+       ``max_bucket=None`` to buy back exact all-pairs semantics at
+       that quadratic cost.
        ``max_doc_freq`` defaults to None HERE on purpose (the
        operator's own default): the r9 end-to-end decade run caught
        the composition defect a df cap hides — a near-dup cluster of

@@ -483,6 +483,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_lsh_pairs(
         corpus, "text", "doc_id", k=3, num_hashes=128, bands=32, threshold=0.8,
         max_doc_freq=_DF_CAP,
+        # this gate's 'pairs' branch is CONTRACTUALLY exact all-pairs
+        # (the oracle replays them) over a fixture-bounded corpus —
+        # suppress the unguarded-all-pairs lint here, not globally
+        warn_unguarded=False,
     ).persist()  # feeds both branches AND the iterative propagation
     clusters = dedup.duplicate_components(pairs)
     return (
@@ -653,7 +657,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     pairs = dedup.simhash_pairs(
         corpus, "text", "doc_id", max_hamming=6, token_hash="md5",
-        sigs=sigs,
+        sigs=sigs, warn_unguarded=False,  # all-pairs branch by contract
     )
     lpairs = dedup.simhash_pairs(
         corpus, "text", "doc_id", max_hamming=6, token_hash="md5",

@@ -313,6 +313,33 @@ def test_jpeg_pure_numpy_codec_roundtrip():
     with pytest.raises(NotImplementedError):
         mm.decode_jpeg(bytes(prog))
 
+    # review r9: T.81 B.1.1.2 fill bytes — any number of 0xFF bytes
+    # may precede a marker; insert one before DQT and decode must be
+    # bit-identical (and _jpeg_dims must still see the SOF)
+    plain = mm.encode_jpeg(grad, quality=95)
+    j = plain.find(b"\xff\xdb")
+    filled = plain[:j] + b"\xff" + plain[j:]
+    assert np.array_equal(mm.decode_jpeg(filled), mm.decode_jpeg(plain))
+    assert mm._jpeg_dims(filled) == (45, 37)
+
+    # review r9: a non-interleaved (per-component-scan) color stream
+    # must refuse loudly, never return a silent luma-only raster —
+    # craft it by rewriting the SOS header to claim 1 component
+    multi = bytearray(mm.encode_jpeg(rgb, quality=95))
+    k = multi.find(b"\xff\xda")
+    # SOS payload: len(2) ns(1) [cid tabs]*ns ss se ax — shrink to ns=1
+    ns = multi[k + 4]
+    assert ns == 3
+    new_sos = bytes([0xFF, 0xDA, 0x00, 0x08, 0x01,
+                     multi[k + 5], multi[k + 6], 0x00, 0x3F, 0x00])
+    multi[k:k + 14] = new_sos
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        mm.decode_jpeg(bytes(multi))
+
+    # review r9: quality contract enforced at the API boundary
+    with pytest.raises(ValueError, match="quality"):
+        mm.encode_jpeg(grad, quality=0)
+
 
 def test_resize_handles_png_inputs(spark):
     """PNG blobs ride resize_images next to the other real formats:
