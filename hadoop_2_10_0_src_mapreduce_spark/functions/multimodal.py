@@ -534,7 +534,20 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     stream with restart-marker support, then dequantizes, inverse-
     DCTs (orthonormal separable 8×8 basis), box-upsamples subsampled
     chroma, and converts JFIF YCbCr→RGB. Progressive/arithmetic/12-bit
-    streams raise NotImplementedError (the codec boundary)."""
+    /4-component/fractionally-sampled streams raise
+    NotImplementedError (the codec boundary — decode_image falls
+    through to PIL); malformed or truncated streams raise ValueError
+    (truncation can surface inside the marker walk as struct.error or
+    inside the bit reader as IndexError — both are re-raised here so
+    the malformed-input contract decode_meta/resize_images rely on
+    holds for every corrupt stream, r9-review item)."""
+    try:
+        return _decode_jpeg(blob)
+    except (_struct.error, IndexError) as e:
+        raise ValueError(f"truncated JPEG: {e}") from e
+
+
+def _decode_jpeg(blob: bytes) -> np.ndarray:
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
@@ -594,6 +607,15 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 }
                 for i in range(seg[5])
             ]
+            if len(comps) not in (1, 3):
+                # legal baseline JPEG MAY carry 4 components
+                # (CMYK/YCCK, common from Adobe tools) — refuse with
+                # the fallback-visible class so pillow-equipped
+                # clusters keep decoding them via PIL (r9-review fix:
+                # a bare ValueError here crashed the batch instead)
+                raise NotImplementedError(
+                    "only 1- or 3-component baseline JPEG supported"
+                )
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -634,12 +656,20 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     ff = np.where(raw[:-1] == 0xFF)[0] if len(raw) > 1 else np.empty(0, np.int64)
     nxt = raw[ff + 1]
     is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
-    stops = ff[(nxt != 0x00) & ~is_rst]
+    # T.81 B.1.1.2 allows 0xFF fill bytes before a marker INSIDE the
+    # entropy stream too (e.g. FF FF D0 = fill + RST0): an FF whose
+    # next byte is another FF is a fill byte, not a scan terminator —
+    # it is dropped, and the run's final FF classifies the marker
+    # (r9-review fix: treating it as a stop truncated `end` early and
+    # ran the bit reader off the kept array)
+    is_fill = nxt == 0xFF
+    stops = ff[(nxt != 0x00) & ~is_rst & ~is_fill]
     end = int(stops[0]) if len(stops) else len(raw)
     in_scan = ff < end
     stuffed = ff[in_scan & (nxt == 0x00)]   # drop the 00 after each
     rst = ff[in_scan & is_rst]              # drop marker + its FF
-    drops = np.sort(np.concatenate([stuffed + 1, rst, rst + 1]))
+    fills = ff[in_scan & is_fill]           # drop each fill byte
+    drops = np.sort(np.concatenate([stuffed + 1, rst, rst + 1, fills]))
     keep_mask = np.ones(end, bool)
     keep_mask[drops] = False
     kept = raw[:end][keep_mask]
@@ -651,6 +681,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
 
     hmax = max(c["hs"] for c in scan_comps)
     vmax = max(c["vs"] for c in scan_comps)
+    if any(hmax % c["hs"] or vmax % c["vs"] for c in scan_comps):
+        # legal-but-exotic SOF0 (e.g. hmax=3, hs=2): the box upsampler
+        # assumes integer ratios — refuse fallback-visibly rather
+        # than fail in np.stack with mismatched plane shapes
+        raise NotImplementedError("fractional chroma sampling")
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     planes = {

@@ -1911,8 +1911,9 @@ def query_lsh_index(
         planes=planes,
         n_flip=int(n_multiprobe),
     ).persist()
-    # bounded driver collect: ≤ |batch|·n_tables (table, bucket) int
-    # pairs — the partition-pruning predicate
+    # bounded driver collect: ≤ |batch|·n_tables·2^n_flip distinct
+    # (table, bucket) int pairs (multi-probe emits the perturbed
+    # buckets too) — the partition-pruning predicate
     probed: dict[int, set[int]] = {}
     for r in qsig.select("table_idx", "bucket").distinct().collect():
         probed.setdefault(r.table_idx, set()).add(r.bucket)

@@ -341,6 +341,68 @@ def test_jpeg_pure_numpy_codec_roundtrip():
         mm.encode_jpeg(grad, quality=0)
 
 
+def test_jpeg_r10_review_edge_cases():
+    """The four r9-review decoder contracts: 4-component SOF refuses
+    fallback-visibly (NotImplementedError, so PIL-equipped clusters
+    keep decoding CMYK/YCCK streams), fill bytes before an RST marker
+    INSIDE the entropy stream decode bit-identically (T.81 B.1.1.2),
+    truncated streams always surface as ValueError (never raw
+    struct.error/IndexError), and fractional sampling ratios refuse
+    instead of np.stack-crashing."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:37, 0:45]
+    grad = (yy * 2.5 + xx * 1.5).astype(np.uint8)
+    rgb = np.stack([grad, grad[::-1], grad], -1).astype(np.uint8)
+
+    # 4-component SOF (CMYK-shaped): extend the gray stream's SOF0 to
+    # claim nf=4 with three extra 1x1 descriptors — must refuse with
+    # NotImplementedError at SOF parse, not a bare ValueError later
+    four = bytearray(mm.encode_jpeg(grad, quality=95))
+    i = four.find(b"\xff\xc0")
+    assert four[i + 9] == 1  # nf
+    four[i + 2:i + 4] = (int.from_bytes(four[i + 2:i + 4]) + 9).to_bytes(2)
+    four[i + 9] = 4
+    four[i + 13:i + 13] = bytes([2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="component"):
+        mm.decode_jpeg(bytes(four))
+
+    # fill byte before an RST marker inside the scan: T.81 B.1.1.2
+    # allows any number of 0xFF fill bytes before ANY marker — the
+    # unstuffer must not treat FF-then-FF as a scan terminator
+    plain = mm.encode_jpeg(rgb, quality=95, restart_interval=2)
+    ref = mm.decode_jpeg(plain)
+    sos = plain.find(b"\xff\xda")
+    r0 = plain.find(b"\xff\xd0", sos)
+    assert r0 > 0
+    filled = plain[:r0] + b"\xff" + plain[r0:]
+    assert np.array_equal(mm.decode_jpeg(filled), ref)
+    # two fill bytes, and a fill before a LATER restart (RST1)
+    r1 = plain.find(b"\xff\xd1", sos)
+    assert r1 > r0
+    filled2 = (plain[:r0] + b"\xff\xff" + plain[r0:r1]
+               + b"\xff" + plain[r1:])
+    assert np.array_equal(mm.decode_jpeg(filled2), ref)
+
+    # truncation → ValueError on both escape paths: mid-marker-walk
+    # (struct.error inside segment-length unpack) and mid-scan (the
+    # bit reader running off the kept array)
+    blob = mm.encode_jpeg(rgb, quality=95)
+    for cut in (3, 5, 20, len(blob) - 10):
+        with pytest.raises(ValueError):
+            mm.decode_jpeg(blob[:cut])
+
+    # fractional sampling (hmax=3, Cb hs=2 → 3 % 2 != 0): legal SOF0
+    # the box upsampler can't express — refuse fallback-visibly
+    frac = bytearray(mm.encode_jpeg(rgb, quality=95, subsample=True))
+    j = frac.find(b"\xff\xc0")
+    assert frac[j + 11] == 0x22 and frac[j + 14] == 0x11
+    frac[j + 11] = 0x32  # Y hs=3
+    frac[j + 14] = 0x21  # Cb hs=2
+    with pytest.raises(NotImplementedError, match="fractional"):
+        mm.decode_jpeg(bytes(frac))
+
+
 def test_resize_handles_png_inputs(spark):
     """PNG blobs ride resize_images next to the other real formats:
     gray/RGB come back as netpbm, RGBA re-encodes as PNG (alpha
