@@ -670,11 +670,22 @@ def _bucket_candidates(
     vec_col: str,
     n_planes: int,
     n_tables: int,
+    n_flip: int = 0,
 ) -> DataFrame:
     """Distinct candidate id pairs (query_id < neighbor_id) colliding
     in ≥1 LSH table — the near-dup candidate generator. Only (table,
     bucket, id) triples shuffle; vectors never enter the self-join, so
-    the exact sequential rescore downstream stays oracle-identical."""
+    the exact sequential rescore downstream stays oracle-identical.
+
+    ``n_flip`` > 0 adds multi-probe on the PROBE side of the
+    self-join (each vector also probes its 2^q−1 lowest-|margin|
+    perturbed buckets; the other side stays exact) — one extra
+    signature pass, candidate volume ×≤2^q. With probes on one side
+    only, pairs are canonicalized to (min, max) AFTER the join so
+    probe hits where the prober has the larger id survive; at
+    n_flip=0 the sides are symmetric and the historical `<` filter
+    yields the same canonical set at HALF the pre-distinct volume,
+    so that path keeps it."""
     # persist: the self-join otherwise evaluates the signature
     # mapInPandas subtree once PER SIDE — twice the Python-worker work
     buckets = lsh_signatures(
@@ -683,11 +694,31 @@ def _bucket_candidates(
         n_planes=n_planes,
         n_tables=n_tables,
     ).persist()
-    a = buckets.select(F.col(id_col).alias("query_id"), "table_idx", "bucket")
+    if n_flip > 0:
+        a = lsh_signatures(
+            emb.select(id_col, vec_col),
+            vec_col=vec_col,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            n_flip=n_flip,
+        ).select(F.col(id_col).alias("query_id"), "table_idx", "bucket")
+    else:
+        a = buckets.select(
+            F.col(id_col).alias("query_id"), "table_idx", "bucket"
+        )
     b = buckets.select(F.col(id_col).alias("neighbor_id"), "table_idx", "bucket")
+    joined = a.join(b, ["table_idx", "bucket"])
+    if n_flip > 0:
+        return (
+            joined.where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                F.least("query_id", "neighbor_id").alias("query_id"),
+                F.greatest("query_id", "neighbor_id").alias("neighbor_id"),
+            )
+            .distinct()
+        )
     return (
-        a.join(b, ["table_idx", "bucket"])
-        .where(F.col("query_id") < F.col("neighbor_id"))
+        joined.where(F.col("query_id") < F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
@@ -702,6 +733,7 @@ def near_dup_pairs(
     round_digits: int = 6,
     n_planes: int | str = 12,
     n_tables: int = 16,
+    n_multiprobe: int | str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ τ).
 
@@ -721,12 +753,29 @@ def near_dup_pairs(
     as the corpus grows. For lower thresholds drop n_planes / raise
     n_tables (recall = 1-(1-p^b)^L). ``n_planes="auto"`` keeps
     E[bucket] ≈ 8 as the corpus grows (≥ the fixed 12-bit floor), the
-    scale-safe setting past ~30k vectors."""
+    scale-safe setting past ~30k vectors.
+
+    ``n_multiprobe`` (r10): the recall-ceiling escape for exactly
+    that auto-grown regime — at a fixed 16-table store, bits grown
+    past 12 cut per-table recall (0.955^bits at τ=0.99: miss prob
+    (1−0.955²⁰)¹⁶ ≈ 3e-4 at 20 bits, ~1% at 30), and a store-pinned
+    user previously had no dial back. "auto" =
+    ``adaptive_multiprobe(..., base_planes=12)`` — 12 is THIS path's
+    base geometry (not the ANN paths' 10), so flips resolve to 0 at
+    every ≤12-bit corpus (all driver fixtures: gates bit-identical)
+    and grow only with the bit deficit the fixed store leaves."""
     if n_planes == "auto":
         n_planes = adaptive_planes(
             emb.count(), target_bucket=8, min_planes=12, max_planes=30
         )
-    cands = _bucket_candidates(emb, id_col, vec_col, n_planes, n_tables)
+    n_flip = (
+        adaptive_multiprobe(n_planes, n_tables, base_planes=12)
+        if n_multiprobe == "auto"
+        else int(n_multiprobe)
+    )
+    cands = _bucket_candidates(
+        emb, id_col, vec_col, n_planes, n_tables, n_flip=n_flip
+    )
     scored = _score_pairs(emb, cands, id_col, vec_col, round_digits)
     return scored.where(F.col("sim") >= threshold).select(
         F.col("query_id").alias("id_a"),
@@ -991,6 +1040,7 @@ def ann_lsh_topk(
     k: int = 5,
     n_planes: int | str = 6,
     n_tables: int | str = "auto",
+    n_multiprobe: int | str = "auto",
     dim: int = 64,
     max_bucket: int = 1024,
     round_digits: int = 6,
@@ -1021,9 +1071,26 @@ def ann_lsh_topk(
     PAIRS instead of L vector copies: pair volume is capped by
     max_bucket² per bucket, the vector table is read once and joined
     where it lives, and no applyInPandas group ever materializes an
-    unbounded bucket."""
+    unbounded bucket.
+
+    ``n_multiprobe`` (r10) extends the serve-path recall dial to the
+    BUILD-side self-ANN: "auto" = ``adaptive_multiprobe`` on the
+    resolved geometry — 0 until the table cap binds (bits > 13, i.e.
+    past every driver fixture: gate results are bit-identical), then
+    each flip level probes the 2^q lowest-|margin| perturbations on
+    the QUERY side of the self-join while the index side stays the
+    exact capped membership (queries probe capped stored buckets —
+    the same asymmetry the serve path uses, and the reason the cap
+    costs index storage but never probe coverage). Candidate volume
+    is bounded by 2^q·L·max_bucket per vector — reads, not
+    planning."""
     n_planes = _resolve_planes(emb, n_planes)
     n_tables = _resolve_tables(n_planes, n_tables)
+    n_flip = (
+        adaptive_multiprobe(n_planes, n_tables)
+        if n_multiprobe == "auto"
+        else int(n_multiprobe)
+    )
     # persist: both sides of the candidate self-join read the capped
     # memberships; without it the signature mapInPandas + cap window
     # subtree executes twice (measured ~0.5 s of the query at sf0.1)
@@ -1036,14 +1103,47 @@ def ann_lsh_topk(
         dim=dim,
         max_bucket=max_bucket,
     ).persist()
-    a = capped.select(F.col(id_col).alias("query_id"), "table_idx", "bucket")
+    if n_flip > 0:
+        # probe side: every vector's exact bucket PLUS its 2^q−1
+        # low-margin perturbations, against the capped exact index
+        # side. Probing is deliberately uncapped — the cap bounds
+        # stored membership (the join's fan-out), never coverage.
+        a = lsh_signatures(
+            emb.select(id_col, vec_col),
+            vec_col=vec_col,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            planes=md5_planes(n_tables, n_planes, dim),
+            n_flip=n_flip,
+        ).select(F.col(id_col).alias("query_id"), "table_idx", "bucket")
+    else:
+        a = capped.select(
+            F.col(id_col).alias("query_id"), "table_idx", "bucket"
+        )
     b = capped.select(F.col(id_col).alias("neighbor_id"), "table_idx", "bucket")
-    cands = (
-        a.join(b, ["table_idx", "bucket"])
-        .where(F.col("query_id") < F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
+    joined = a.join(b, ["table_idx", "bucket"])
+    if n_flip > 0:
+        # probes live only on side a, so canonicalize to (min, max):
+        # x's perturbation reaching y's bucket does not imply y's
+        # reaching x's — the historical `<` filter would drop pairs
+        # whose PROBER has the larger id and halve the probe recall
+        cands = (
+            joined.where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                F.least("query_id", "neighbor_id").alias("query_id"),
+                F.greatest("query_id", "neighbor_id").alias("neighbor_id"),
+            )
+            .distinct()
+        )
+    else:
+        # symmetric sides: `<` yields the same canonical set with
+        # HALF the pre-distinct volume (each unordered pair survives
+        # the filter once, not in both orientations)
+        cands = (
+            joined.where(F.col("query_id") < F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
     sym = _score_pairs_arrow(
         emb, cands, id_col, vec_col, round_digits, mirror=True
     )

@@ -321,6 +321,7 @@ def stream_incremental_corpus_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     checkpoint_dir: str | None = None,
+    pin_dir: str | None = None,
     max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Streaming face of ``dedup.incremental_exact_dedup`` — the
@@ -361,9 +362,22 @@ def stream_incremental_corpus_dedup(
     files (availableNow still drains everything, in N-file batches) —
     the production rate-limit knob, and what the decade check uses to
     measure per-batch cost as the index grows (flat per-batch wall is
-    THE scale claim of the shuffle-free novel filter)."""
+    THE scale claim of the shuffle-free novel filter).
+
+    ``pin_dir`` (r10 cluster-resilience dial): the per-batch novel-set
+    pin is a ``localCheckpoint`` by default — executor-local blocks,
+    not fault-tolerant; on a preemptible cluster an executor lost
+    between the pin and the second append kills the batch. Set
+    ``pin_dir`` (HDFS/object-store path in production) to pin each
+    batch through a reliable parquet round-trip instead
+    (``checkpointing.RoundCheckpointer``); pin files are deleted as
+    soon as the batch's two appends land, and a crashed batch's
+    leftover pin is overwritten-then-deleted by its replay."""
     from pyspark.errors import AnalysisException
 
+    from hadoop_2_10_0_src_mapreduce_spark.checkpointing import (
+        RoundCheckpointer,
+    )
     from hadoop_2_10_0_src_mapreduce_spark.functions.text import fingerprint
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
@@ -391,12 +405,16 @@ def stream_incremental_corpus_dedup(
             fresh = filter_novel_fps(batch, seen)
         except AnalysisException:  # first batch: no index yet
             fresh = batch
-        # localCheckpoint (eager), not persist: the plan READS the index
+        # eager checkpoint (NOT persist): the plan READS the index
         # that the first write below APPENDS to — lazy re-evaluation of
         # `fresh` at the second write would re-run the anti-join against
         # the just-updated index and emit nothing. Checkpointing pins
         # the rows and severs the lineage before either write runs.
-        fresh = fresh.localCheckpoint()
+        # local blocks by default; reliable files when pin_dir is set.
+        pin = RoundCheckpointer(
+            s, f"{pin_dir}/batch-{_batch_id}" if pin_dir else None
+        )
+        fresh = pin(fresh)
         # fp-sorted append + parquet bloom on fp: row-group min/max
         # stay narrow and the bloom catches the in-range misses, so
         # the next batch's membership scan skips most of the index
@@ -408,6 +426,7 @@ def stream_incremental_corpus_dedup(
             .parquet(index_dir)
         )
         fresh.select(id_col, text_col).write.mode("append").parquet(out_dir)
+        pin.close()  # both appends landed — the pin is spent
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -589,6 +608,7 @@ def stream_index_vectors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     checkpoint_dir: str | None = None,
+    pin_dir: str | None = None,
     compact_every: int | None = None,
     max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
@@ -605,8 +625,10 @@ def stream_index_vectors(
     (``dedup.filter_novel_fps`` keyed on the id — the index side is
     scanned column-pruned to ids only and NEVER enters an exchange),
     then ``append_to_ivf_index`` files only the novel vectors under
-    the fixed centroids. The novel set is ``localCheckpoint``-ed
-    before the append for the same read-before-append lineage race the
+    the fixed centroids. The novel set is eagerly checkpointed
+    (``localCheckpoint`` by default; reliable parquet pin when
+    ``pin_dir`` is set — same cleanup contract as the corpus-dedup
+    stream) before the append for the same read-before-append lineage race the
     corpus dedup documents. Ids are the identity: a vector id seen in
     any earlier batch (or the offline build) is dropped, which makes
     replays idempotent — at-least-once foreachBatch re-runs find
@@ -631,6 +653,9 @@ def stream_index_vectors(
 
     from pyspark.errors import AnalysisException
 
+    from hadoop_2_10_0_src_mapreduce_spark.checkpointing import (
+        RoundCheckpointer,
+    )
     from hadoop_2_10_0_src_mapreduce_spark.operators.dedup import (
         filter_novel_fps,
     )
@@ -658,12 +683,16 @@ def stream_index_vectors(
             ) from e
         sid = _index_id_col(stored, ("list_id", "qvec", "scale"))
         seen = stored.select(F.col(sid).alias(id_col))
-        novel = filter_novel_fps(batch, seen, fp_col=id_col).localCheckpoint()
+        pin = RoundCheckpointer(
+            s, f"{pin_dir}/batch-{batch_id}" if pin_dir else None
+        )
+        novel = pin(filter_novel_fps(batch, seen, fp_col=id_col))
         if novel.take(1):
             append = append_to_ivfpq_index if is_pq else append_to_ivf_index
             append(novel, index_path, id_col=id_col, vec_col=vec_col)
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_ivf_index(s, index_path)
+        pin.close()  # append landed (or nothing was novel)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -272,6 +272,64 @@ def test_duplicate_components_deep_chain_logarithmic_rounds(spark):
     assert stats["rounds"] <= 12, stats
 
 
+def test_duplicate_components_reliable_checkpoint_mode(spark, tmp_path):
+    """r10 cluster-resilience dial: ``checkpoint_dir`` switches every
+    round's lineage truncation from localCheckpoint (executor-local
+    blocks — lost with a preempted executor) to a reliable parquet
+    round-trip. Labels must be bit-identical to the local mode, the
+    dir must hold at most the final step when the call returns
+    (intermediates are deleted as each round lands — the 'writes and
+    cleans its dir' contract), and the convergence/round count must
+    not change (the mechanism is orthogonal to the algorithm)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)]        # 31-node path
+        + [(100, 101), (101, 102), (102, 100)],  # plus a cycle
+        ["id_a", "id_b"],
+    )
+    s_local, s_rel = {}, {}
+    want = {r.id: r.rep
+            for r in dedup.duplicate_components(pairs, stats=s_local).collect()}
+    ckdir = tmp_path / "ck"
+    rel = dedup.duplicate_components(
+        pairs, stats=s_rel, checkpoint_dir=str(ckdir)
+    )
+    got = {r.id: r.rep for r in rel.collect()}
+    assert got == want
+    assert s_rel["rounds"] == s_local["rounds"]
+    # eager cleanup: only the FINAL step (backing the returned frame)
+    # may remain; everything earlier is already gone
+    steps = sorted(p.name for p in ckdir.iterdir())
+    assert len(steps) == 1 and steps[0].startswith("step-")
+    # the returned frame stays readable from those files
+    assert rel.count() == len(want)
+
+
+def test_round_checkpointer_unit(spark, tmp_path):
+    """RoundCheckpointer invariants: at most TWO live step dirs at any
+    moment (current + the one feeding it), retire_intermediates drops
+    to one, close() empties the dir; local mode (dir=None) delegates
+    to localCheckpoint and touches no files."""
+    from hadoop_2_10_0_src_mapreduce_spark.checkpointing import (
+        RoundCheckpointer,
+    )
+
+    ck = RoundCheckpointer(spark, str(tmp_path / "steps"))
+    df = spark.range(10)
+    for i in range(4):
+        df = ck(df.withColumn(f"c{i}", F.lit(i)))
+        live = sorted(p.name for p in (tmp_path / "steps").iterdir())
+        assert len(live) <= 2, live
+    assert df.count() == 10
+    ck.retire_intermediates()
+    assert len(list((tmp_path / "steps").iterdir())) == 1
+    ck.close()
+    assert list((tmp_path / "steps").iterdir()) == []
+    # dir=None: pure localCheckpoint passthrough
+    ck2 = RoundCheckpointer(spark, None)
+    assert ck2(spark.range(5)).count() == 5
+    ck2.close()  # no-op, no files to own
+
+
 def _mega_corpus(spark):
     """Inline decade-corpus miniature: a 12-doc near-identical MEGA
     cluster (3 one-token-edit variants × 4 exact copies), two 3-doc
@@ -1506,6 +1564,60 @@ def test_lsh_index_roundtrip_serves_identically(spark, tmp_path):
     qtop1 = {r.query_id: r.neighbor_id for r in qserved.collect()}
     agree = sum(1 for q, n in top1.items() if qtop1.get(q) == n)
     assert agree / len(top1) > 0.8
+
+
+def test_build_side_multiprobe_dominance_and_default(spark):
+    """r10: the multi-probe recall dial extended from the serve path
+    to the BUILD-side paths. (a) ``ann_lsh_topk`` auto resolves to 0
+    flips at the fixture geometry — bit-identical to an explicit
+    n_multiprobe=0 run (every gate hash carries); (b) at a pinned
+    sparse geometry (12 bits, 4 tables — a store-pinned user's recall
+    ceiling) explicit flips probe a candidate SUPERSET, so
+    per-(query, rank) sim dominates and something strictly improves;
+    (c) ``near_dup_pairs``: auto == 0 at its 12-bit base geometry,
+    and explicit flips at a narrow geometry find a superset of
+    pairs."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    as_rows = lambda df: sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.sim) for r in df.collect()
+    )
+    # (a) gate identity: auto → 0 at the fixture geometry
+    assert as_rows(similarity.ann_lsh_topk(emb, k=3)) == as_rows(
+        similarity.ann_lsh_topk(emb, k=3, n_multiprobe=0)
+    )
+    # (b) dominance + strict gain at a sparse pinned store
+    kw = dict(k=3, n_planes=12, n_tables=4)
+    b = {
+        (q, r): s
+        for q, r, _n, s in as_rows(
+            similarity.ann_lsh_topk(emb, n_multiprobe=0, **kw)
+        )
+    }
+    f = {
+        (q, r): s
+        for q, r, _n, s in as_rows(
+            similarity.ann_lsh_topk(emb, n_multiprobe=3, **kw)
+        )
+    }
+    assert set(b) <= set(f), "build-side multiprobe lost a slot"
+    assert all(f[k] >= b[k] for k in b), "multiprobe lowered a sim"
+    assert len(f) > len(b) or sum(f.values()) > sum(b.values()), (
+        "flips changed nothing at a sparse 12-bit geometry — dial inert"
+    )
+    # (c) near_dup_pairs: auto == 0 at base geometry; flips ⊇ at a
+    # narrow one (threshold lowered so the fixture yields pairs)
+    nd = lambda **kv: {
+        (r.id_a, r.id_b)
+        for r in similarity.near_dup_pairs(emb, threshold=0.35, **kv).collect()
+    }
+    assert nd() == nd(n_multiprobe=0)
+    narrow = dict(n_planes=16, n_tables=2)
+    nd0 = nd(n_multiprobe=0, **narrow)
+    nd3 = nd(n_multiprobe=3, **narrow)
+    assert nd0 <= nd3
+    assert len(nd3) > len(nd0), "flips found no extra near-dup pairs"
 
 
 def test_query_lsh_index_multiprobe_dominance_and_default(spark, tmp_path):

@@ -671,6 +671,39 @@ def test_streaming_incremental_corpus_dedup_across_restart(spark, tmp_path_facto
     assert n_fp == 3
 
 
+def test_streaming_dedup_reliable_pin_dir(spark, tmp_path_factory):
+    """r10: ``pin_dir`` swaps the per-batch novel-set localCheckpoint
+    for the reliable parquet pin. Results must be identical to the
+    default mode, and every pin file must be deleted once the batch's
+    appends land (the pin is spent; only empty batch dirs may
+    remain)."""
+    import json
+    import pathlib
+
+    base = tmp_path_factory.mktemp("pin_dedup")
+    src = base / "docs"
+    src.mkdir()
+    idx, out, ckpt, pins = (
+        str(base / d) for d in ("index", "corpus", "ckpt", "pins")
+    )
+    (src / "w1.json").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t})
+            for i, t in [(1, "alpha"), (2, "alpha"), (3, "beta")]
+        )
+    )
+    q = sw.stream_incremental_corpus_dedup(
+        spark, str(src), "doc_id long, text string", idx, out,
+        checkpoint_dir=ckpt, pin_dir=pins,
+    )
+    q.awaitTermination(120)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3}
+    leftover = [
+        p for p in pathlib.Path(pins).rglob("*") if p.is_file()
+    ]
+    assert leftover == [], leftover
+
+
 def test_stream_stream_join_matches_batch(spark, stream_source, tmp_path_factory):
     """Time-bounded stream-stream inner join equals the batch join with
     the same predicate; the interval bound is what lets Spark expire

@@ -42,6 +42,38 @@ _NOT_QUERIES = {"value", "sf", "n_queries", "r3_equivalent_total",
                 "sf1_equivalent_total", "sf1_frozen_bar"}
 
 
+def _extract_branches(d: dict) -> dict[str, dict[str, float]]:
+    """Per-branch timings {slot: {branch: sec}} from any BENCH shape.
+    For the truncated ``tail`` shape, re-parse the two-level dict from
+    the fragment after ``"branches"`` with a tolerant regex (an
+    incomplete trailing slot is simply dropped)."""
+    for src in (d, d.get("parsed") or {}):
+        b = src.get("branches")
+        if isinstance(b, dict) and all(
+            isinstance(v, dict) for v in b.values()
+        ):
+            return {
+                s: {k: float(t) for k, t in bs.items()
+                    if isinstance(t, (int, float))}
+                for s, bs in b.items()
+            }
+    tail = d.get("tail")
+    if isinstance(tail, str) and '"branches"' in tail:
+        frag = tail.split('"branches"', 1)[1]
+        out: dict[str, dict[str, float]] = {}
+        for slot_m in re.finditer(
+            r'"([A-Za-z0-9_]+)"\s*:\s*\{([^{}]*)\}', frag
+        ):
+            slot, body = slot_m.group(1), slot_m.group(2)
+            pairs = re.findall(
+                r'"([A-Za-z0-9_]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)', body
+            )
+            if pairs:
+                out[slot] = {k: float(v) for k, v in pairs}
+        return out
+    return {}
+
+
 def _extract(d: dict) -> tuple[dict | None, float | None]:
     """Pull (queries, sf) out of any of the three shapes a BENCH file
     takes: bench.py's own JSON line, the driver wrapper with a
@@ -67,7 +99,9 @@ def _extract(d: dict) -> tuple[dict | None, float | None]:
     return None, None
 
 
-def load_rounds(repo: str) -> list[tuple[str, dict, float | None]]:
+def load_rounds(
+    repo: str,
+) -> list[tuple[str, dict, float | None, dict]]:
     out = []
     for p in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json"))):
         try:
@@ -78,7 +112,7 @@ def load_rounds(repo: str) -> list[tuple[str, dict, float | None]]:
             continue
         qs, sf = _extract(d)
         if qs:
-            out.append((os.path.basename(p), qs, sf))
+            out.append((os.path.basename(p), qs, sf, _extract_branches(d)))
     return out
 
 
@@ -98,23 +132,31 @@ def main() -> int:
     rounds = load_rounds(repo)
     if current_path is not None:
         cur_name = os.path.basename(current_path)
-        cur_qs, sf = _extract(json.load(open(current_path)))
+        cur_doc = json.load(open(current_path))
+        cur_qs, sf = _extract(cur_doc)
+        cur_br = _extract_branches(cur_doc)
         if cur_qs is None:
             print(json.dumps({"error": f"no queries in {current_path}"}))
             return 1
     elif rounds:
-        cur_name, cur_qs, sf = rounds[-1]
+        cur_name, cur_qs, sf, cur_br = rounds[-1]
         rounds = rounds[:-1]
     else:
         print(json.dumps({"error": "no BENCH_r*.json found"}))
         return 1
 
-    hist = [(n, q) for n, q, s in rounds if s == sf and n != cur_name]
+    hist = [(n, q, b) for n, q, s, b in rounds if s == sf and n != cur_name]
     minima: dict[str, tuple[float, str]] = {}
-    for name, qdict in hist:
+    br_minima: dict[tuple[str, str], tuple[float, str]] = {}
+    for name, qdict, bdict in hist:
         for q, t in qdict.items():
             if q not in minima or t < minima[q][0]:
                 minima[q] = (t, name)
+        for slot, bs in bdict.items():
+            for b, t in bs.items():
+                k = (slot, b)
+                if k not in br_minima or t < br_minima[k][0]:
+                    br_minima[k] = (t, name)
 
     # branched slots legitimately grow whole-slot time as strategies
     # are added; their flags point at the per-branch timings, not the
@@ -160,15 +202,41 @@ def main() -> int:
     flagged, flagged_raw = [], []
     for q, t, mn, src, ratio in prelim:
         raw_flag = ratio is not None and ratio > threshold
-        flag = ratio is not None and ratio > threshold * weather
+        norm = round(ratio / weather, 3) if ratio is not None else None
+        flag = norm is not None and norm > threshold
         if raw_flag:
             flagged_raw.append(q)
         if flag:
             flagged.append(q)
         rows.append(
-            (q, t, mn, src, ratio, flag, q in branched_slots,
+            (q, t, mn, src, ratio, norm, flag, q in branched_slots,
              column_grown.get(q))
         )
+
+    # Per-BRANCH diff (r9 judge item): a branched slot's whole-query
+    # flag is routinely adjudicated as growth, which could HIDE a
+    # genuine regression in one of its strategies — so also diff each
+    # branch's marginal timing against its own cross-round minimum,
+    # with the same weather normalization. A branch flag is
+    # query-AND-strategy-specific: weather can't produce it, growth
+    # can't explain it (the branch's work is fixed once landed).
+    br_rows = []
+    br_flagged = []
+    for slot in sorted(cur_br):
+        for b, t in sorted(cur_br[slot].items()):
+            k = (slot, b)
+            if k in br_minima:
+                mn, src = br_minima[k]
+                ratio = round(t / mn, 3) if mn > 0 else None
+            else:
+                mn, src, ratio = None, "(new this round)", None
+            norm = round(ratio / weather, 3) if ratio is not None else None
+            flag = (norm is not None and norm > threshold
+                    and t - (mn or 0) > 0.35)  # absolute floor: sub-
+            # 0.35 s branch deltas are scheduler noise, not signal
+            if flag:
+                br_flagged.append(f"{slot}:{b}")
+            br_rows.append((slot, b, t, mn, src, ratio, norm, flag))
 
     lines = [
         "# MINIMA — cross-round per-query bench minima",
@@ -188,10 +256,11 @@ def main() -> int:
         "(bench.COLUMN_GROWN records what and when), the other "
         "legitimate growth class.",
         "",
-        "| query | current s | hist. min s | min round | ratio | flag |",
-        "|---|---|---|---|---|---|",
+        "| query | current s | hist. min s | min round | ratio | "
+        "normalized | flag |",
+        "|---|---|---|---|---|---|---|",
     ]
-    for q, t, mn, src, ratio, flag, is_branched, grown in rows:
+    for q, t, mn, src, ratio, norm, flag, is_branched, grown in rows:
         note = "**FLAG**" if flag else ""
         if flag and is_branched:
             note += " (branched)"
@@ -199,9 +268,35 @@ def main() -> int:
             note += f" (columns grew: {grown})"
         lines.append(
             f"| {q} | {t} | {mn if mn is not None else '—'} | {src} | "
-            f"{ratio if ratio is not None else '—'} | {note} |"
+            f"{ratio if ratio is not None else '—'} | "
+            f"{norm if norm is not None else '—'} | {note} |"
         )
     lines.append("")
+    if br_rows:
+        lines += [
+            "## Per-branch minima (marginal strategy timings)",
+            "",
+            "Each branch's timed marginal cost vs its own cross-round "
+            "minimum, weather-normalized by the same median ratio. A "
+            "branch flag cannot be explained by slot growth (the "
+            "branch's work is fixed once landed) — it is the "
+            "regression signal the whole-slot table can hide. "
+            "Sub-0.35 s absolute deltas never flag (scheduler noise "
+            "floor, same convention as SURVEY §8).",
+            "",
+            "| slot | branch | current s | hist. min s | min round | "
+            "ratio | normalized | flag |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for slot, b, t, mn, src, ratio, norm, flag in br_rows:
+            lines.append(
+                f"| {slot} | {b} | {t} | "
+                f"{mn if mn is not None else '—'} | {src} | "
+                f"{ratio if ratio is not None else '—'} | "
+                f"{norm if norm is not None else '—'} | "
+                f"{'**FLAG**' if flag else ''} |"
+            )
+        lines.append("")
     with open(md_path, "w") as f:
         f.write("\n".join(lines))
 
@@ -217,6 +312,8 @@ def main() -> int:
                 "n_history_rounds": len(hist),
                 "flagged": flagged,
                 "flagged_raw_over_threshold": flagged_raw,
+                "branch_flagged": br_flagged,
+                "n_branch_timings": len(br_rows),
                 "md": md_path,
             }
         )
