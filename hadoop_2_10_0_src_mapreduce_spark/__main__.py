@@ -71,6 +71,11 @@ def main(argv: list[str] | None = None) -> int:
                     "connectivity-preserving linked edges — identical "
                     "clusters, no C(m,2) blowup on boilerplate "
                     "mega-clusters); 0 restores exact all-pairs")
+    pl.add_argument("--checkpoint-dir",
+                    help="near-dup clustering: reliable parquet "
+                    "checkpoints under this path (HDFS/object store "
+                    "on a cluster) instead of executor-local blocks — "
+                    "survives executor preemption, identical results")
     pl.add_argument("--chunk", metavar="MAX[,OVERLAP]",
                     help="after cleaning, cut long documents into "
                          "training chunks of at most MAX tokens "
@@ -229,6 +234,7 @@ def main(argv: list[str] | None = None) -> int:
             redact=not args.no_redact,
             split_weights=split_weights,
             cut_spans_min_tokens=args.cut_spans,
+            checkpoint_dir=args.checkpoint_dir,
         )
         if args.chunk:
             from pyspark.sql import functions as F

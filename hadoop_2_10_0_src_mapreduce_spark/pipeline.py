@@ -49,8 +49,16 @@ def prepare_training_corpus(
     min_model_quality: float = 0.5,
     cut_spans_min_tokens: int | None = None,
     drop_boilerplate_min_docs: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The standard corpus-cleaning chain, one call.
+
+    ``checkpoint_dir`` (r10): forwarded to the near-dedup clustering
+    step (``dedup.duplicate_components``) — on preemptible clusters
+    set it to an HDFS/object-store path so the iterative label
+    propagation survives executor loss (reliable parquet checkpoints
+    instead of executor-local blocks); results are pinned identical
+    under both modes.
 
     0. LINE BOILERPLATE — when ``drop_boilerplate_min_docs`` is set,
        lines verbatim-repeated across that many documents (cookie
@@ -154,16 +162,39 @@ def prepare_training_corpus(
         max_bucket=max_bucket,
     )
     losers = (
-        dedup.duplicate_components(pairs)
+        dedup.duplicate_components(
+            pairs,
+            checkpoint_dir=checkpoint_dir and f"{checkpoint_dir}/components",
+        )
         .where(F.col("id") != F.col("rep"))
         .select("id")
     )
     survivors = uniq.join(losers, "id", "left_anti")
 
+    # Multi-reference boundary pins (r10, found by the 5M decade run):
+    # cut_repeated_spans and decontaminate each read their input TWICE
+    # (stats/flag pass + join-back), and Spark re-executes an unpinned
+    # subtree per reference — so the fused chain re-ran the whole
+    # boiler→exact→near-dup prefix up to 4× at those boundaries. At
+    # 500k that recompute hid inside overhead (fused beat the
+    # stage-isolated sum by 34%); at 5M it inverted the claim (fused
+    # 2153 s vs 1204 s stage sum). Pinning the chain at each
+    # multi-reference boundary (eager localCheckpoint by default; the
+    # reliable parquet checkpointer when ``checkpoint_dir`` is set)
+    # restores one-evaluation-per-stage; superseded pins are retired
+    # as the next lands, so at most two boundaries hold storage.
+    from hadoop_2_10_0_src_mapreduce_spark.checkpointing import (
+        RoundCheckpointer,
+    )
+
+    ckpt = RoundCheckpointer(
+        docs.sparkSession, checkpoint_dir and f"{checkpoint_dir}/chain"
+    )
+
     # 2b. exact-substring span cutting over the deduped survivors
     if cut_spans_min_tokens is not None:
         survivors = dedup.cut_repeated_spans(
-            survivors, "text", "id",
+            ckpt(survivors), "text", "id",
             min_span_tokens=cut_spans_min_tokens,
         )
 
@@ -174,7 +205,7 @@ def prepare_training_corpus(
             F.col(id_col).alias("id"), F.col(text_col).alias("text")
         )
         survivors = dedup.decontaminate(
-            survivors, eval_base, "text", "id", n=decontam_ngram
+            ckpt(survivors), eval_base, "text", "id", n=decontam_ngram
         )
 
     # 4. score + gate in one projection (tokens computed once; the
@@ -210,6 +241,9 @@ def prepare_training_corpus(
         out = out.withColumn("text", T.redact_pii("text"))
     if split_weights is not None:
         out = out.withColumn("split", split_assign("id", split_weights))
+    # the returned frame reads only the NEWEST chain pin (each pin is
+    # materialized from the previous before the previous is dropped)
+    ckpt.retire_intermediates()
     return out
 
 

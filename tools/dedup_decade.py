@@ -72,12 +72,19 @@ def main() -> int:
     op = sys.argv[2]
     mdf = None
     max_bucket = None
+    checkpoint_dir = None
     include_mega = "--include-mega" in sys.argv
     for a in sys.argv[3:]:
         if a.startswith("--max-doc-freq="):
             mdf = int(a.split("=", 1)[1])
         elif a.startswith("--max-bucket="):
             max_bucket = int(a.split("=", 1)[1])
+        elif a.startswith("--checkpoint-dir="):
+            # components only: run label propagation through the r10
+            # RELIABLE parquet checkpointer instead of localCheckpoint
+            # (the decade-scale identity check for the cluster-
+            # resilience dial — labels must match the local mode)
+            checkpoint_dir = a.split("=", 1)[1]
 
     with open(os.path.join(corpus, "truth.json")) as f:
         truth = json.load(f)
@@ -151,8 +158,11 @@ def main() -> int:
         out["include_mega"] = include_mega
         t0 = time.time()  # cluster wall only
         stats: dict = {}
+        out["checkpoint_dir"] = checkpoint_dir
         try:
-            comp = dedup.duplicate_components(pairs, stats=stats)
+            comp = dedup.duplicate_components(
+                pairs, stats=stats, checkpoint_dir=checkpoint_dir
+            )
             sizes = (
                 comp.groupBy("rep").count()
                 .groupBy("count").agg(F.count("*").alias("n"))
@@ -160,6 +170,14 @@ def main() -> int:
                 .collect()
             )
             out["component_size_hist"] = {int(r["count"]): int(r["n"]) for r in sizes}
+            # order-independent label fingerprint: equal across runs
+            # IFF the (id, rep) sets are identical — the local-vs-
+            # reliable checkpoint identity check compares this
+            out["labels_sum_hash"] = int(
+                comp.select(
+                    F.sum(F.xxhash64(F.col("id"), F.col("rep"))).alias("h")
+                ).collect()[0].h
+            )
             ch = truth["chain"]
             chain_rep = (
                 comp.where(
