@@ -173,9 +173,11 @@ def main() -> int:
             # order-independent label fingerprint: equal across runs
             # IFF the (id, rep) sets are identical — the local-vs-
             # reliable checkpoint identity check compares this
-            out["labels_sum_hash"] = int(
+            # (bit_xor: one row per id, so a set fingerprint; immune
+            # to ANSI sum-overflow)
+            out["labels_xor_hash"] = int(
                 comp.select(
-                    F.sum(F.xxhash64(F.col("id"), F.col("rep"))).alias("h")
+                    F.bit_xor(F.xxhash64(F.col("id"), F.col("rep"))).alias("h")
                 ).collect()[0].h
             )
             ch = truth["chain"]
