@@ -15,9 +15,15 @@ the window), ``control_ref_sec`` (the frozen quiet-window floor),
 ``weather_ratio`` = control_sec / ref (≥1, clamped), and
 ``r3_equivalent_normalized`` = r3_equivalent_total / weather_ratio —
 the cross-round comparator that cancels host contention the way the
-r6 worktree experiment did by hand. Calibration mode:
-``python bench.py --control-only [N]`` prints N standalone control
-times + a summary line.
+r6 worktree experiment did by hand. THE GATE IS THE RAW NUMBER:
+``r3_equivalent_total`` is what gets diffed against the frozen 40.32
+bar; the normalized value is secondary evidence for adjudicating a
+stormy window, never the headline (the control shares the Spark
+session with the queries, so a slowdown CAUSED by the code — GC or
+cache pressure leaking across queries — would inflate the control
+like host weather and be normalized away; the r10 ADVICE medium).
+Calibration mode: ``python bench.py --control-only [N]`` prints N
+standalone control times (one per line) + a summary line.
 """
 
 from __future__ import annotations
@@ -25,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -189,10 +196,14 @@ def main() -> None:
             sys.argv.index("--control-only") + 1 < len(sys.argv)
             and sys.argv[sys.argv.index("--control-only") + 1].isdigit()
         ) else 8
-        ts = [control_workload(spark) for _ in range(n)]
+        ts = []
+        for _ in range(n):
+            ts.append(control_workload(spark))
+            print(ts[-1], flush=True)
         print(json.dumps({
             "control_runs": ts, "min": min(ts),
-            "median": sorted(ts)[len(ts) // 2], "ref": CONTROL_REF_SEC,
+            "median": round(statistics.median(ts), 3),
+            "ref": CONTROL_REF_SEC,
         }))
         return
 
@@ -244,52 +255,89 @@ def main() -> None:
     # passes means contention hit at least one — those queries (only)
     # get one more real execution. Bounded extra cost, and a spike that
     # lands on every pass of a query no longer defines its number.
+    # r11: this pass gets its own interleaved control legs (the r10
+    # ADVICE gap — its executions can land minima, so its weather must
+    # be sampled like any other pass's); they join control_legs as a
+    # fourth pass when any re-timing happened.
+    adaptive_legs: list[float] = []
+    n_retimed = 0
     for name, fn in qs.items():
         if spreads[name] > 1.3 * timings[name] and timings[name] > 0.5:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = min(timings[name], round(time.time() - t0, 3))
+            n_retimed += 1
+            if n_retimed % 4 == 0:
+                adaptive_legs.append(control_workload(spark))
+    if n_retimed:
+        if not adaptive_legs:
+            adaptive_legs.append(control_workload(spark))
+        control_legs.append(adaptive_legs)
 
     # Per-branch pass: two timed executions per branch, min. The tag
     # filter prunes the other union legs, so each number is the
     # marginal steady-state cost of ONE strategy inside its slot.
     from pyspark.sql import functions as F
 
-    branches: dict[str, dict[str, float]] = {}
-    branch_legs: list[float] = []
-    n_branch_timed = 0
-    for name, (tag_col, branch_map) in BRANCHED.items():
-        if name not in qs:
-            continue
-        branches[name] = {}
-        for b in branch_map:
-            best, worst = None, 0.0
-            for _ in range(2):
-                t0 = time.time()
-                qs[name](spark, sf_dir).where(F.col(tag_col) == b).write.format(
-                    "noop"
-                ).mode("overwrite").save()
-                el = round(time.time() - t0, 3)
-                best = el if best is None or el < best else best
-                worst = max(worst, el)
-            # same adaptive rule as the whole-slot passes: a >30%
-            # spread means contention hit at least one execution
-            if worst > 1.3 * best and best > 0.5:
-                t0 = time.time()
-                qs[name](spark, sf_dir).where(F.col(tag_col) == b).write.format(
-                    "noop"
-                ).mode("overwrite").save()
-                best = min(best, round(time.time() - t0, 3))
-            branches[name][b] = best
-            n_branch_timed += 1
-            # the branch phase runs at the END of the window — window
-            # 6 measured a storm that hit ONLY this phase (whole-slot
-            # totals flat vs window 4, branch totals +36%), so it
-            # gets its own interleaved legs and its own weather factor
-            if n_branch_timed % 8 == 0:
-                branch_legs.append(control_workload(spark))
-    if not branch_legs:
-        branch_legs.append(control_workload(spark))
+    def run_branch_phase() -> tuple[dict[str, dict[str, float]], list[float]]:
+        ph: dict[str, dict[str, float]] = {}
+        legs: list[float] = []
+        n_timed = 0
+        for name, (tag_col, branch_map) in BRANCHED.items():
+            if name not in qs:
+                continue
+            ph[name] = {}
+            for b in branch_map:
+                best, worst = None, 0.0
+                for _ in range(2):
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).where(
+                        F.col(tag_col) == b
+                    ).write.format("noop").mode("overwrite").save()
+                    el = round(time.time() - t0, 3)
+                    best = el if best is None or el < best else best
+                    worst = max(worst, el)
+                # same adaptive rule as the whole-slot passes: a >30%
+                # spread means contention hit at least one execution
+                if worst > 1.3 * best and best > 0.5:
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).where(
+                        F.col(tag_col) == b
+                    ).write.format("noop").mode("overwrite").save()
+                    best = min(best, round(time.time() - t0, 3))
+                ph[name][b] = best
+                n_timed += 1
+                # the branch phase runs at the END of the window —
+                # window 6 measured a storm that hit ONLY this phase,
+                # so it gets its own interleaved legs and its own
+                # weather factor. Every 4 timings (r11; was 8 — four
+                # legs under-sampled a ~30 s slice, the r10 verdict's
+                # estimator critique) → ≥8 legs per phase.
+                if n_timed % 4 == 0:
+                    legs.append(control_workload(spark))
+        if not legs:
+            legs.append(control_workload(spark))
+        return ph, legs
+
+    # r11 min-semantics pairing (the r10 verdict's estimator fix): the
+    # branch numerators are min-of-executions, so a storm must not be
+    # NORMALIZED through when it can be DODGED like the main passes
+    # dodge one — when the phase's measured weather exceeds 2x, the
+    # whole phase re-runs once, each branch takes the min across
+    # phases, and the phase weather is the min of the phase medians
+    # (exactly the min-across-passes rule the whole-slot control uses).
+    branches, branch_legs = run_branch_phase()
+    branch_phase_legs: list[list[float]] = [branch_legs]
+    branch_median = statistics.median(branch_legs)
+    if branch_median / CONTROL_REF_SEC > 2.0:
+        re_branches, re_legs = run_branch_phase()
+        for name in branches:
+            for b in branches[name]:
+                branches[name][b] = min(
+                    branches[name][b], re_branches[name][b]
+                )
+        branch_phase_legs.append(re_legs)
+        branch_median = min(branch_median, statistics.median(re_legs))
 
     # The like-for-like round gate: the total over exactly the work
     # that existed at round 3 — whole-slot minima for unbranched
@@ -318,15 +366,18 @@ def main() -> None:
     # (each query's number comes from its luckiest pass). Ratios < 1
     # are clamped — a window luckier than the calibration floor must
     # not deflate the reported number.
+    # statistics.median (r11): the old sorted[n//2] is the UPPER
+    # median on even-length leg lists — on r10's branch legs it read
+    # 12.19 where the true median was 8.05, flattering the normalized
+    # number (the r10 verdict's estimator critique).
     pass_medians = [
-        sorted(legs)[len(legs) // 2] for legs in control_legs
+        round(statistics.median(legs), 3) for legs in control_legs
     ]
     control_sec = min(pass_medians)
     weather = max(1.0, control_sec / CONTROL_REF_SEC)
     # the branch phase has its OWN weather (it runs last; window 6
     # caught a storm confined to it) — each slice of r3_equivalent is
     # normalized by the weather measured where that slice was measured
-    branch_median = sorted(branch_legs)[len(branch_legs) // 2]
     branch_weather = max(1.0, branch_median / CONTROL_REF_SEC)
     r3_norm = (
         (r3_equiv - r3_equiv_branch_part) / weather
@@ -342,7 +393,8 @@ def main() -> None:
         "control_sec": control_sec,
         "control_legs": control_legs,
         "control_pass_medians": pass_medians,
-        "control_branch_legs": branch_legs,
+        "control_branch_legs": branch_phase_legs,
+        "branch_phase_reruns": len(branch_phase_legs) - 1,
         "control_ref_sec": CONTROL_REF_SEC,
         "weather_ratio": round(weather, 3),
         "branch_weather_ratio": round(branch_weather, 3),

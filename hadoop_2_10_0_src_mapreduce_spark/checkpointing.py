@@ -78,6 +78,16 @@ class RoundCheckpointer:
         self.dir = checkpoint_dir
         self.n = 0
         self._live: list[str] = []  # step dirs not yet deleted
+        # Stale-state guard (r11, from the r10 ADVICE): a prior run at
+        # the same dir may have leaked step dirs (crash before close);
+        # a new run only OVERWRITES the step numbers it reaches, so
+        # steps beyond its count would survive and a later reader
+        # globbing the dir could mix generations. A fresh loop owns
+        # its dir — clear it outright. (A future resume mode would
+        # read the newest step here instead; none exists yet, so
+        # clearing loses nothing.)
+        if self.dir is not None:
+            _hadoop_delete(spark, self.dir)
 
     def __call__(self, df: DataFrame) -> DataFrame:
         if self.dir is None:
@@ -101,6 +111,20 @@ class RoundCheckpointer:
 
     def close(self) -> None:
         """Remove ALL remaining step files — only after the returned
-        frame has been consumed or persisted elsewhere."""
+        frame has been consumed or persisted elsewhere — and then the
+        (now-empty) checkpoint dir itself: per-batch callers (the
+        streaming sinks mint one dir per micro-batch) would otherwise
+        accumulate one empty directory per batch without bound —
+        listing/inode cost on HDFS, per-prefix object growth on object
+        stores (the r10 ADVICE). Non-recursive delete, so a dir the
+        caller put OTHER files into is left alone."""
         while self._live:
             _hadoop_delete(self.spark, self._live.pop())
+        if self.dir is not None:
+            jvm = self.spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(self.dir)
+            fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            try:
+                fs.delete(jpath, False)  # refuses non-empty: exactly right
+            except Exception:  # noqa: BLE001 — non-empty/foreign dir stays
+                pass

@@ -964,8 +964,22 @@ def duplicate_components(
     )
 
     ckpt = RoundCheckpointer(pairs.sparkSession, checkpoint_dir)
+    try:
+        return _propagate_components(adj_src=edges, ckpt=ckpt,
+                                     max_iters=max_iters, stats=stats)
+    except BaseException:
+        # reliable mode: a mid-loop failure (executor storm, the
+        # non-convergence RuntimeError below) must not leak live step
+        # dirs — nothing useful survives a failed propagation (r11,
+        # from the r10 ADVICE)
+        ckpt.close()
+        raise
+
+
+def _propagate_components(adj_src, ckpt, *, max_iters, stats):
     # symmetric adjacency; the min fold below always includes the
     # node's own label, so no explicit self-loop is needed
+    edges = adj_src
     adj = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
@@ -989,10 +1003,10 @@ def duplicate_components(
         # carry the per-node changed flag through the checkpoint so
         # convergence detection is a scan of the (already materialized)
         # labels — not another join job per round
-        # checkpointed: the shortcut self-join below reads prop twice
+        # pinned: the shortcut self-join below reads prop twice
         # (and the edge join + groupBy above is the round's dominant
         # cost — never compute it twice)
-        prop = ckpt(
+        prop_plan = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"])
             .select(
                 "id",
@@ -1000,6 +1014,19 @@ def duplicate_components(
                 (F.col("_nmin") < F.col("rep")).alias("_chg"),
             )
         )
+        if ckpt.dir is None:
+            prop = ckpt(prop_plan)  # historical eager localCheckpoint
+        else:
+            # reliable-mode tax trim (r11): only lineage TRUNCATION
+            # needs the parquet round-trip, and only new_labels
+            # crosses rounds — prop is consumed entirely WITHIN the
+            # round, so persist() is enough to not compute it twice,
+            # and its lineage stays rooted at the previous round's
+            # parquet step: executor loss re-derives at most ONE
+            # round's prop from files, never the loop. Cuts the
+            # per-round reliable writes from 2 to 1 (measured at
+            # 500k: see SURVEY §8 r11).
+            prop = prop_plan.persist()
         # pointer-jumping shortcut: rep(v) ← rep(rep(v)). rep is
         # always the id of a node REACHABLE from v (propagation picks
         # reachable mins, and rep(rep(v)) is reachable by
@@ -1024,6 +1051,10 @@ def duplicate_components(
             )
         )
         changed = new_labels.where(F.col("_chg")).limit(1).count()
+        if ckpt.dir is not None:
+            # new_labels is on disk (the ckpt write was eager) — the
+            # round's cached prop is spent
+            prop.unpersist()
         labels = new_labels.drop("_chg")
         if stats is not None:
             stats["rounds"] = it + 1

@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
     _global_topk,
     _md5_key,
+    _pin,
     _score_pairs_arrow,
     _seq_matdot,
     _seq_sq_norms,
@@ -659,14 +660,14 @@ def _ivfpq_conf(spark, path: str) -> dict:
 
     for name in ("conf", "conf.__old__"):
         if (pathlib.Path(path) / name).exists():
-            r = spark.read.parquet(f"{path}/{name}").collect()[0]
+            r = spark.read.parquet(_pin(f"{path}/{name}")).collect()[0]
             return r.asDict()
     return {"residual": False}
 
 
 def _load_pq_codebooks(spark, path: str) -> np.ndarray:
     rows = (
-        spark.read.parquet(f"{path}/codebooks")
+        spark.read.parquet(_pin(f"{path}/codebooks"))
         .orderBy("subspace", "code")
         .collect()
     )
@@ -742,7 +743,7 @@ def query_ivfpq_index(
         probe_ok[i, order[i]] = True
     probed = sorted(int(x) for x in np.unique(order))
     stored = _apply_tombstones(
-        spark.read.parquet(f"{path}/lists").where(
+        spark.read.parquet(_pin(f"{path}/lists")).where(
             F.col("list_id").isin(probed)
         ),
         path,
@@ -799,7 +800,7 @@ def append_to_ivfpq_index(
         .where(F.col("probe_rank") == 0)
         .drop("probe_rank")
     )
-    stored_schema = spark.read.parquet(f"{path}/lists").schema
+    stored_schema = spark.read.parquet(_pin(f"{path}/lists")).schema
     stored_packed = stored_schema["pq_codes"].dataType.simpleString() == "binary"
     residual = _ivfpq_conf(spark, path)["residual"]
     from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (

@@ -65,6 +65,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _pin(path: str) -> str:
+    """Generation-pin an index subdirectory before scanning it (see
+    ``sources.writers.pin_generation``): on a pointer-mode dir this
+    returns the concrete ``.__gen_N__`` path so the scan's file
+    listing survives a concurrent ``atomic_swap_write`` — the grace
+    generation is kept on disk but only protects readers whose plans
+    hold the pinned paths, not link-relative ones (the r10
+    serve-during-compaction ENOENT race). No-op on plain dirs, so
+    every reader calls it unconditionally."""
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        pin_generation,
+    )
+
+    return pin_generation(path)
+
+
 # --- adaptive geometry (the sf1 scaling-gate fix) ---------------------
 # Fixed bucket/cell counts are quadratic time bombs: occupancy grows
 # with the corpus and within-bucket pair work grows with occupancy².
@@ -402,6 +418,118 @@ def adaptive_multiprobe_sql(
         for p in range(min_planes, max_planes)
     )
     return f"(SELECT CASE{whens} ELSE {flips_at(max_planes)} END FROM {corpus})"
+
+
+# The pinned r9 sweep grid (tools/lsh_table_sweep.py, 200k vectors /
+# 13 bits, serve-side recall@10) — the measurement the advisor's
+# flip-vs-table equivalence model comes from. Keys: (n_tables, flips).
+_MULTIPROBE_SWEEP_RECALL = {
+    (16, 0): 0.070, (16, 1): 0.136, (16, 2): 0.238,
+    (16, 3): 0.386, (16, 4): 0.542,
+    (32, 0): 0.137, (32, 1): 0.242, (32, 2): 0.400,
+    (32, 3): 0.597, (32, 4): 0.776,
+    (64, 0): 0.244, (128, 0): 0.435,
+}
+
+
+def multiprobe_advisor(
+    n_planes: int,
+    n_tables: int,
+    *,
+    recall_target: float | None = None,
+    base: int = LSH_TABLE_BASE,
+    base_planes: int = LSH_BASE_PLANES,
+    max_tables: int = LSH_MAX_TABLES,
+    cap: int = LSH_MULTIPROBE_CAP,
+) -> dict:
+    """The tables-vs-flips COST dial for a bit-deficit LSH geometry
+    (r11, the r10 verdict's item 6): ``adaptive_multiprobe`` picks a
+    flip count, but flips and table doublings buy ~the same recall in
+    different currencies — flips multiply candidate READS by ~2^q
+    (measured build-side: q=4 cost 17× the q=0 wall at 50k/13-bit/16
+    tables, 22→379 s; serve-side walls stay flat because probes prune
+    through the same semi-join but the rescore volume still grows),
+    while table doublings multiply the STORE (bytes linear in tables;
+    serve walls measured flat 5–12 s across the 16→128 sweep). This
+    helper enumerates every split of the bit deficit between the two
+    and reports each option's cost multipliers plus the r9 sweep's
+    measured recall where the grid has the point (200k/13-bit;
+    extrapolated points are marked), so a caller with a store budget
+    or a latency budget can pick the cheaper path to a recall target
+    instead of eating the auto rule's default.
+
+    Returns {deficit, current: {...}, options: [{n_tables, flips,
+    store_multiplier, probe_volume_multiplier, recall, measured},
+    ...], pick} — ``pick`` is the option meeting ``recall_target``
+    (when given, from measured points only) with the smallest
+    probe-volume multiplier, ties broken toward smaller store;
+    without a target it is the min-reads option (all-tables), with
+    the auto rule's flip count present in the list for comparison."""
+    covered = 0
+    while n_tables >= (base << (covered + 1)):
+        covered += 1
+    deficit = max(0, (n_planes - base_planes) - covered)
+    options: list[dict] = []
+    for t in range(deficit + 1):
+        tables_t = base << (covered + t)
+        if tables_t > max_tables:
+            break
+        remaining = deficit - t
+        q = min(cap, remaining + 1 if remaining else 0)
+        meas = _MULTIPROBE_SWEEP_RECALL.get((tables_t, q))
+        if meas is None:
+            # sweep model: one flip ≈ one table doubling with a ~4%/
+            # flip compounding shortfall (the measured (16,q) vs
+            # (16·2^q,0) ratios: 0.99, 0.975, 0.887)
+            eq_tables = min(max_tables * 16, tables_t << q)
+            anchor = _MULTIPROBE_SWEEP_RECALL.get((min(eq_tables, 128), 0))
+            est = (
+                round(anchor * (0.96 ** q), 3) if anchor is not None else None
+            )
+        recall = meas if meas is not None else est
+        options.append({
+            "n_tables": tables_t,
+            "flips": q,
+            "store_multiplier": round(tables_t / n_tables, 2),
+            "probe_volume_multiplier": 1 << q,
+            "recall": recall,
+            "measured": meas is not None,
+        })
+    current_q = adaptive_multiprobe(
+        n_planes, n_tables, base=base, base_planes=base_planes, cap=cap
+    )
+    current = next(
+        (o for o in options if o["n_tables"] == n_tables
+         and o["flips"] == current_q),
+        {"n_tables": n_tables, "flips": current_q},
+    )
+    pick = None
+    if recall_target is not None:
+        hits = [
+            o for o in options
+            if o["measured"] and o["recall"] is not None
+            and o["recall"] >= recall_target
+        ]
+        pick = min(
+            hits,
+            key=lambda o: (o["probe_volume_multiplier"],
+                           o["store_multiplier"]),
+            default=None,
+        )
+    if pick is None:
+        # no target (or nothing measured reaches it): min-reads path
+        pick = min(
+            options,
+            key=lambda o: (o["probe_volume_multiplier"],
+                           -o["store_multiplier"]),
+        ) if options else current
+    return {
+        "n_planes": n_planes,
+        "deficit": deficit,
+        "current": current,
+        "options": options,
+        "pick": pick,
+    }
 
 
 def _resolve_tables(n_planes_resolved: int, n_tables, **kw) -> int:
@@ -1793,7 +1921,7 @@ def query_ivf_index(
     ``spark.catalog.clearCache()`` between batches it is done with."""
     spark = queries.sparkSession
     cent_rows = (
-        spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+        spark.read.parquet(_pin(f"{path}/centroids")).orderBy("list_id").collect()
     )
     cents = np.stack(
         [np.asarray(r.centroid, dtype=np.float64) for r in cent_rows]
@@ -1815,7 +1943,7 @@ def query_ivf_index(
         r.list_id for r in fan.select("list_id").distinct().collect()
     )
     stored = _apply_tombstones(
-        spark.read.parquet(f"{path}/lists").where(
+        spark.read.parquet(_pin(f"{path}/lists")).where(
             F.col("list_id").isin(probed)
         ),
         path,
@@ -1999,7 +2127,7 @@ def query_lsh_index(
     contract); a serving loop should ``spark.catalog.clearCache()``
     between batches it is done with."""
     spark = queries.sparkSession
-    conf = spark.read.parquet(f"{path}/conf").collect()[0]
+    conf = spark.read.parquet(_pin(f"{path}/conf")).collect()[0]
     planes = md5_planes(conf.n_tables, conf.n_planes, conf.dim)
     if n_multiprobe == "auto":
         n_multiprobe = adaptive_multiprobe(conf.n_planes, conf.n_tables)
@@ -2026,7 +2154,7 @@ def query_lsh_index(
             f"query_id {id_type}, rnk int, neighbor_id {id_type}, sim double",
         )
     n_terms = sum(len(b) for b in probed.values())
-    raw = spark.read.parquet(f"{path}/buckets")
+    raw = spark.read.parquet(_pin(f"{path}/buckets"))
     if n_terms <= LSH_LITERAL_PRED_MAX:
         pred = None
         for t, buckets in sorted(probed.items()):
@@ -2101,7 +2229,7 @@ def query_lsh_index(
 
 
 def _load_ivf_centroids(spark: SparkSession, path: str) -> np.ndarray:
-    rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    rows = spark.read.parquet(_pin(f"{path}/centroids")).orderBy("list_id").collect()
     return np.stack([np.asarray(r.centroid, dtype=np.float64) for r in rows])
 
 
@@ -2140,7 +2268,7 @@ def _tombstone_df(spark: SparkSession, path: str):
     tomb = pathlib.Path(path) / "tombstones"
     if not tomb.exists():
         return None
-    return spark.read.parquet(str(tomb)).select("id").distinct()
+    return spark.read.parquet(_pin(str(tomb))).select("id").distinct()
 
 
 def _apply_tombstones(stored: DataFrame, path: str, id_col: str) -> DataFrame:
@@ -2198,7 +2326,7 @@ def append_to_ivf_index(
         .where(F.col("probe_rank") == 0)
         .drop("probe_rank")
     )
-    stored_schema = spark.read.parquet(f"{path}/lists").schema
+    stored_schema = spark.read.parquet(_pin(f"{path}/lists")).schema
     if "qvec" in stored_schema.fieldNames():
         home = quantize_embeddings(
             home, id_col=id_col, vec_col=vec_col, keep_cols=("list_id",)
@@ -2242,7 +2370,7 @@ def append_to_lsh_index(
     dedupe by id at query time) but storage grows; for updates,
     tombstone the id first, then append."""
     spark = new_emb.sparkSession
-    conf = spark.read.parquet(f"{path}/conf").collect()[0]
+    conf = spark.read.parquet(_pin(f"{path}/conf")).collect()[0]
     capped = capped_lsh_buckets(
         new_emb,
         id_col=id_col,
@@ -2253,7 +2381,7 @@ def append_to_lsh_index(
         max_bucket=conf.max_bucket,
     )
     stored = capped.join(new_emb.select(id_col, vec_col), id_col)
-    bucket_schema = spark.read.parquet(f"{path}/buckets").schema
+    bucket_schema = spark.read.parquet(_pin(f"{path}/buckets")).schema
     if "qvec" in bucket_schema.fieldNames():
         stored = quantize_embeddings(
             stored, id_col=id_col, vec_col=vec_col,
@@ -2337,7 +2465,7 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
 
     live = f"{path}/lists"
     tomb = _tombstone_df(spark, path)
-    df = spark.read.parquet(live)
+    df = spark.read.parquet(_pin(live))
     if tomb is not None:
         id_col = _index_id_col(df, ("list_id", "qvec", "scale"))
         df = df.join(tomb.withColumnRenamed("id", id_col), id_col, "left_anti")
@@ -2363,9 +2491,9 @@ def compact_lsh_index(spark: SparkSession, path: str) -> None:
     import pathlib
     import shutil
 
-    conf = spark.read.parquet(f"{path}/conf").collect()[0]
+    conf = spark.read.parquet(_pin(f"{path}/conf")).collect()[0]
     live = f"{path}/buckets"
-    df = spark.read.parquet(live)
+    df = spark.read.parquet(_pin(live))
     id_col = _index_id_col(df, ("table_idx", "bucket", "qvec", "scale"))
     tomb = _tombstone_df(spark, path)
     if tomb is not None:
@@ -2455,7 +2583,7 @@ def index_stats(
     else:
         raise ValueError(f"no IVF or LSH index found at {path}")
 
-    df = spark.read.parquet(live)
+    df = spark.read.parquet(_pin(live))
     quantized = "qvec" in df.columns
     # project the file name BEFORE aggregating (Spark refuses the
     # non-deterministic expression inside an aggregate function)
@@ -2519,7 +2647,23 @@ def index_stats(
             f"~{target} adaptive-geometry target — the corpus outgrew the "
             "build-time " + rebuild_hint
         )
+    advisor = None
+    if family == "lsh":
+        conf = spark.read.parquet(_pin(f"{path}/conf")).collect()[0]
+        advisor = multiprobe_advisor(int(conf.n_planes), int(conf.n_tables))
+        if advisor["deficit"] > 0:
+            cur, pick = advisor["current"], advisor["pick"]
+            rec.append(
+                f"recall: stored geometry is {advisor['deficit']} table-"
+                f"doubling(s) short of the {int(conf.n_planes)}-bit rule — "
+                f"serve with n_multiprobe={cur.get('flips')} (candidate "
+                f"reads ×{1 << int(cur.get('flips', 0))}, store ×1) or "
+                f"rebuild with n_tables={pick['n_tables']} (store "
+                f"×{pick['store_multiplier']}, reads ~flat); "
+                "multiprobe_advisor(recall_target=...) prices every split"
+            )
     return {
+        **({"multiprobe": advisor} if advisor is not None else {}),
         "family": family,
         "rows_live": rows_live,
         "n_tombstones": n_tomb,
@@ -2620,11 +2764,11 @@ def rebuild_ivf_index(
         atomic_swap_write,
     )
 
-    stored = spark.read.parquet(f"{path}/lists")
+    stored = spark.read.parquet(_pin(f"{path}/lists"))
     was_q = "qvec" in stored.columns
     if n_centroids is None:
         n_centroids = (
-            spark.read.parquet(f"{path}/centroids").count()
+            spark.read.parquet(_pin(f"{path}/centroids")).count()
         )
     if corpus is None:
         # preserve the STORED id column name: renaming it to the
@@ -2731,11 +2875,11 @@ def rebuild_lsh_index(
         atomic_swap_write,
     )
 
-    conf = spark.read.parquet(f"{path}/conf").collect()[0]
+    conf = spark.read.parquet(_pin(f"{path}/conf")).collect()[0]
     n_planes = conf.n_planes if n_planes is None else n_planes
     n_tables = conf.n_tables if n_tables is None else n_tables
     max_bucket = conf.max_bucket if max_bucket is None else max_bucket
-    stored = spark.read.parquet(f"{path}/buckets")
+    stored = spark.read.parquet(_pin(f"{path}/buckets"))
     was_q = "qvec" in stored.columns
     if corpus is None:
         sid = _index_id_col(stored, ("table_idx", "bucket", "qvec", "scale"))

@@ -191,22 +191,42 @@ def prepare_training_corpus(
         docs.sparkSession, checkpoint_dir and f"{checkpoint_dir}/chain"
     )
 
-    # 2b. exact-substring span cutting over the deduped survivors
-    if cut_spans_min_tokens is not None:
-        survivors = dedup.cut_repeated_spans(
-            ckpt(survivors), "text", "id",
-            min_span_tokens=cut_spans_min_tokens,
-        )
+    def pin(df):
+        """Chain-pin, then retire the components FINAL step: the pin
+        just materialized everything downstream of the clustering, so
+        the parquet step backing `losers` is superseded the moment the
+        first pin lands (r11, from the r10 ADVICE — it used to live
+        until the caller deleted checkpoint_dir by hand)."""
+        out = ckpt(df)
+        if checkpoint_dir is not None:
+            from hadoop_2_10_0_src_mapreduce_spark.checkpointing import (
+                _hadoop_delete,
+            )
 
-    # 3. decontamination: no benchmark text leaks into the corpus
-    # (eval_df shares the corpus column names — same text_col/id_col)
-    if eval_df is not None:
-        eval_base = eval_df.select(
-            F.col(id_col).alias("id"), F.col(text_col).alias("text")
-        )
-        survivors = dedup.decontaminate(
-            ckpt(survivors), eval_base, "text", "id", n=decontam_ngram
-        )
+            _hadoop_delete(docs.sparkSession, f"{checkpoint_dir}/components")
+        return out
+
+    try:
+        # 2b. exact-substring span cutting over the deduped survivors
+        if cut_spans_min_tokens is not None:
+            survivors = dedup.cut_repeated_spans(
+                pin(survivors), "text", "id",
+                min_span_tokens=cut_spans_min_tokens,
+            )
+
+        # 3. decontamination: no benchmark text leaks into the corpus
+        # (eval_df shares the corpus column names — same
+        # text_col/id_col)
+        if eval_df is not None:
+            eval_base = eval_df.select(
+                F.col(id_col).alias("id"), F.col(text_col).alias("text")
+            )
+            survivors = dedup.decontaminate(
+                pin(survivors), eval_base, "text", "id", n=decontam_ngram
+            )
+    except BaseException:
+        ckpt.close()  # a failed recipe must not leak live chain steps
+        raise
 
     # 4. score + gate in one projection (tokens computed once; the
     # quality features feed both the composite and the model score)

@@ -400,8 +400,12 @@ def stream_incremental_corpus_dedup(
             filter_novel_fps,
         )
 
+        from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+            pin_generation,
+        )
+
         try:
-            seen = s.read.parquet(index_dir).select("fp")
+            seen = s.read.parquet(pin_generation(index_dir)).select("fp")
             fresh = filter_novel_fps(batch, seen)
         except AnalysisException:  # first batch: no index yet
             fresh = batch
@@ -673,8 +677,12 @@ def stream_index_vectors(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         batch = batch_df.select(id_col, vec_col).dropDuplicates([id_col])
+        from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+            pin_generation,
+        )
+
         try:
-            stored = s.read.parquet(f"{index_path}/lists")
+            stored = s.read.parquet(pin_generation(f"{index_path}/lists"))
         except AnalysisException as e:
             raise ValueError(
                 f"stream_index_vectors needs an existing IVF/IVF-PQ index "

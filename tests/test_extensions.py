@@ -323,11 +323,48 @@ def test_round_checkpointer_unit(spark, tmp_path):
     ck.retire_intermediates()
     assert len(list((tmp_path / "steps").iterdir())) == 1
     ck.close()
-    assert list((tmp_path / "steps").iterdir()) == []
+    # r11: close() also removes the (empty) dir itself — per-batch
+    # streaming callers mint one dir per micro-batch and must not
+    # accumulate empty directories without bound
+    assert not (tmp_path / "steps").exists()
     # dir=None: pure localCheckpoint passthrough
     ck2 = RoundCheckpointer(spark, None)
     assert ck2(spark.range(5)).count() == 5
     ck2.close()  # no-op, no files to own
+    # r11: a fresh instance CLEARS stale steps a crashed prior run
+    # leaked at the same dir (a new run only overwrites the step
+    # numbers it reaches; later stale steps would otherwise survive)
+    stale = tmp_path / "steps2"
+    stale.mkdir()
+    (stale / "step-00047").mkdir()
+    (stale / "step-00047" / "junk").write_text("x")
+    ck3 = RoundCheckpointer(spark, str(stale))
+    assert not (stale / "step-00047").exists()
+    ck3(spark.range(3)).count()
+    ck3.close()
+    # r11: close() leaves a NON-EMPTY root alone (caller's other files)
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    (shared / "callers_file").write_text("keep me")
+    ck4 = RoundCheckpointer(spark, str(shared / "steps"))
+    ck4(spark.range(3)).count()
+    ck4.close()
+    assert (shared / "callers_file").exists()
+
+
+def test_components_failure_cleans_checkpoint_steps(spark, tmp_path):
+    """r11 (r10 ADVICE): a propagation that FAILS — here the
+    non-convergence RuntimeError — must not leak live step dirs in
+    reliable mode; the dir is removed with them."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
+    )
+    ckdir = tmp_path / "ckfail"
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_components(
+            pairs, max_iters=1, checkpoint_dir=str(ckdir)
+        )
+    assert not ckdir.exists()
 
 
 def _mega_corpus(spark):
@@ -3247,3 +3284,93 @@ def test_ivf_flat_lists_layout_serves_identically(spark, tmp_path):
     similarity.rebuild_ivf_index(spark, flat, n_centroids=8)
     assert not similarity._ivf_list_dirs(flat)
     assert as_rows(flat), "flat rebuild stopped serving"
+
+
+def test_recipe_reliable_mode_retires_components_step(spark, tmp_path):
+    """r11 (r10 ADVICE): with ``checkpoint_dir`` set and at least one
+    multi-reference boundary active, the recipe's first chain pin
+    materializes everything downstream of the clustering — so the
+    components' FINAL step (which used to live until the caller
+    deleted the dir by hand) is retired the moment the pin lands, and
+    the output is identical to the unpinned run."""
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import (
+        prepare_training_corpus,
+    )
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and it is a fine "
+        "day for running in the sun with a friend of the family"
+    )
+    rows = [
+        (1, prose),
+        (2, prose),
+        (3, prose.replace("fine day", "good day")),
+        (5, "a completely different long document about the weather in "
+            "the mountains where it rains for days and the rivers rise"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    evals = spark.createDataFrame(
+        [(900, "unrelated benchmark sentence that matches no corpus doc "
+               "because every token here is about astronomy and comets")],
+        ["doc_id", "text"],
+    )
+    kw = dict(near_dup_threshold=0.5, min_quality=0.2, min_tokens=5)
+    want = {r.id for r in prepare_training_corpus(
+        docs, eval_df=evals, **kw
+    ).collect()}
+    ckdir = tmp_path / "recipe_ck"
+    out = prepare_training_corpus(
+        docs, eval_df=evals, checkpoint_dir=str(ckdir), **kw
+    )
+    got = {r.id for r in out.collect()}
+    assert got == want == {1, 5}
+    # the decontam boundary pin landed -> components step retired
+    assert not (ckdir / "components").exists()
+    # the chain dir holds exactly the newest pin backing the result
+    chain_steps = sorted(p.name for p in (ckdir / "chain").iterdir())
+    assert len(chain_steps) == 1 and chain_steps[0].startswith("step-")
+    assert out.count() == 2  # still readable from the surviving pin
+
+
+def test_multiprobe_advisor_prices_tables_vs_flips(spark, tmp_path):
+    """r11 (r10 verdict item 6): the advisor enumerates every split of
+    a bit deficit between table doublings (store cost) and probe
+    flips (read cost), anchored to the pinned r9 sweep grid; the
+    recall_target pick is the min-reads measured option that reaches
+    the target; deficit-free geometries return the identity."""
+    adv = similarity.multiprobe_advisor(13, 16)
+    assert adv["deficit"] == 3
+    # the auto rule's own point is in the table and marked measured
+    assert adv["current"]["flips"] == similarity.adaptive_multiprobe(13, 16)
+    assert adv["current"]["measured"] and adv["current"]["recall"] == 0.542
+    # extremes: all-flips (store x1, reads x16) .. all-tables (x8, x1)
+    opts = {(o["n_tables"], o["flips"]) for o in adv["options"]}
+    assert (16, 4) in opts and (128, 0) in opts
+    for o in adv["options"]:
+        assert o["probe_volume_multiplier"] == 1 << o["flips"]
+    # no target -> min reads; with a target -> cheapest measured hit
+    assert adv["pick"]["flips"] == 0
+    pick = similarity.multiprobe_advisor(13, 16, recall_target=0.5)["pick"]
+    assert (pick["n_tables"], pick["flips"]) == (32, 3)
+    assert pick["recall"] >= 0.5 and pick["measured"]
+    # deficit-free (every driver fixture geometry): nothing to advise
+    clean = similarity.multiprobe_advisor(10, 16)
+    assert clean["deficit"] == 0
+    assert clean["pick"]["flips"] == 0
+    assert clean["pick"]["store_multiplier"] == 1.0
+
+    # index_stats surfaces the dial for a deficit LSH store and stays
+    # quiet for a clean one
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    deficit_path = str(tmp_path / "lsh_deficit")
+    similarity.save_lsh_index(emb, deficit_path, n_planes=12, n_tables=8)
+    st = similarity.index_stats(spark, deficit_path)
+    assert st["multiprobe"]["deficit"] > 0
+    assert any("n_multiprobe=" in r for r in st["recommendations"])
+    clean_path = str(tmp_path / "lsh_clean")
+    similarity.save_lsh_index(emb, clean_path)
+    st2 = similarity.index_stats(spark, clean_path)
+    assert st2["multiprobe"]["deficit"] == 0
+    assert not any("n_multiprobe=" in r for r in st2["recommendations"])

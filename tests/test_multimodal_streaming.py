@@ -698,9 +698,10 @@ def test_streaming_dedup_reliable_pin_dir(spark, tmp_path_factory):
     )
     q.awaitTermination(120)
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3}
-    leftover = [
-        p for p in pathlib.Path(pins).rglob("*") if p.is_file()
-    ]
+    # r11: no leftover files AND no empty per-batch dirs — a long-
+    # running stream must not grow one 'batch-N' directory per
+    # micro-batch (listing/inode cost; the r10 ADVICE)
+    leftover = list(pathlib.Path(pins).rglob("*"))
     assert leftover == [], leftover
 
 

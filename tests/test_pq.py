@@ -1288,3 +1288,72 @@ def test_rollback_skips_committed_but_never_served_stray(spark, tmp_path):
     # flip-flop (newer-than-current but genuinely served) still works
     assert rollback_pointer_swap(path).endswith(".__gen_1__")
     assert spark.read.parquet(path).count() == 20
+
+
+def test_generation_pinned_scan_survives_link_flip(spark, tmp_path):
+    """The deterministic form of the r10 serve-during-compaction race:
+    a scan planned BETWEEN swaps must finish even when the pointer
+    flips before collect. pin_generation resolves the link at plan
+    time, so the plan's file listing holds .__gen_N__ paths that the
+    one-generation grace copy actually protects; the same scan planned
+    THROUGH the symlink records link-relative paths that re-resolve
+    into the new generation at open time and ENOENT — which is why
+    every index reader pins."""
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        atomic_swap_write,
+        enable_pointer_swaps,
+        pin_generation,
+    )
+
+    path = str(tmp_path / "pinned")
+    spark.range(10).write.parquet(path)
+    assert pin_generation(path) == path  # plain dir: no-op
+    enable_pointer_swaps(path)
+    pinned = pin_generation(path)
+    assert pinned.endswith(".__gen_0__")
+
+    planned = spark.read.parquet(pinned)  # plan now, collect later
+    unpinned = spark.read.parquet(path)  # the pre-fix reader shape
+    atomic_swap_write(spark.range(100, 120), path, [])  # link flips
+
+    # pinned plan: grace generation still on disk -> the scan finishes
+    # against the rows it planned (old generation, 10 rows)
+    assert sorted(r.id for r in planned.collect()) == list(range(10))
+    # unpinned plan: open re-traverses the link into gen_1 where the
+    # planned part files do not exist -> the documented failure mode
+    with pytest.raises(Exception, match="not exist|FileNotFound"):
+        unpinned.collect()
+    # fresh reads (plan after the flip) serve the new generation
+    assert spark.read.parquet(pin_generation(path)).count() == 20
+
+
+def test_query_planned_before_compaction_collects_after(spark, emb, tmp_path):
+    """query_ivf_index planned before a compaction's pointer swap must
+    collect correctly after it — the serving-side regression pin for
+    the realpath fix (the widened deterministic window the concurrency
+    test above can only hit probabilistically)."""
+    import os
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        enable_pointer_swaps,
+    )
+
+    path = str(tmp_path / "planflip")
+    base = emb.where(F.col("vec_id") < 300)
+    similarity.save_ivf_index(base, path, n_centroids=8)
+    enable_pointer_swaps(f"{path}/lists")
+    queries = emb.where(F.col("vec_id") < 5)
+
+    planned = similarity.query_ivf_index(queries, path, k=3, n_probe=8)
+    similarity.compact_ivf_index(spark, path)  # swaps the link mid-flight
+    got = {(r.query_id, r.neighbor_id) for r in planned.collect()}
+
+    assert os.path.islink(f"{path}/lists")  # still pointer-mode
+    fresh = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.query_ivf_index(
+            queries, path, k=3, n_probe=8
+        ).collect()
+    }
+    # compaction without tombstones is a pure rewrite: identical answers
+    assert got == fresh and got

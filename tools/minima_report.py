@@ -60,6 +60,25 @@ def _extract_branches(d: dict) -> dict[str, dict[str, float]]:
     tail = d.get("tail")
     if isinstance(tail, str) and '"branches"' in tail:
         frag = tail.split('"branches"', 1)[1]
+        # r11 (ADVICE): bound the scan to the balanced-brace object
+        # immediately after the key — the old whole-fragment scan
+        # would misparse ANY later flat numeric dict (e.g. a future
+        # per-query weather map) as branch timings. A truncated tail
+        # (no matching close) keeps everything to the end: incomplete
+        # trailing slots are dropped by the inner regex as before.
+        start = frag.find("{")
+        if start < 0:
+            return {}
+        depth, end = 0, len(frag)
+        for i in range(start, len(frag)):
+            if frag[i] == "{":
+                depth += 1
+            elif frag[i] == "}":
+                depth -= 1
+                if depth == 0:
+                    end = i + 1
+                    break
+        frag = frag[start:end]
         out: dict[str, dict[str, float]] = {}
         for slot_m in re.finditer(
             r'"([A-Za-z0-9_]+)"\s*:\s*\{([^{}]*)\}', frag
