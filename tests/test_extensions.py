@@ -3374,3 +3374,89 @@ def test_multiprobe_advisor_prices_tables_vs_flips(spark, tmp_path):
     st2 = similarity.index_stats(spark, clean_path)
     assert st2["multiprobe"]["deficit"] == 0
     assert not any("n_multiprobe=" in r for r in st2["recommendations"])
+
+
+def _persistent_rdd_ids(spark) -> set[int]:
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(int(it.next()))
+    return ids
+
+
+def _destroy_rdd_blocks(spark, ids) -> None:
+    """Simulate executor loss for the given RDDs: remove their blocks
+    through the BlockManagerMaster — exactly what dies with a
+    preempted executor. A localCheckpoint-backed frame has no lineage
+    to recompute from and its next action fails with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; persisted frames and parquet-
+    backed frames recompute."""
+    bmm = spark.sparkContext._jsc.sc().env().blockManager().master()
+    for i in ids:
+        bmm.removeRdd(int(i), True)
+
+
+def test_chaos_block_loss_kills_local_mode_spares_reliable(spark, tmp_path):
+    """r11 (r10 verdict item 4): the reliable-checkpoint dial's core
+    claim, turned from design argument into measurement. Destroying
+    every RDD block created during propagation (the executor-loss
+    event, injected mid-loop through a chaos Checkpointer subclass):
+    with checkpoint_dir=None the loop DIES on the checkpoint-block
+    error Spark raises for lost localCheckpoint blocks; with
+    checkpoint_dir set the SAME injection completes with the
+    identical label set — persisted intermediates recompute from the
+    previous round's parquet step."""
+    from hadoop_2_10_0_src_mapreduce_spark import checkpointing as ckpt_mod
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)]          # 61-node path: rounds > 1
+        + [(200, 201), (201, 202), (202, 200)],
+        ["id_a", "id_b"],
+    )
+    want = {(r.id, r.rep)
+            for r in dedup.duplicate_components(pairs).collect()}
+
+    pre = _persistent_rdd_ids(spark)
+
+    class ChaosCheckpointer(ckpt_mod.RoundCheckpointer):
+        kills_left = 1
+
+        def __call__(self, df):
+            out = super().__call__(df)
+            # inject AFTER the second pin: round 1 is in flight and
+            # the loop still has rounds to go on a 61-node path
+            if self.n >= 2 or (self.dir is None and out is not None):
+                ChaosCheckpointer.count = (
+                    getattr(ChaosCheckpointer, "count", 0) + 1
+                )
+                if (
+                    ChaosCheckpointer.count >= 2
+                    and ChaosCheckpointer.kills_left > 0
+                ):
+                    ChaosCheckpointer.kills_left -= 1
+                    _destroy_rdd_blocks(
+                        self.spark, _persistent_rdd_ids(self.spark) - pre
+                    )
+            return out
+
+    real = ckpt_mod.RoundCheckpointer
+    ckpt_mod.RoundCheckpointer = ChaosCheckpointer
+    try:
+        # local mode: the destroyed localCheckpoint blocks are the
+        # ONLY copy — the loop must die the way a preempted executor
+        # kills it on a cluster
+        ChaosCheckpointer.kills_left, ChaosCheckpointer.count = 1, 0
+        with pytest.raises(Exception, match="[Cc]heckpoint block"):
+            dedup.duplicate_components(pairs).collect()
+
+        # reliable mode: the SAME injection — blocks lost, but every
+        # pin is parquet and prop's lineage roots at the previous
+        # step's files, so the loop completes bit-identically
+        ChaosCheckpointer.kills_left, ChaosCheckpointer.count = 1, 0
+        got = {(r.id, r.rep)
+               for r in dedup.duplicate_components(
+                   pairs, checkpoint_dir=str(tmp_path / "chaos_ck")
+               ).collect()}
+        assert got == want
+    finally:
+        ckpt_mod.RoundCheckpointer = real
