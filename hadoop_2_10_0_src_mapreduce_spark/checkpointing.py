@@ -73,21 +73,76 @@ class RoundCheckpointer:
     frame; ``close()`` removes every file it still owns (safe only
     after the loop's result is fully consumed or persisted)."""
 
-    def __init__(self, spark: SparkSession, checkpoint_dir: str | None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str | None,
+        *,
+        resume: bool = False,
+    ):
         self.spark = spark
         self.dir = checkpoint_dir
         self.n = 0
         self._live: list[str] = []  # step dirs not yet deleted
+        #: newest COMPLETE step's frame from a prior run at this dir,
+        #: when ``resume=True`` found one — the loop restarts from it
+        self.resumed: DataFrame | None = None
+        if self.dir is None:
+            return
+        if resume:
+            # DRIVER-loss recovery (r11): a restarted job picks the
+            # newest step whose _SUCCESS committed (an interrupted
+            # write has none and is removed as debris), numbers new
+            # steps after it, and hands its rows back via .resumed —
+            # the loop body is deterministic, so continuing from the
+            # pinned rows yields the run the crash interrupted.
+            # In-process failures don't use this path: their cleanup
+            # (close() in the except arm) is correct because the
+            # CALLER is still alive to retry from scratch; resume is
+            # for the crash where no cleanup ran.
+            newest = None
+            for num, path, complete in self._list_steps():
+                if complete:
+                    if newest is None or num > newest[0]:
+                        newest = (num, path)
+                else:
+                    _hadoop_delete(spark, path)  # torn write: debris
+            if newest is not None:
+                self.n = newest[0] + 1
+                self._live.append(newest[1])
+                self.resumed = spark.read.parquet(newest[1])
+                return
         # Stale-state guard (r11, from the r10 ADVICE): a prior run at
         # the same dir may have leaked step dirs (crash before close);
         # a new run only OVERWRITES the step numbers it reaches, so
         # steps beyond its count would survive and a later reader
         # globbing the dir could mix generations. A fresh loop owns
-        # its dir — clear it outright. (A future resume mode would
-        # read the newest step here instead; none exists yet, so
-        # clearing loses nothing.)
-        if self.dir is not None:
-            _hadoop_delete(spark, self.dir)
+        # its dir — clear it outright.
+        _hadoop_delete(spark, self.dir)
+
+    def _list_steps(self) -> list[tuple[int, str, bool]]:
+        """(step_number, path, has-_SUCCESS) for every step dir under
+        ``self.dir``, via the Hadoop FS API (any scheme)."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.dir)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+        out = []
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("step-"):
+                try:
+                    num = int(name.split("-", 1)[1])
+                except ValueError:
+                    continue
+                ok = fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(
+                        st.getPath(), "_SUCCESS"
+                    )
+                )
+                out.append((num, f"{self.dir}/{name}", ok))
+        return out
 
     def __call__(self, df: DataFrame) -> DataFrame:
         if self.dir is None:

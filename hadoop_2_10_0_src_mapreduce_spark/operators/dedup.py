@@ -907,7 +907,7 @@ def prefix_pairs_from_index(inv: DataFrame, threshold: float) -> DataFrame:
 def duplicate_components(
     pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
     max_iters: int = 25, stats: dict | None = None,
-    checkpoint_dir: str | None = None,
+    checkpoint_dir: str | None = None, resume: bool = False,
 ) -> DataFrame:
     """Connected components over near-duplicate PAIRS — the step that
     turns pairwise matches into duplicate CLUSTERS (keep one
@@ -955,7 +955,16 @@ def duplicate_components(
     files back the RETURNED frame — they live under ``checkpoint_dir``
     until the caller has consumed/persisted the result (at most two
     step dirs exist at any moment; intermediates are deleted as each
-    round lands)."""
+    round lands).
+
+    ``resume=True`` (r11) adds DRIVER-loss recovery on top: a
+    restarted job pointed at the same ``checkpoint_dir`` continues
+    from the newest _SUCCESS-complete step instead of round 0 — the
+    rounds are deterministic, so the fixpoint is the one the crash
+    interrupted (pinned by test). Without ``resume`` a fresh run
+    clears the dir and starts over; in-process failures always clean
+    their steps (the caller is alive to retry), so resume only has
+    something to find after a real process death."""
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
@@ -963,7 +972,8 @@ def duplicate_components(
         RoundCheckpointer,
     )
 
-    ckpt = RoundCheckpointer(pairs.sparkSession, checkpoint_dir)
+    ckpt = RoundCheckpointer(pairs.sparkSession, checkpoint_dir,
+                             resume=resume)
     try:
         return _propagate_components(adj_src=edges, ckpt=ckpt,
                                      max_iters=max_iters, stats=stats)
@@ -989,11 +999,18 @@ def _propagate_components(adj_src, ckpt, *, max_iters, stats):
     # built identity labels and the first join round (a join + groupBy
     # + checkpoint + convergence job), and already converges
     # single-hop components (near-dup cliques usually are).
-    labels = ckpt(
-        adj.groupBy("src")
-        .agg(F.least(F.min("dst"), F.col("src")).alias("rep"))
-        .select(F.col("src").alias("id"), "rep")
-    )
+    if ckpt.resumed is not None:
+        # driver-loss resume (r11): continue from the newest complete
+        # step of the interrupted run — the rounds are deterministic,
+        # so the fixpoint is the one the crash interrupted. The step
+        # may be the round-0 table (no _chg) or a mid-loop new_labels.
+        labels = ckpt.resumed.drop("_chg")
+    else:
+        labels = ckpt(
+            adj.groupBy("src")
+            .agg(F.least(F.min("dst"), F.col("src")).alias("rep"))
+            .select(F.col("src").alias("id"), "rep")
+        )
     for it in range(max_iters):
         neighbor_min = (
             adj.join(labels, adj["dst"] == labels["id"])

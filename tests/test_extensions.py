@@ -3460,3 +3460,62 @@ def test_chaos_block_loss_kills_local_mode_spares_reliable(spark, tmp_path):
         assert got == want
     finally:
         ckpt_mod.RoundCheckpointer = real
+
+
+def test_components_resume_after_driver_loss(spark, tmp_path):
+    """r11 driver-loss recovery: a propagation killed mid-loop with NO
+    cleanup (process death — simulated by a chaos checkpointer that
+    raises after the 3rd pin and whose close() is a no-op) leaves its
+    step files; a restarted run with resume=True continues from the
+    newest _SUCCESS-complete step (torn steps are removed as debris)
+    and converges to the identical label set in fewer rounds."""
+    from hadoop_2_10_0_src_mapreduce_spark import checkpointing as ckpt_mod
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(80)], ["id_a", "id_b"]  # 81-node path
+    )
+    s_full: dict = {}
+    want = {(r.id, r.rep)
+            for r in dedup.duplicate_components(pairs, stats=s_full).collect()}
+    ckdir = tmp_path / "resume_ck"
+
+    class DyingCheckpointer(ckpt_mod.RoundCheckpointer):
+        def __call__(self, df):
+            out = super().__call__(df)
+            if self.n >= 3:
+                raise RuntimeError("simulated driver death")
+            return out
+
+        def close(self):  # process death: no cleanup ever ran
+            pass
+
+    real = ckpt_mod.RoundCheckpointer
+    ckpt_mod.RoundCheckpointer = DyingCheckpointer
+    try:
+        with pytest.raises(RuntimeError, match="simulated driver death"):
+            dedup.duplicate_components(pairs, checkpoint_dir=str(ckdir))
+    finally:
+        ckpt_mod.RoundCheckpointer = real
+    surviving = sorted(p.name for p in ckdir.iterdir())
+    assert surviving, "crash left no steps to resume from"
+    # plant a torn step (no _SUCCESS) NEWER than every complete one —
+    # resume must treat it as debris, not as the latest state
+    torn = ckdir / "step-00099"
+    torn.mkdir()
+    (torn / "part-junk.parquet").write_bytes(b"not parquet")
+
+    s_res: dict = {}
+    got = {(r.id, r.rep)
+           for r in dedup.duplicate_components(
+               pairs, checkpoint_dir=str(ckdir), stats=s_res, resume=True
+           ).collect()}
+    assert got == want
+    assert not torn.exists()  # torn step removed as debris
+    assert s_res["rounds"] < s_full["rounds"]  # it actually resumed
+
+    # resume=True over an EMPTY dir is just a fresh run
+    got2 = {(r.id, r.rep)
+            for r in dedup.duplicate_components(
+                pairs, checkpoint_dir=str(tmp_path / "fresh"), resume=True
+            ).collect()}
+    assert got2 == want
