@@ -10,10 +10,12 @@ else for media). The Spark-side design is the real deliverable here:
 - decode/resize/feature-extract run per batch; the codec boundary is
   explicit and keeps SHRINKING: binary PPM/PGM, uncompressed 24-bit
   BMP, 8-bit non-interlaced PNG (r8), AND baseline JPEG (r9 —
-  SOF0, any chroma sampling, restart markers; ``decode_jpeg`` /
-  ``encode_jpeg``) decode ON-BOX with pure-numpy codecs, so
-  ``decode_image`` is a real end-to-end path for every common still
-  format; the remainder (progressive JPEG, video — ffmpeg territory)
+  SOF0, any chroma sampling, restart markers, and — r11 —
+  progressive SOF2 with spectral selection / successive
+  approximation; ``decode_jpeg`` / ``encode_jpeg``) decode ON-BOX
+  with pure-numpy codecs, so ``decode_image`` is a real end-to-end
+  path for every common still format; the remainder (video — ffmpeg
+  territory — plus CMYK and exotic SOFs)
   still tries PIL and raises NotImplementedError when absent, while
   the deterministic FAKE container format below exercises every seam
   (schema, batching, partitioning, UDF signatures) end-to-end in
@@ -547,6 +549,43 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         raise ValueError(f"truncated JPEG: {e}") from e
 
 
+def _unstuff_scan(
+    raw: np.ndarray,
+) -> tuple[np.ndarray, list[int], int]:
+    """Unstuff one entropy-coded segment (FF00 → FF), recording where
+    restart markers sat (as BIT positions in the kept stream), and
+    where the segment ENDS (offset of the first FF that opens a real
+    marker — EOI or the next segment header). Vectorized: this stage
+    has no serial dependency (unlike the per-symbol Huffman loop), so
+    FF classification, drops, and RST offsets are all numpy — a
+    multi-MB scan unstuffs at C speed. T.81 B.1.1.2 allows 0xFF fill
+    bytes before a marker INSIDE the entropy stream too (e.g.
+    FF FF D0 = fill + RST0): an FF whose next byte is another FF is a
+    fill byte, not a scan terminator — it is dropped, and the run's
+    final FF classifies the marker (r9-review fix: treating it as a
+    stop truncated the scan and ran the bit reader off the kept
+    array). Returns (kept_bytes, rst_bit_positions, end_offset)."""
+    ff = np.where(raw[:-1] == 0xFF)[0] if len(raw) > 1 else np.empty(0, np.int64)
+    nxt = raw[ff + 1]
+    is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    is_fill = nxt == 0xFF
+    stops = ff[(nxt != 0x00) & ~is_rst & ~is_fill]
+    end = int(stops[0]) if len(stops) else len(raw)
+    in_scan = ff < end
+    stuffed = ff[in_scan & (nxt == 0x00)]   # drop the 00 after each
+    rst = ff[in_scan & is_rst]              # drop marker + its FF
+    fills = ff[in_scan & is_fill]           # drop each fill byte
+    drops = np.sort(np.concatenate([stuffed + 1, rst, rst + 1, fills]))
+    keep_mask = np.ones(end, bool)
+    keep_mask[drops] = False
+    kept = raw[:end][keep_mask]
+    # kept-stream byte offset of each RST = marker pos − drops before it
+    rst_bits = [
+        int((r - np.searchsorted(drops, r)) * 8) for r in rst
+    ]
+    return kept, rst_bits, end
+
+
 def _decode_jpeg(blob: bytes) -> np.ndarray:
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
@@ -616,10 +655,13 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     "only 1- or 3-component baseline JPEG supported"
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC2:  # SOF2: progressive DCT (r11)
+            return _decode_jpeg_progressive(blob)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline (SOF0) JPEG supported"
+                "only baseline (SOF0) or progressive (SOF2) JPEG "
+                "supported"
             )
         elif marker == 0xDD:  # DRI
             restart = _struct.unpack(">H", seg[:2])[0]
@@ -646,37 +688,8 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
     if not scan_comps or not w:
         raise ValueError("JPEG missing SOF/SOS")
 
-    # unstuff the entropy stream (FF00 → FF), recording where restart
-    # markers sat (as bit positions in the KEPT stream); stop at the
-    # first non-RST marker (EOI or a new segment). Vectorized: this
-    # stage has no serial dependency (unlike the per-symbol Huffman
-    # loop), so FF classification, drops, and RST offsets are all
-    # numpy — a multi-MB scan unstuffs at C speed.
     raw = np.frombuffer(blob, np.uint8)[pos:]
-    ff = np.where(raw[:-1] == 0xFF)[0] if len(raw) > 1 else np.empty(0, np.int64)
-    nxt = raw[ff + 1]
-    is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
-    # T.81 B.1.1.2 allows 0xFF fill bytes before a marker INSIDE the
-    # entropy stream too (e.g. FF FF D0 = fill + RST0): an FF whose
-    # next byte is another FF is a fill byte, not a scan terminator —
-    # it is dropped, and the run's final FF classifies the marker
-    # (r9-review fix: treating it as a stop truncated `end` early and
-    # ran the bit reader off the kept array)
-    is_fill = nxt == 0xFF
-    stops = ff[(nxt != 0x00) & ~is_rst & ~is_fill]
-    end = int(stops[0]) if len(stops) else len(raw)
-    in_scan = ff < end
-    stuffed = ff[in_scan & (nxt == 0x00)]   # drop the 00 after each
-    rst = ff[in_scan & is_rst]              # drop marker + its FF
-    fills = ff[in_scan & is_fill]           # drop each fill byte
-    drops = np.sort(np.concatenate([stuffed + 1, rst, rst + 1, fills]))
-    keep_mask = np.ones(end, bool)
-    keep_mask[drops] = False
-    kept = raw[:end][keep_mask]
-    # kept-stream byte offset of each RST = marker pos − drops before it
-    rst_bits = [
-        int((r - np.searchsorted(drops, r)) * 8) for r in rst
-    ]
+    kept, rst_bits, _scan_end = _unstuff_scan(raw)
     br = _BitReader(kept)
 
     hmax = max(c["hs"] for c in scan_comps)
@@ -760,6 +773,277 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
     ).astype(np.uint8)
 
 
+def _ac_first_block(br, act, block, Ss, Se, Al, eobrun) -> int:
+    """Progressive AC first pass (Ah=0) for one block's band — T.81
+    G.2: run/size symbols as in baseline but over the band only, EOBn
+    (s=0, r<15) opens a 2^r+bits run of end-of-band blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        rs = _huff_read(br, act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            return (1 << r) + (br.read_bits(r) if r else 0) - 1
+        k += r
+        if k > Se:
+            raise ValueError("JPEG AC index overflow")
+        block[k] = _extend(br.read_bits(s), s) << Al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br, act, block, Ss, Se, Al, eobrun) -> int:
+    """Progressive AC refinement (Ah>0) for one block's band — T.81
+    G.2 correction-bit procedure: every already-nonzero coefficient
+    passed (by a run, a ZRL, or the end-of-band tail) carries one
+    appended magnitude bit; newly-significant coefficients arrive as
+    (run, s=1) symbols whose extra bit is the SIGN, magnitude 2^Al."""
+    p1 = 1 << Al
+
+    def refine_one(i) -> None:
+        if br.read_bit() and not (abs(int(block[i])) & p1):
+            block[i] += p1 if block[i] > 0 else -p1
+
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            rs = _huff_read(br, act)
+            r, s = rs >> 4, rs & 15
+            if s == 0 and r < 15:  # EOBn: refine the tail below
+                eobrun = (1 << r) + (br.read_bits(r) if r else 0)
+                break
+            val = 0
+            if s:  # newly significant: the extra bit is its sign
+                if s != 1:
+                    raise ValueError("JPEG AC refine: size must be 1")
+                val = p1 if br.read_bit() else -p1
+            # advance: correction bits at nonzero-history positions;
+            # the run count r spends only on still-zero positions
+            while k <= Se:
+                if block[k] != 0:
+                    refine_one(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s:
+                if k > Se:
+                    raise ValueError("JPEG AC refine overflow")
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= Se:  # end-of-band: tail correction bits only
+            if block[k] != 0:
+                refine_one(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_jpeg_progressive(blob: bytes) -> np.ndarray:
+    """Progressive (SOF2) JPEG → uint8 raster — the r10 'missing'
+    boundary closed for the DCT half (video remains ffmpeg territory).
+    Coefficients accumulate across scans in per-component zigzag
+    stores: DC first/refine scans (interleaved over the padded MCU
+    grid), non-interleaved AC first/refine scans with spectral
+    selection (Ss..Se) and successive approximation (Ah/Al), EOB runs,
+    ZRL, restart markers. Cross-checked against the baseline path by
+    test: the same source encoded baseline and progressive (same
+    quantization) decodes to IDENTICAL pixels — the two bitstream
+    formats carry the same coefficients, so any divergence is a
+    decode bug, not codec loss."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[dict] = []
+    coef: dict[int, np.ndarray] = {}
+    w = h = hmax = vmax = mcux = mcuy = 0
+    restart = 0
+    pos = 2
+    while pos < len(blob):
+        while pos + 1 < len(blob) and blob[pos] == 0xFF and blob[pos + 1] == 0xFF:
+            pos += 1
+        if blob[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = blob[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        ln = _struct.unpack(">H", blob[pos:pos + 2])[0]
+        seg = blob[pos + 2:pos + ln]
+        if marker == 0xDB:  # DQT (may also appear between scans)
+            s = 0
+            while s < len(seg):
+                prec, tid = seg[s] >> 4, seg[s] & 15
+                if prec:
+                    qt[tid] = np.frombuffer(
+                        seg[s + 1:s + 129], ">u2"
+                    ).astype(np.int64)
+                    s += 129
+                else:
+                    qt[tid] = np.frombuffer(
+                        seg[s + 1:s + 65], np.uint8
+                    ).astype(np.int64)
+                    s += 65
+        elif marker == 0xC4:  # DHT (tables may be redefined per scan)
+            s = 0
+            while s < len(seg):
+                cls, tid = seg[s] >> 4, seg[s] & 15
+                bits = list(seg[s + 1:s + 17])
+                n = sum(bits)
+                huff[(cls, tid)] = _huff_decode_table(
+                    bits, list(seg[s + 17:s + 17 + n])
+                )
+                s += 17 + n
+        elif marker == 0xC2:  # SOF2
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            h, w = _struct.unpack(">HH", seg[1:5])
+            comps = [
+                {
+                    "id": seg[6 + 3 * i],
+                    "hs": seg[7 + 3 * i] >> 4,
+                    "vs": seg[7 + 3 * i] & 15,
+                    "tq": seg[8 + 3 * i],
+                }
+                for i in range(seg[5])
+            ]
+            if len(comps) not in (1, 3):
+                raise NotImplementedError(
+                    "only 1- or 3-component progressive JPEG supported"
+                )
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            if any(hmax % c["hs"] or vmax % c["vs"] for c in comps):
+                raise NotImplementedError("fractional chroma sampling")
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                # non-interleaved (single-component scan) block grid:
+                # ceil over the component's OWN sampled dimensions —
+                # the padded MCU grid is only walked by interleaved
+                # scans (T.81 A.2.2 vs A.2.3)
+                cw = (w * c["hs"] + hmax - 1) // hmax
+                ch = (h * c["vs"] + vmax - 1) // vmax
+                c["bw"], c["bh"] = (cw + 7) // 8, (ch + 7) // 8
+                coef[c["id"]] = np.zeros(
+                    (mcuy * c["vs"], mcux * c["hs"], 64), np.int64
+                )
+        elif marker == 0xC0 or marker == 0xC1:
+            return _decode_jpeg(blob)  # mislabelled: baseline stream
+        elif marker == 0xDD:
+            restart = _struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # one scan of several
+            ns = seg[0]
+            sc = []
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cid)
+                sc.append({**comp, "dc": tabs >> 4, "ac": tabs & 15})
+            Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            Ah, Al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            if (Ss == 0) != (Se == 0):
+                raise ValueError("JPEG scan: DC scans need Ss=Se=0")
+            if Ss > 0 and ns != 1:
+                raise ValueError("JPEG progressive AC scans carry one "
+                                 "component")
+            pos += ln
+            raw = np.frombuffer(blob, np.uint8)[pos:]
+            kept, rst_bits, end = _unstuff_scan(raw)
+            br = _BitReader(kept)
+            pred = {c["id"]: 0 for c in sc}
+            eobrun = 0
+            if Ss == 0 and ns > 1:  # interleaved DC over the MCU grid
+                n_units = mcux * mcuy
+            else:  # single-component scan: the component's block grid
+                n_units = sc[0]["bw"] * sc[0]["bh"]
+            rst_i = 0
+            for m in range(n_units):
+                if restart and m and m % restart == 0:
+                    if rst_i < len(rst_bits):
+                        br.pos = rst_bits[rst_i]
+                    else:
+                        br.align()
+                    rst_i += 1
+                    pred = {c["id"]: 0 for c in sc}
+                    eobrun = 0
+                if Ss == 0 and ns > 1:
+                    my, mx = divmod(m, mcux)
+                    units = [
+                        (c, my * c["vs"] + by, mx * c["hs"] + bx)
+                        for c in sc
+                        for by in range(c["vs"])
+                        for bx in range(c["hs"])
+                    ]
+                else:
+                    cby, cbx = divmod(m, sc[0]["bw"])
+                    units = [(sc[0], cby, cbx)]
+                for c, uy, ux in units:
+                    block = coef[c["id"]][uy, ux]
+                    if Ss == 0:
+                        if Ah == 0:  # DC first: diff in the shifted
+                            s = _huff_read(br, huff[(0, c["dc"])])
+                            diff = _extend(br.read_bits(s), s) if s else 0
+                            pred[c["id"]] += diff
+                            block[0] = pred[c["id"]] << Al
+                        else:  # DC refine: append one magnitude bit
+                            if br.read_bit():
+                                block[0] = int(block[0]) | (1 << Al)
+                    elif Ah == 0:
+                        eobrun = _ac_first_block(
+                            br, huff[(1, c["ac"])], block, Ss, Se, Al,
+                            eobrun,
+                        )
+                    else:
+                        eobrun = _ac_refine_block(
+                            br, huff[(1, c["ac"])], block, Ss, Se, Al,
+                            eobrun,
+                        )
+            pos += end
+            continue
+        pos += ln
+    if not comps or not w:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    # shared reconstruction tail: dequantize + IDCT every block
+    # (vectorized over the whole store), assemble, upsample, convert
+    out_planes = []
+    for c in comps:
+        zz = coef[c["id"]]
+        q = qt[c["tq"]]
+        nat = np.zeros_like(zz, dtype=np.float64)
+        nat[..., _ZIGZAG] = zz * q
+        bh_, bw_ = nat.shape[:2]
+        # broadcast matmul (not einsum): the same BLAS kernel the
+        # baseline's per-block `C.T @ block @ C` uses, so both paths
+        # round identically and the pixel-identity test is exact
+        blocks = _DCT_C.T @ nat.reshape(bh_, bw_, 8, 8) @ _DCT_C
+        plane = blocks.transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
+        plane = plane + 128.0
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["vs"], axis=0),
+            hmax // c["hs"], axis=1,
+        )
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        return np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.rint(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
 class _BitWriter:
     __slots__ = ("out", "acc", "nbits")
 
@@ -785,9 +1069,232 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-pad to a byte boundary
 
 
+def _encode_jpeg_progressive(
+    h: int, w: int, padded: list, samp: list, qids: list,
+    ql: np.ndarray, qc: np.ndarray,
+) -> bytes:
+    """Progressive (SOF2) emission for ``encode_jpeg(progressive=
+    True)`` — the fixture-generating twin of ``_decode_jpeg_
+    progressive`` (no image tooling exists in this container, so the
+    decoder's coverage comes from our own streams; the cross-path
+    pixel-identity test against the BASELINE encoding of the same
+    quantized coefficients is what keeps the pair honest). Scan
+    script chosen to exercise every decode procedure: interleaved DC
+    first at Al=1, per-component AC first with a split spectral band
+    for component 0 (1–5, 6–63) and a full band for the rest, DC
+    refinement, then per-component AC refinement (correction bits,
+    ZRL-with-pending-bits, per-block EOB). Standard Annex K tables —
+    EOB runs are emitted per block (run length 1, symbol 0x00), which
+    the standard AC tables cover; longer EOBn symbols would need
+    custom tables for marginal size."""
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    ncomp = len(padded)
+
+    zzs = []
+    for ci, (p, (hs, vs)) in enumerate(zip(padded, samp)):
+        q = (ql if qids[ci] == 0 else qc)[_ZIGZAG]
+        BH, BW = mcuy * vs, mcux * hs
+        blocks = p.reshape(BH, 8, BW, 8).transpose(0, 2, 1, 3)
+        co = (_DCT_C @ blocks @ _DCT_C.T).reshape(BH, BW, 64)
+        zzs.append(np.rint(co[..., _ZIGZAG] / q).astype(np.int64))
+
+    dc_tabs = [_huff_encode_table(*_DC_LUM), _huff_encode_table(*_DC_CHR)]
+    ac_tabs = [_huff_encode_table(*_AC_LUM), _huff_encode_table(*_AC_CHR)]
+
+    def scan_hdr(comp_specs: list[tuple[int, int, int]],
+                 Ss: int, Se: int, Ah: int, Al: int) -> bytes:
+        out = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            out += bytes([cid, (td << 4) | ta])
+        return out + bytes([Ss, Se, (Ah << 4) | Al])
+
+    def comp_dims(ci: int) -> tuple[int, int]:
+        hs, vs = samp[ci]
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    def dc_first(bw_, Al: int) -> None:
+        pred = [0] * ncomp
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci in range(ncomp):
+                hs, vs = samp[ci]
+                tab = dc_tabs[0 if ci == 0 else 1]
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(zzs[ci][my * vs + by, mx * hs + bx, 0]) >> Al
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s = abs(diff).bit_length()
+                        code, ln = tab[s]
+                        bw_.write(code, ln)
+                        if s:
+                            bw_.write(
+                                diff if diff > 0 else diff + (1 << s) - 1,
+                                s,
+                            )
+
+    def dc_refine(bw_, Al: int) -> None:
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci in range(ncomp):
+                hs, vs = samp[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(zzs[ci][my * vs + by, mx * hs + bx, 0])
+                        bw_.write((v >> Al) & 1, 1)
+
+    def ac_first(bw_, ci: int, Ss: int, Se: int, Al: int) -> None:
+        tab = ac_tabs[0 if ci == 0 else 1]
+        bh_, bw_blocks = comp_dims(ci)
+        for m in range(bh_ * bw_blocks):
+            by, bx = divmod(m, bw_blocks)
+            zz = zzs[ci][by, bx]
+            run = 0
+            emitted = False
+            for k in range(Ss, Se + 1):
+                v = int(zz[k])
+                av = (abs(v) >> Al) * (1 if v > 0 else -1)
+                if av == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = tab[0xF0]  # ZRL
+                    bw_.write(code, ln)
+                    run -= 16
+                s = abs(av).bit_length()
+                code, ln = tab[(run << 4) | s]
+                bw_.write(code, ln)
+                bw_.write(av if av > 0 else av + (1 << s) - 1, s)
+                run = 0
+                emitted = True
+            if run or not emitted:
+                code, ln = tab[0x00]  # EOB (run length 1)
+                bw_.write(code, ln)
+
+    def ac_refine(bw_, ci: int, Ss: int, Se: int, Al: int) -> None:
+        # The decoder reads correction bits POSITIONALLY, interleaved
+        # inside each symbol's span: a ZRL's walk covers exactly 16
+        # still-zero positions and reads a bit for each already-
+        # nonzero coefficient it passes BEFORE the 16th zero — so the
+        # encoder must buffer (position-ordered) events and flush, per
+        # symbol, only the bits its span covers. (Flushing ALL pending
+        # bits at a ZRL — the first cut of this function — desynced
+        # the stream whenever a history coefficient sat between the
+        # 16th zero and the next newly-significant one; caught by the
+        # pixel-identity test and debugged to one chroma block.)
+        tab = ac_tabs[0 if ci == 0 else 1]
+        bh_, bw_blocks = comp_dims(ci)
+        for m in range(bh_ * bw_blocks):
+            by, bx = divmod(m, bw_blocks)
+            zz = zzs[ci][by, bx]
+            # events since the last symbol, in band order: ("z",) for
+            # a still-zero position, ("h", bit) for a correction bit
+            events: list[tuple] = []
+            for k in range(Ss, Se + 1):
+                v = int(zz[k])
+                if abs(v) >> (Al + 1):  # significant in earlier passes
+                    events.append(("h", (abs(v) >> Al) & 1))
+                elif (abs(v) >> Al) == 0:
+                    events.append(("z",))
+                else:  # newly significant at this bit plane: |.| == 1
+                    while sum(1 for e in events if e[0] == "z") > 15:
+                        # ZRL: consume the first 16 zeros and the
+                        # history bits interleaved before the 16th
+                        zc, cut, bits = 0, len(events), []
+                        for idx, e in enumerate(events):
+                            if e[0] == "z":
+                                zc += 1
+                                if zc == 16:
+                                    cut = idx + 1
+                                    break
+                            else:
+                                bits.append(e[1])
+                        code, ln = tab[0xF0]
+                        bw_.write(code, ln)
+                        for bit in bits:
+                            bw_.write(bit, 1)
+                        del events[:cut]
+                    r = sum(1 for e in events if e[0] == "z")
+                    code, ln = tab[(r << 4) | 1]
+                    bw_.write(code, ln)
+                    bw_.write(1 if v > 0 else 0, 1)  # sign bit
+                    for e in events:  # bits the placement walk reads
+                        if e[0] == "h":
+                            bw_.write(e[1], 1)
+                    events.clear()
+            if events:  # trailing zeros and/or history coefficients
+                code, ln = tab[0x00]  # EOB, then the tail's bits
+                bw_.write(code, ln)
+                for e in events:
+                    if e[0] == "h":
+                        bw_.write(e[1], 1)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    def dqt(tid: int, tbl: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(int(x) for x in tbl))
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(
+            0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    sof = bytes([8]) + _struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, qids[ci]])
+
+    # scan script (see docstring); every scan re-aligns to a byte
+    scans: list[bytes] = []
+
+    def run_scan(hdr: bytes, emit) -> None:
+        bw_ = _BitWriter()
+        emit(bw_)
+        bw_.flush()
+        scans.append(seg(0xDA, hdr) + bytes(bw_.out))
+
+    dc_specs = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)]
+    run_scan(scan_hdr(dc_specs, 0, 0, 0, 1), lambda b: dc_first(b, 1))
+    for ci in range(ncomp):
+        spec = [(ci + 1, 0, 0 if ci == 0 else 1)]
+        if ci == 0:  # split band: exercises spectral selection
+            run_scan(scan_hdr(spec, 1, 5, 0, 1),
+                     lambda b, c=ci: ac_first(b, c, 1, 5, 1))
+            run_scan(scan_hdr(spec, 6, 63, 0, 1),
+                     lambda b, c=ci: ac_first(b, c, 6, 63, 1))
+        else:
+            run_scan(scan_hdr(spec, 1, 63, 0, 1),
+                     lambda b, c=ci: ac_first(b, c, 1, 63, 1))
+    run_scan(scan_hdr(dc_specs, 0, 0, 1, 0), lambda b: dc_refine(b, 0))
+    for ci in range(ncomp):
+        spec = [(ci + 1, 0, 0 if ci == 0 else 1)]
+        run_scan(scan_hdr(spec, 1, 63, 1, 0),
+                 lambda b, c=ci: ac_refine(b, c, 1, 63, 0))
+
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + dqt(0, ql[_ZIGZAG])
+        + (dqt(1, qc[_ZIGZAG]) if ncomp > 1 else b"")
+        + dht(0, 0, *_DC_LUM) + dht(1, 0, *_AC_LUM)
+        + ((dht(0, 1, *_DC_CHR) + dht(1, 1, *_AC_CHR)) if ncomp > 1 else b"")
+        + seg(0xC2, sof)
+        + b"".join(scans)
+        + b"\xff\xd9"
+    )
+
+
 def encode_jpeg(
     arr: np.ndarray, *, quality: int = 90, subsample: bool = False,
-    restart_interval: int = 0,
+    restart_interval: int = 0, progressive: bool = False,
 ) -> bytes:
     """uint8 (h, w) gray / (h, w, 3) RGB → baseline JFIF JPEG bytes
     (Annex K tables scaled by ``quality`` 1..100 via the libjpeg
@@ -847,6 +1354,15 @@ def encode_jpeg(
         padded.append(np.pad(
             p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
         ))
+
+    if progressive:
+        if restart_interval:
+            raise NotImplementedError(
+                "progressive encoding does not emit restart markers "
+                "(the decoder supports them; this encoder keeps the "
+                "scan script minimal)"
+            )
+        return _encode_jpeg_progressive(h, w, padded, samp, qids, ql, qc)
 
     dc_tabs = [_huff_encode_table(*_DC_LUM), _huff_encode_table(*_DC_CHR)]
     ac_tabs = [_huff_encode_table(*_AC_LUM), _huff_encode_table(*_AC_CHR)]
@@ -947,9 +1463,11 @@ def decode_image(blob: bytes) -> np.ndarray:
     r8: FAKE-container rasters, binary PPM/PGM, uncompressed 24-bit
     BMP, and 8-bit non-interlaced PNG decode ON-BOX with the
     pure-numpy codecs above; r9 adds baseline JPEG (SOF0, any
-    sampling, restart markers). Anything else (progressive JPEG,
-    video, …) needs PIL and raises NotImplementedError when absent
-    (this container has no image libs)."""
+    sampling, restart markers); r11 adds progressive JPEG (SOF2 —
+    spectral selection, successive approximation, EOB runs).
+    Anything else (video, exotic SOFs, CMYK) needs PIL and raises
+    NotImplementedError when absent (this container has no image
+    libs)."""
     if blob[:4] == MAGIC:
         kind, w, h, payload = _parse(blob)
         if KINDS.get(kind) == "image" and len(payload) == w * h:

@@ -262,8 +262,8 @@ def test_jpeg_pure_numpy_codec_roundtrip():
     tolerance at q95, gray/RGB/4:2:0/odd-size all land the right
     shape, restart-marker streams decode bit-identically to their
     non-restart twins, the stream dispatches through decode_image and
-    reports dims through _media_dims, and progressive (SOF2) raises
-    NotImplementedError — the remaining boundary."""
+    reports dims through _media_dims, and a baseline stream
+    mislabelled SOF2 refuses in the progressive scan validator."""
     import numpy as np
 
     yy, xx = np.mgrid[0:37, 0:45]
@@ -306,11 +306,13 @@ def test_jpeg_pure_numpy_codec_roundtrip():
     dec = mm.decode_jpeg(mm.encode_jpeg(noise, quality=90))
     assert float(np.abs(dec.astype(int) - noise.astype(int)).mean()) < 8.0
 
-    # progressive refused: flip the crafted stream's SOF0 to SOF2
+    # a BASELINE stream mislabelled SOF2 (r11: SOF2 now decodes for
+    # real, so the old flip trick instead trips the progressive scan
+    # validator — a baseline full-band SOS is illegal under SOF2)
     prog = bytearray(mm.encode_jpeg(grad))
     i = prog.find(b"\xff\xc0")
     prog[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="DC scans need"):
         mm.decode_jpeg(bytes(prog))
 
     # review r9: T.81 B.1.1.2 fill bytes — any number of 0xFF bytes
@@ -1102,3 +1104,91 @@ def test_stream_index_vectors_into_ivfpq(spark, tmp_path_factory):
     rows = got.collect()
     assert [r.neighbor_id for r in rows] == [301]
     assert rows[0].sim == 1.0
+
+
+def test_jpeg_progressive_codec_matches_baseline_pixels():
+    """r11: progressive (SOF2) decode — spectral selection, successive
+    approximation (DC+AC first/refine), EOB runs, ZRL-with-correction-
+    bits. The honesty anchor (no image libs exist in this container to
+    cross-check against): the SAME image encoded baseline and
+    progressive carries the SAME quantized coefficients, so the two
+    decodes must be PIXEL-IDENTICAL — codec loss cancels out and any
+    divergence is a decode bug. Covered: gray, RGB 4:4:4, 4:2:0 with
+    odd dims (non-interleaved chroma block grids), dense noise (deep
+    AC bands, ZRL paths), sparse flat content (EOB-heavy), quality
+    extremes, dims/dispatch plumbing."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:45, 0:62]
+    img = np.stack(
+        [(xx * 255 // 61), (yy * 255 // 44), ((xx + yy) % 256)], axis=-1
+    ).astype(np.uint8)
+    img[10:25, 10:30] = [200, 30, 90]
+    img = np.clip(
+        img.astype(int) + rng.integers(-12, 13, img.shape), 0, 255
+    ).astype(np.uint8)
+
+    for kw in ({}, {"subsample": True}, {"quality": 50}, {"quality": 97}):
+        base = mm.decode_jpeg(mm.encode_jpeg(img, **kw))
+        prog_blob = mm.encode_jpeg(img, progressive=True, **kw)
+        assert b"\xff\xc2" in prog_blob and b"\xff\xc0" not in prog_blob
+        assert prog_blob.count(b"\xff\xda") >= 6  # multi-scan stream
+        assert np.array_equal(mm.decode_jpeg(prog_blob), base), kw
+
+    # gray; dense noise (every AC band live); flat (EOB everywhere)
+    gray = img[..., 0]
+    assert np.array_equal(
+        mm.decode_jpeg(mm.encode_jpeg(gray, progressive=True)),
+        mm.decode_jpeg(mm.encode_jpeg(gray)),
+    )
+    noise = rng.integers(0, 256, (40, 40), np.uint8)
+    assert np.array_equal(
+        mm.decode_jpeg(mm.encode_jpeg(noise, quality=97, progressive=True)),
+        mm.decode_jpeg(mm.encode_jpeg(noise, quality=97)),
+    )
+    flat = np.full((24, 24), 77, np.uint8)
+    assert np.array_equal(
+        mm.decode_jpeg(mm.encode_jpeg(flat, progressive=True)),
+        mm.decode_jpeg(mm.encode_jpeg(flat)),
+    )
+
+    # plumbing: decode_image dispatch, header-only dims, meta walk
+    blob = mm.encode_jpeg(img, progressive=True)
+    assert mm.decode_image(blob).shape == img.shape
+    assert mm._jpeg_dims(blob) == (62, 45)
+    assert mm._media_dims(blob) == ("image", 62, 45, len(blob))
+
+    # the encoder refuses the one combination it does not emit
+    with pytest.raises(NotImplementedError, match="restart"):
+        mm.encode_jpeg(img, progressive=True, restart_interval=4)
+
+
+def test_jpeg_progressive_randomized_sweep():
+    """Bounded randomized sweep of the progressive codec (a 60-case
+    ad-hoc sweep passed during development; this keeps 10 varied
+    cases in the suite): random dims 8..70, gray/RGB/structured,
+    quality 35..97, optional 4:2:0 — every case must decode
+    pixel-identical to its baseline twin."""
+    import numpy as np
+
+    for trial in range(10):
+        rng = np.random.default_rng(100 + trial)
+        h = int(rng.integers(8, 70))
+        w = int(rng.integers(8, 70))
+        if trial % 3 == 0:
+            img = rng.integers(0, 256, (h, w), np.uint8)
+        elif trial % 3 == 1:
+            img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        else:
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [(xx * 7) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256], -1
+            ).astype(np.uint8)
+        q = int(rng.choice([35, 60, 90, 97]))
+        sub = bool(rng.integers(0, 2)) and img.ndim == 3
+        kw = dict(quality=q, subsample=sub)
+        assert np.array_equal(
+            mm.decode_jpeg(mm.encode_jpeg(img, **kw)),
+            mm.decode_jpeg(mm.encode_jpeg(img, progressive=True, **kw)),
+        ), (trial, h, w, q, sub)
