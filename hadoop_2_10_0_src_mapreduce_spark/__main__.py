@@ -76,6 +76,12 @@ def main(argv: list[str] | None = None) -> int:
                     "checkpoints under this path (HDFS/object store "
                     "on a cluster) instead of executor-local blocks — "
                     "survives executor preemption, identical results")
+    pl.add_argument("--resume", action="store_true",
+                    help="driver-loss recovery: with --checkpoint-dir "
+                    "pointing at a crashed run's path (and the SAME "
+                    "other flags), skip stages whose chain pin "
+                    "committed and continue from the newest one "
+                    "instead of restarting from scratch")
     pl.add_argument("--chunk", metavar="MAX[,OVERLAP]",
                     help="after cleaning, cut long documents into "
                          "training chunks of at most MAX tokens "
@@ -235,6 +241,7 @@ def main(argv: list[str] | None = None) -> int:
             split_weights=split_weights,
             cut_spans_min_tokens=args.cut_spans,
             checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume,
         )
         if args.chunk:
             from pyspark.sql import functions as F

@@ -101,12 +101,26 @@ class RoundCheckpointer:
             # CALLER is still alive to retry from scratch; resume is
             # for the crash where no cleanup ran.
             newest = None
+            older: list[str] = []
             for num, path, complete in self._list_steps():
                 if complete:
                     if newest is None or num > newest[0]:
+                        if newest is not None:
+                            older.append(newest[1])
                         newest = (num, path)
+                    else:
+                        older.append(path)
                 else:
                     _hadoop_delete(spark, path)  # torn write: debris
+            # A crash can leave up to TWO complete steps (the eager
+            # cleanup keeps the previous step until the next one
+            # lands). Only the newest seeds the resume; the older
+            # one(s) are superseded — delete them here, or they'd
+            # never enter _live, survive close(), and block its
+            # non-recursive dir delete forever (the r11 ADVICE
+            # medium: the accumulate-forever pattern, resume edition).
+            for path in older:
+                _hadoop_delete(spark, path)
             if newest is not None:
                 self.n = newest[0] + 1
                 self._live.append(newest[1])

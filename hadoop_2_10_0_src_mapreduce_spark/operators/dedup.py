@@ -1052,26 +1052,31 @@ def _propagate_components(adj_src, ckpt, *, max_iters, stats):
         # O(log diameter) rounds instead of O(diameter). rep is a
         # node id, so the lookup join always matches (left + coalesce
         # guards the self-row case cheaply either way).
-        rlab = prop.select(
-            F.col("id").alias("_rid"), F.col("rep").alias("_rrep")
-        )
-        new_labels = ckpt(
-            prop.join(rlab, prop["rep"] == rlab["_rid"], "left")
-            .select(
-                "id",
-                F.coalesce(
-                    F.least("_rrep", "rep"), F.col("rep")
-                ).alias("rep"),
-                (
-                    F.col("_chg") | (F.col("_rrep") < F.col("rep"))
-                ).alias("_chg"),
+        try:
+            rlab = prop.select(
+                F.col("id").alias("_rid"), F.col("rep").alias("_rrep")
             )
-        )
-        changed = new_labels.where(F.col("_chg")).limit(1).count()
-        if ckpt.dir is not None:
-            # new_labels is on disk (the ckpt write was eager) — the
-            # round's cached prop is spent
-            prop.unpersist()
+            new_labels = ckpt(
+                prop.join(rlab, prop["rep"] == rlab["_rid"], "left")
+                .select(
+                    "id",
+                    F.coalesce(
+                        F.least("_rrep", "rep"), F.col("rep")
+                    ).alias("rep"),
+                    (
+                        F.col("_chg") | (F.col("_rrep") < F.col("rep"))
+                    ).alias("_chg"),
+                )
+            )
+            changed = new_labels.where(F.col("_chg")).limit(1).count()
+        finally:
+            if ckpt.dir is not None:
+                # new_labels is on disk (the ckpt write was eager) —
+                # the round's cached prop is spent. finally, so a
+                # failed ckpt write / count doesn't leak the cached
+                # RDD for the session (r12, from the r11 ADVICE low;
+                # the caller's except arm only closes files).
+                prop.unpersist()
         labels = new_labels.drop("_chg")
         if stats is not None:
             stats["rounds"] = it + 1

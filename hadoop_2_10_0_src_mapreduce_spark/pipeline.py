@@ -50,6 +50,7 @@ def prepare_training_corpus(
     cut_spans_min_tokens: int | None = None,
     drop_boilerplate_min_docs: int | None = None,
     checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """The standard corpus-cleaning chain, one call.
 
@@ -59,6 +60,20 @@ def prepare_training_corpus(
     propagation survives executor loss (reliable parquet checkpoints
     instead of executor-local blocks); results are pinned identical
     under both modes.
+
+    ``resume=True`` (r12) extends the r11 driver-loss recovery from
+    the clustering loop to the WHOLE chain: a restarted job pointed
+    at the same ``checkpoint_dir`` — called with the SAME arguments
+    as the crashed run (the pin numbering mirrors the enabled
+    stages) — skips every stage whose chain pin
+    (``<checkpoint_dir>/chain/step-k``) committed its _SUCCESS, and
+    continues from the newest one; if no chain pin landed yet,
+    ``resume`` is forwarded to ``duplicate_components`` so even a
+    crash inside the clustering loop restarts mid-loop rather than
+    from round 0. Every stage is deterministic, so the resumed run's
+    output is the one the crash interrupted (pinned by test at each
+    boundary). A multi-hour 5M-doc recipe killed by driver loss no
+    longer restarts from scratch.
 
     0. LINE BOILERPLATE — when ``drop_boilerplate_min_docs`` is set,
        lines verbatim-repeated across that many documents (cookie
@@ -140,36 +155,95 @@ def prepare_training_corpus(
     quality/language scores are pure expressions — rerunning yields
     the identical corpus.
     """
-    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    from hadoop_2_10_0_src_mapreduce_spark.checkpointing import (
+        RoundCheckpointer,
+        _hadoop_delete,
+    )
 
-    # 0. line-level boilerplate removal ahead of every fingerprint
-    if drop_boilerplate_min_docs is not None:
-        base = dedup.drop_boilerplate_lines(
-            base, "text", "id", min_docs=drop_boilerplate_min_docs
+    spark = docs.sparkSession
+    ckpt = RoundCheckpointer(
+        spark, checkpoint_dir and f"{checkpoint_dir}/chain", resume=resume
+    )
+    # chain pins a crashed run already landed (0 on a fresh run).
+    # Pin k is the INPUT to pinned stage k, so `start` complete pins
+    # mean stages 0..start-2 fully executed (their outputs are inside
+    # pin start-1) and stage start-1 is where the crash interrupted.
+    start = ckpt.n
+
+    # the pinned stages, in pin-number order — resume therefore
+    # requires the same stage-selecting arguments as the crashed run
+    stages = []
+    if cut_spans_min_tokens is not None:
+        # 2b. exact-substring span cutting over the deduped survivors
+        stages.append(
+            lambda df: dedup.cut_repeated_spans(
+                df, "text", "id", min_span_tokens=cut_spans_min_tokens
+            )
+        )
+    if eval_df is not None:
+        # 3. decontamination: no benchmark text leaks into the corpus
+        # (eval_df shares the corpus column names — same
+        # text_col/id_col)
+        eval_base = eval_df.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        )
+        stages.append(
+            lambda df: dedup.decontaminate(
+                df, eval_base, "text", "id", n=decontam_ngram
+            )
+        )
+    if start > len(stages):
+        raise ValueError(
+            f"resume found {start} chain pins under {checkpoint_dir}/chain "
+            f"but only {len(stages)} pinned stages are enabled — the "
+            "resumed call must use the same arguments as the crashed run"
         )
 
-    # 1. exact dedup: anti-join away everything but the keeper
-    keepers = dedup.exact_dedup(base, "text", "id").select(
-        F.col("keeper").alias("id")
-    )
-    uniq = base.join(keepers, "id", "left_semi")
-
-    # 2. near-dup clusters over the exact-unique survivors: a doc is
-    # dropped iff it belongs to a cluster and is not its representative
-    pairs = dedup.minhash_lsh_pairs(
-        uniq, "text", "id",
-        threshold=near_dup_threshold, max_doc_freq=max_doc_freq,
-        max_bucket=max_bucket,
-    )
-    losers = (
-        dedup.duplicate_components(
-            pairs,
-            checkpoint_dir=checkpoint_dir and f"{checkpoint_dir}/components",
+    if start == 0:
+        base = docs.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("text")
         )
-        .where(F.col("id") != F.col("rep"))
-        .select("id")
-    )
-    survivors = uniq.join(losers, "id", "left_anti")
+
+        # 0. line-level boilerplate removal ahead of every fingerprint
+        if drop_boilerplate_min_docs is not None:
+            base = dedup.drop_boilerplate_lines(
+                base, "text", "id", min_docs=drop_boilerplate_min_docs
+            )
+
+        # 1. exact dedup: anti-join away everything but the keeper
+        keepers = dedup.exact_dedup(base, "text", "id").select(
+            F.col("keeper").alias("id")
+        )
+        uniq = base.join(keepers, "id", "left_semi")
+
+        # 2. near-dup clusters over the exact-unique survivors: a doc
+        # is dropped iff it belongs to a cluster and is not its
+        # representative. ``resume`` rides through: a crash INSIDE the
+        # clustering loop (before any chain pin landed) restarts from
+        # the loop's own newest complete step, not round 0.
+        pairs = dedup.minhash_lsh_pairs(
+            uniq, "text", "id",
+            threshold=near_dup_threshold, max_doc_freq=max_doc_freq,
+            max_bucket=max_bucket,
+        )
+        losers = (
+            dedup.duplicate_components(
+                pairs,
+                checkpoint_dir=checkpoint_dir
+                and f"{checkpoint_dir}/components",
+                resume=resume,
+            )
+            .where(F.col("id") != F.col("rep"))
+            .select("id")
+        )
+        survivors = uniq.join(losers, "id", "left_anti")
+    else:
+        # chain pin start-1 captures everything upstream of stage
+        # start-1 — the dedup prefix (and the crashed run's components
+        # steps, which fed pin 0) is superseded; drop its files now,
+        # exactly as pin() would have on the run the crash interrupted
+        survivors = None
+        _hadoop_delete(spark, f"{checkpoint_dir}/components")
 
     # Multi-reference boundary pins (r10, found by the 5M decade run):
     # cut_repeated_spans and decontaminate each read their input TWICE
@@ -183,13 +257,6 @@ def prepare_training_corpus(
     # reliable parquet checkpointer when ``checkpoint_dir`` is set)
     # restores one-evaluation-per-stage; superseded pins are retired
     # as the next lands, so at most two boundaries hold storage.
-    from hadoop_2_10_0_src_mapreduce_spark.checkpointing import (
-        RoundCheckpointer,
-    )
-
-    ckpt = RoundCheckpointer(
-        docs.sparkSession, checkpoint_dir and f"{checkpoint_dir}/chain"
-    )
 
     def pin(df):
         """Chain-pin, then retire the components FINAL step: the pin
@@ -199,31 +266,19 @@ def prepare_training_corpus(
         until the caller deleted checkpoint_dir by hand)."""
         out = ckpt(df)
         if checkpoint_dir is not None:
-            from hadoop_2_10_0_src_mapreduce_spark.checkpointing import (
-                _hadoop_delete,
-            )
-
-            _hadoop_delete(docs.sparkSession, f"{checkpoint_dir}/components")
+            _hadoop_delete(spark, f"{checkpoint_dir}/components")
         return out
 
     try:
-        # 2b. exact-substring span cutting over the deduped survivors
-        if cut_spans_min_tokens is not None:
-            survivors = dedup.cut_repeated_spans(
-                pin(survivors), "text", "id",
-                min_span_tokens=cut_spans_min_tokens,
-            )
-
-        # 3. decontamination: no benchmark text leaks into the corpus
-        # (eval_df shares the corpus column names — same
-        # text_col/id_col)
-        if eval_df is not None:
-            eval_base = eval_df.select(
-                F.col(id_col).alias("id"), F.col(text_col).alias("text")
-            )
-            survivors = dedup.decontaminate(
-                pin(survivors), eval_base, "text", "id", n=decontam_ngram
-            )
+        for k, stage in enumerate(stages):
+            if k < start - 1:
+                continue  # fully executed — its output is inside pin start-1
+            if k == start - 1:
+                # the crash interrupted THIS stage; its input is the
+                # resumed pin — re-enter without writing a new one
+                survivors = stage(ckpt.resumed)
+            else:
+                survivors = stage(pin(survivors))
     except BaseException:
         ckpt.close()  # a failed recipe must not leak live chain steps
         raise

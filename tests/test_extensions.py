@@ -3519,3 +3519,144 @@ def test_components_resume_after_driver_loss(spark, tmp_path):
                 pairs, checkpoint_dir=str(tmp_path / "fresh"), resume=True
             ).collect()}
     assert got2 == want
+
+
+def test_checkpointer_resume_deletes_superseded_complete_steps(spark, tmp_path):
+    """r12 (r11 ADVICE medium): a crash leaves up to TWO complete step
+    dirs (eager cleanup keeps the previous until the next lands); the
+    resume scan must delete the older one — previously it was neither
+    tracked in _live nor removed, so it survived the resumed run and
+    close()'s non-recursive dir delete silently failed forever after."""
+    from hadoop_2_10_0_src_mapreduce_spark.checkpointing import (
+        RoundCheckpointer,
+    )
+
+    d = tmp_path / "ck"
+    ck = RoundCheckpointer(spark, str(d))
+    ck(spark.range(5))
+    ck(spark.range(5).withColumn("x", F.lit(1)))
+    # process death: no close() ran; both complete steps remain
+    assert sorted(p.name for p in d.iterdir()) == [
+        "step-00000", "step-00001",
+    ]
+
+    ck2 = RoundCheckpointer(spark, str(d), resume=True)
+    assert ck2.resumed is not None and ck2.n == 2
+    # the older complete step is superseded debris — gone at resume
+    assert sorted(p.name for p in d.iterdir()) == ["step-00001"]
+    out = ck2(ck2.resumed.withColumn("y", F.lit(2)))
+    assert out.count() == 5
+    ck2.close()
+    assert not d.exists()  # nothing leaked; the dir itself is removable
+
+
+def test_recipe_chain_resume_at_each_boundary(spark, tmp_path):
+    """r12 (r11 verdict item 2): driver-loss resume through the WHOLE
+    recipe chain. Simulate a crash at each pinned boundary — inside
+    the components loop (no chain pin yet), after the cut-spans input
+    pin, and after the decontam input pin — then rerun with
+    resume=True and the same arguments; the resumed corpus must equal
+    the uninterrupted run's, chain storage must end at exactly one
+    pin, and the superseded components steps must be gone."""
+    from hadoop_2_10_0_src_mapreduce_spark import checkpointing as ckpt_mod
+    from hadoop_2_10_0_src_mapreduce_spark.pipeline import (
+        prepare_training_corpus,
+    )
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and it is a fine "
+        "day for running in the sun with a friend of the family"
+    )
+    rows = [
+        (1, prose),
+        (2, prose),
+        (3, prose.replace("fine day", "good day")),
+        (5, "a completely different long document about the weather in "
+            "the mountains where it rains for days and the rivers rise"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    evals = spark.createDataFrame(
+        [(900, "unrelated benchmark sentence that matches no corpus doc "
+               "because every token here is about astronomy and comets")],
+        ["doc_id", "text"],
+    )
+    kw = dict(near_dup_threshold=0.5, min_quality=0.2, min_tokens=5,
+              cut_spans_min_tokens=60, eval_df=evals)
+    want = {(r.id, r.text) for r in prepare_training_corpus(
+        docs, **kw
+    ).collect()}
+    assert {i for i, _ in want} == {1, 5}
+
+    real = ckpt_mod.RoundCheckpointer
+
+    def crash_then_resume(ckdir, chaos_cls):
+        ckpt_mod.RoundCheckpointer = chaos_cls
+        try:
+            with pytest.raises(RuntimeError, match="simulated driver death"):
+                prepare_training_corpus(
+                    docs, checkpoint_dir=str(ckdir), **kw
+                ).collect()
+        finally:
+            ckpt_mod.RoundCheckpointer = real
+        got = {(r.id, r.text) for r in prepare_training_corpus(
+            docs, checkpoint_dir=str(ckdir), resume=True, **kw
+        ).collect()}
+        assert got == want
+        # superseded components steps retired; one chain pin backs out
+        assert not (ckdir / "components").exists()
+        assert len(list((ckdir / "chain").iterdir())) == 1
+
+    class DieInComponents(real):
+        """Crash inside the clustering loop — before ANY chain pin."""
+        def __call__(self, df):
+            out = super().__call__(df)
+            if self.dir and self.dir.endswith("/components") and self.n >= 2:
+                raise RuntimeError("simulated driver death")
+            return out
+
+        def close(self):  # process death: no cleanup ever ran
+            pass
+
+    class DieAfterPin0(real):
+        """Crash the moment the cut-spans input pin commits."""
+        def __call__(self, df):
+            out = super().__call__(df)
+            if self.dir and self.dir.endswith("/chain") and self.n >= 1:
+                raise RuntimeError("simulated driver death")
+            return out
+
+        def close(self):
+            pass
+
+    class DieAfterPin1(real):
+        """Crash the moment the decontam input pin commits."""
+        def __call__(self, df):
+            out = super().__call__(df)
+            if self.dir and self.dir.endswith("/chain") and self.n >= 2:
+                raise RuntimeError("simulated driver death")
+            return out
+
+        def close(self):
+            pass
+
+    crash_then_resume(tmp_path / "ck_components", DieInComponents)
+    crash_then_resume(tmp_path / "ck_pin0", DieAfterPin0)
+    crash_then_resume(tmp_path / "ck_pin1", DieAfterPin1)
+
+    # argument mismatch: the crashed run landed 2 chain pins; resuming
+    # with the cut stage disabled must refuse, not silently misalign
+    ckdir = tmp_path / "ck_mismatch"
+    ckpt_mod.RoundCheckpointer = DieAfterPin1
+    try:
+        with pytest.raises(RuntimeError, match="simulated driver death"):
+            prepare_training_corpus(
+                docs, checkpoint_dir=str(ckdir), **kw
+            ).collect()
+    finally:
+        ckpt_mod.RoundCheckpointer = real
+    bad = dict(kw)
+    bad["cut_spans_min_tokens"] = None
+    with pytest.raises(ValueError, match="same arguments"):
+        prepare_training_corpus(
+            docs, checkpoint_dir=str(ckdir), resume=True, **bad
+        )
