@@ -24,6 +24,31 @@ cache pressure leaking across queries — would inflate the control
 like host weather and be normalized away; the r10 ADVICE medium).
 Calibration mode: ``python bench.py --control-only [N]`` prints N
 standalone control times (one per line) + a summary line.
+
+r12 external control (the standing ADVICE medium, closed): a SECOND
+weather estimator that does NOT share the session —
+tools/weather_probe.py runs as its own OS process (no JVM, own
+interpreter) executing a deterministic 1-thread CPU+memory workload.
+Sampling is PAIRED, not free-running: right after each in-session
+control leg, while the Spark session sits idle between timed queries,
+the bench triggers a short external burst — so the two controls
+sample the SAME moments, one inside the bench JVM and one outside it.
+(The first cut free-ran on a fixed cadence and read weather 3.4-9x
+while the in-session control read 1.17: during query execution the
+bench's own 32-wide stages saturate the box, and an always-on probe
+cannot tell legitimate bench CPU from host contention. Measured, then
+redesigned — the pairing is the point.) Code-caused slowdown confined
+to the bench JVM (GC, cache-manager bloat, python-worker churn)
+inflates the in-session control but CANNOT touch the probe; host
+contention inflates both. The JSON gains ``external_control`` (legs,
+per-phase medians, its own min-median weather under the same
+estimator rules) and ``weather_divergence`` = in-session weather /
+external weather: ~1 says the in-session story is host weather; >>1
+says the slowdown lives inside the session and the normalized number
+should not be trusted. Known bias, stated: a 1-wide probe can read
+box-wide contention somewhat differently than 32-wide Spark stages —
+divergence is evidence for adjudication, not a verdict by itself.
+THE GATE REMAINS THE RAW NUMBER.
 """
 
 from __future__ import annotations
@@ -177,6 +202,114 @@ def control_workload(spark) -> float:
     return round(time.time() - t0, 3)
 
 
+class ExternalProbe:
+    """Client for the out-of-process weather sampler
+    (tools/weather_probe.py --serve; see the r12 block in the module
+    docstring). burst(phase) is called right AFTER each in-session
+    control leg, while the Spark session sits idle — the two controls
+    sample the same between-queries moments, one inside the bench JVM
+    and one outside it. Failure-proof by design: if the probe can't
+    start or a burst times out, the probe retires itself and finish()
+    returns None — the window still stands on the in-session control;
+    the bench never breaks on account of its instrumentation."""
+
+    def __init__(self):
+        #: phase -> list of per-burst medians (one entry per leg)
+        self.legs: dict[str, list[float]] = {}
+        self.proc = None
+        try:
+            import subprocess
+
+            self.proc = subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "weather_probe.py",
+                    ),
+                    "--serve",
+                ],
+                stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+                text=True,
+            )
+        except Exception:
+            self.proc = None
+        if self.proc is not None:
+            import atexit
+
+            atexit.register(self._kill)  # no orphan if the bench dies
+
+    def _kill(self) -> None:
+        try:
+            if self.proc is not None and self.proc.poll() is None:
+                self.proc.terminate()
+        except Exception:
+            pass
+
+    def burst(self, phase: str) -> None:
+        """One external leg: trigger a burst, record its median under
+        ``phase``. Blocking by design (~1.2 s) — the session is idle
+        and no timed query is running."""
+        if self.proc is None:
+            return
+        try:
+            self.proc.stdin.write("go\n")
+            self.proc.stdin.flush()
+            line = self.proc.stdout.readline()
+            samples = json.loads(line)["samples"]
+            self.legs.setdefault(phase, []).append(
+                round(statistics.median(samples), 4)
+            )
+        except Exception:
+            self._kill()
+            self.proc = None  # a broken probe must not stall the bench
+
+    def finish(self) -> dict | None:
+        if self.proc is not None:
+            try:
+                self.proc.stdin.write("quit\n")
+                self.proc.stdin.flush()
+                self.proc.wait(timeout=10)
+            except Exception:
+                self._kill()
+        if not self.legs:
+            return None
+        from tools.weather_probe import EXT_REF_SEC
+
+        # the external analog of the in-session estimator: per-phase
+        # MEDIAN of the leg medians (a phase is stormy if its typical
+        # leg moment is), MIN across the main passes (each query's
+        # number comes from its luckiest pass); the branch phase keeps
+        # its own factor, min across its (re)runs — rule-for-rule the
+        # in-session weather computation, on out-of-JVM samples.
+        phase_medians = {
+            p: round(statistics.median(ls), 4) for p, ls in self.legs.items()
+        }
+        main_meds = [
+            v for p, v in phase_medians.items() if p.startswith("pass")
+        ]
+        branch_meds = [
+            v for p, v in phase_medians.items() if p.startswith("branch")
+        ]
+        if not main_meds:
+            main_meds = branch_meds
+        ext_weather = max(1.0, min(main_meds) / EXT_REF_SEC)
+        ext_branch = (
+            max(1.0, min(branch_meds) / EXT_REF_SEC) if branch_meds
+            else ext_weather
+        )
+        return {
+            "n_legs": sum(len(ls) for ls in self.legs.values()),
+            "ref_sec": EXT_REF_SEC,
+            "legs": self.legs,
+            "phase_medians": phase_medians,
+            "weather_ratio": round(ext_weather, 3),
+            "branch_weather_ratio": round(ext_branch, 3),
+        }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -208,6 +341,10 @@ def main() -> None:
         return
 
     qs = all_queries()
+
+    # r12: the external (separate-process) weather sampler covers the
+    # whole window on a fixed cadence; phase marks attribute samples
+    probe = ExternalProbe()
 
     # Warmup: run the flagship once to pay JVM/codegen startup.
     warm = qs.get("flagship_pricing_join") or next(iter(qs.values()))
@@ -247,8 +384,10 @@ def main() -> None:
             # control samples the same moments the queries ran in
             if qi % CONTROL_EVERY == 0:
                 legs.append(control_workload(spark))
+                probe.burst(f"pass{_pass}")  # same idle moment, own process
         if not legs:
             legs.append(control_workload(spark))
+            probe.burst(f"pass{_pass}")
         control_legs.append(legs)
 
     # Adaptive extra pass: a >30% max/min spread across the three
@@ -269,9 +408,11 @@ def main() -> None:
             n_retimed += 1
             if n_retimed % 4 == 0:
                 adaptive_legs.append(control_workload(spark))
+                probe.burst("pass_adaptive")
     if n_retimed:
         if not adaptive_legs:
             adaptive_legs.append(control_workload(spark))
+            probe.burst("pass_adaptive")
         control_legs.append(adaptive_legs)
 
     # Per-branch pass: two timed executions per branch, min. The tag
@@ -279,7 +420,9 @@ def main() -> None:
     # marginal steady-state cost of ONE strategy inside its slot.
     from pyspark.sql import functions as F
 
-    def run_branch_phase() -> tuple[dict[str, dict[str, float]], list[float]]:
+    def run_branch_phase(
+        phase: str = "branch",
+    ) -> tuple[dict[str, dict[str, float]], list[float]]:
         ph: dict[str, dict[str, float]] = {}
         legs: list[float] = []
         n_timed = 0
@@ -315,8 +458,10 @@ def main() -> None:
                 # estimator critique) → ≥8 legs per phase.
                 if n_timed % 4 == 0:
                     legs.append(control_workload(spark))
+                    probe.burst(phase)
         if not legs:
             legs.append(control_workload(spark))
+            probe.burst(phase)
         return ph, legs
 
     # r11 min-semantics pairing (the r10 verdict's estimator fix): the
@@ -330,7 +475,7 @@ def main() -> None:
     branch_phase_legs: list[list[float]] = [branch_legs]
     branch_median = statistics.median(branch_legs)
     if branch_median / CONTROL_REF_SEC > 2.0:
-        re_branches, re_legs = run_branch_phase()
+        re_branches, re_legs = run_branch_phase("branch_rerun")
         for name in branches:
             for b in branches[name]:
                 branches[name][b] = min(
@@ -402,6 +547,21 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
     }
+    ext = probe.finish()
+    if ext is not None:
+        out["external_control"] = ext
+        out["external_weather_ratio"] = ext["weather_ratio"]
+        # in-session / external: ~1 -> host weather explains the
+        # window; >>1 -> the slowdown lives inside the bench JVM
+        # (code-caused) and the normalized number is suspect
+        out["weather_divergence"] = round(
+            weather / ext["weather_ratio"], 3
+        )
+        out["r3_equivalent_normalized_ext"] = round(
+            (r3_equiv - r3_equiv_branch_part) / ext["weather_ratio"]
+            + r3_equiv_branch_part / ext["branch_weather_ratio"],
+            3,
+        )
     if sf == 1:
         # like-for-like vs the frozen r6 sf1 bar: whole-slot timings,
         # except slots that grew post-freeze branches contribute only
