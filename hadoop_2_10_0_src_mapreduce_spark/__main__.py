@@ -148,6 +148,11 @@ def main(argv: list[str] | None = None) -> int:
                     "to re-size to the live corpus")
     ix.add_argument("--max-bucket", type=int, help="rebuild --family lsh: new "
                     "global bucket cap")
+    ix.add_argument("--recall-target", type=float,
+                    help="stats/maintain: turn a deficit LSH store's "
+                    "recall note into the multiprobe advisor's priced "
+                    "recall-rebuild action (store/read multipliers "
+                    "shown; rebuilds stay operator-applied)")
     ix.add_argument("--limit", type=int, default=20, help="rows to print")
     ix.add_argument("-D", dest="conf", action="append", default=[],
                     metavar="key=value", help="Spark conf override")
@@ -425,11 +430,15 @@ def main(argv: list[str] | None = None) -> int:
         elif args.action == "stats":
             import json as _json
 
-            print(_json.dumps(similarity.index_stats(spark, args.path)))
+            print(_json.dumps(similarity.index_stats(
+                spark, args.path, recall_target=args.recall_target
+            )))
         elif args.action == "maintain":
             import json as _json
 
-            print(_json.dumps(similarity.maintain_index(spark, args.path)))
+            print(_json.dumps(similarity.maintain_index(
+                spark, args.path, recall_target=args.recall_target
+            )))
         elif args.action == "rebuild":
             if args.family == "ivfpq":
                 # codes are not invertible enough to retrain from:

@@ -1071,7 +1071,7 @@ class _BitWriter:
 
 def _encode_jpeg_progressive(
     h: int, w: int, padded: list, samp: list, qids: list,
-    ql: np.ndarray, qc: np.ndarray,
+    ql: np.ndarray, qc: np.ndarray, ri: int = 0,
 ) -> bytes:
     """Progressive (SOF2) emission for ``encode_jpeg(progressive=
     True)`` — the fixture-generating twin of ``_decode_jpeg_
@@ -1086,7 +1086,14 @@ def _encode_jpeg_progressive(
     ZRL-with-pending-bits, per-block EOB). Standard Annex K tables —
     EOB runs are emitted per block (run length 1, symbol 0x00), which
     the standard AC tables cover; longer EOBn symbols would need
-    custom tables for marginal size."""
+    custom tables for marginal size. ``ri`` (r12, from the r11
+    ADVICE low: the decoder's progressive-restart path had no fixture
+    exercising it) writes DRI and emits RSTm every ``ri`` units in
+    EVERY scan — units are MCUs in the interleaved DC scans and
+    blocks in the single-component AC scans, exactly the grids the
+    decoder counts (T.81 G.1.2): 1-pad to a byte, marker, DC
+    predictors reset; this encoder carries no cross-block EOB run, so
+    predictors are the only encoder-side state a restart clears."""
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -1117,9 +1124,21 @@ def _encode_jpeg_progressive(
         ch = (h * vs + vmax - 1) // vmax
         return (ch + 7) // 8, (cw + 7) // 8
 
+    def maybe_rst(bw_, unit_idx: int, reset=None) -> None:
+        if ri and unit_idx and unit_idx % ri == 0:
+            bw_.flush()
+            bw_.out += bytes([0xFF, 0xD0 + ((unit_idx // ri - 1) % 8)])
+            if reset is not None:
+                reset()
+
     def dc_first(bw_, Al: int) -> None:
         pred = [0] * ncomp
+
+        def reset() -> None:
+            pred[:] = [0] * ncomp
+
         for m in range(mcux * mcuy):
+            maybe_rst(bw_, m, reset)
             my, mx = divmod(m, mcux)
             for ci in range(ncomp):
                 hs, vs = samp[ci]
@@ -1140,6 +1159,7 @@ def _encode_jpeg_progressive(
 
     def dc_refine(bw_, Al: int) -> None:
         for m in range(mcux * mcuy):
+            maybe_rst(bw_, m)
             my, mx = divmod(m, mcux)
             for ci in range(ncomp):
                 hs, vs = samp[ci]
@@ -1152,6 +1172,7 @@ def _encode_jpeg_progressive(
         tab = ac_tabs[0 if ci == 0 else 1]
         bh_, bw_blocks = comp_dims(ci)
         for m in range(bh_ * bw_blocks):
+            maybe_rst(bw_, m)
             by, bx = divmod(m, bw_blocks)
             zz = zzs[ci][by, bx]
             run = 0
@@ -1190,6 +1211,7 @@ def _encode_jpeg_progressive(
         tab = ac_tabs[0 if ci == 0 else 1]
         bh_, bw_blocks = comp_dims(ci)
         for m in range(bh_ * bw_blocks):
+            maybe_rst(bw_, m)
             by, bx = divmod(m, bw_blocks)
             zz = zzs[ci][by, bx]
             # events since the last symbol, in band order: ("z",) for
@@ -1286,6 +1308,7 @@ def _encode_jpeg_progressive(
         + (dqt(1, qc[_ZIGZAG]) if ncomp > 1 else b"")
         + dht(0, 0, *_DC_LUM) + dht(1, 0, *_AC_LUM)
         + ((dht(0, 1, *_DC_CHR) + dht(1, 1, *_AC_CHR)) if ncomp > 1 else b"")
+        + (seg(0xDD, _struct.pack(">H", ri)) if ri else b"")
         + seg(0xC2, sof)
         + b"".join(scans)
         + b"\xff\xd9"
@@ -1356,13 +1379,9 @@ def encode_jpeg(
         ))
 
     if progressive:
-        if restart_interval:
-            raise NotImplementedError(
-                "progressive encoding does not emit restart markers "
-                "(the decoder supports them; this encoder keeps the "
-                "scan script minimal)"
-            )
-        return _encode_jpeg_progressive(h, w, padded, samp, qids, ql, qc)
+        return _encode_jpeg_progressive(
+            h, w, padded, samp, qids, ql, qc, ri=restart_interval
+        )
 
     dc_tabs = [_huff_encode_table(*_DC_LUM), _huff_encode_table(*_DC_CHR)]
     ac_tabs = [_huff_encode_table(*_AC_LUM), _huff_encode_table(*_AC_CHR)]
@@ -1464,8 +1483,10 @@ def decode_image(blob: bytes) -> np.ndarray:
     BMP, and 8-bit non-interlaced PNG decode ON-BOX with the
     pure-numpy codecs above; r9 adds baseline JPEG (SOF0, any
     sampling, restart markers); r11 adds progressive JPEG (SOF2 —
-    spectral selection, successive approximation, EOB runs).
-    Anything else (video, exotic SOFs, CMYK) needs PIL and raises
+    spectral selection, successive approximation, EOB runs); r12 adds
+    MJPEG/AVI video via ``decode_avi_frames`` (each frame is a JFIF
+    stream this function decodes). Anything else (temporal codecs
+    like H.264, exotic SOFs, CMYK) needs PIL/ffmpeg and raises
     NotImplementedError when absent (this container has no image
     libs)."""
     if blob[:4] == MAGIC:
@@ -1643,14 +1664,25 @@ def sample_frames(
     id_col: str = "id",
 ) -> DataFrame:
     """Video frame sampling: emits one row PER SAMPLED FRAME (1→N,
-    the explode-shaped mapInPandas). For kind=video containers,
-    payload = n_frames × frame_bytes."""
+    the explode-shaped mapInPandas). For kind=video FAKE containers,
+    payload = n_frames × frame_bytes; r12 adds REAL MJPEG/AVI blobs
+    (RIFF magic), whose sampled rows carry standalone JPEG frames —
+    feed each to ``decode_image``. Rows of any other shape are
+    skipped, same contract as before."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, frame_idx, frames = [], [], []
             for id_, m in zip(pdf[id_col], pdf[media_col]):
-                kind, n_frames, frame_bytes, payload = _parse(bytes(m))
+                b = bytes(m)
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    fr = decode_avi_frames(b)["frames"]
+                    for i in range(0, len(fr), every_n):
+                        ids.append(id_)
+                        frame_idx.append(i)
+                        frames.append(fr[i])
+                    continue
+                kind, n_frames, frame_bytes, payload = _parse(b)
                 if KINDS.get(kind) != "video" or frame_bytes == 0:
                     continue
                 for i in range(0, n_frames, every_n):
@@ -1662,3 +1694,160 @@ def sample_frames(
     return df.select(id_col, media_col).mapInPandas(
         batches, "id long, frame_idx int, frame binary"
     )
+
+
+# ---- MJPEG-in-AVI (r12) ----------------------------------------------
+# The r11 codec boundary note left "video" entirely to ffmpeg. The
+# oldest interchange video format a data pipeline actually meets —
+# Motion JPEG inside an AVI/RIFF container — needs no codec beyond the
+# baseline JPEG decoder this module already carries: the container is
+# a ~100-line chunk walk and every frame is an ordinary JFIF stream.
+# Real temporal codecs (H.264/H.265/VP9/AV1) remain honestly out of
+# scope: inter-frame prediction is a codec project, not a container
+# walk; route those through ffmpeg/PyAV on a cluster that has them.
+# Same honesty-anchor verification pattern as the SOF2 work: the
+# encoder twin below emits frames as byte-identical output of this
+# module's own encode_jpeg, so decode(container)→decode_jpeg(frame)
+# is asserted PIXEL-IDENTICAL with decoding the standalone stills.
+
+
+def decode_avi_frames(blob: bytes) -> dict:
+    """Pure-python RIFF chunk walk for an MJPEG AVI → its frames as
+    standalone JPEG byte strings (feed each to ``decode_jpeg`` /
+    ``decode_image``). Returns ``{"width", "height", "fps", "handler",
+    "frames": [bytes, ...]}``.
+
+    Walks LISTs recursively, reads dims from the video stream's
+    BITMAPINFOHEADER (strf), frame timing from its AVIStreamHeader
+    (strh: dwRate/dwScale), and collects every ``##dc``/``##db``
+    chunk in stream order ('dc' = compressed video, 'db' = DIB; audio
+    ``##wb`` chunks and the optional ``idx1`` index are skipped).
+    Single-video-stream files only — the common MJPEG camera/fixture
+    shape; multi-stream interleaves raise. Chunk sizes are validated
+    against the buffer and odd sizes consume their RIFF pad byte."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("decode_avi_frames: not a RIFF/AVI stream")
+    info: dict = {"width": None, "height": None, "fps": None,
+                  "handler": None, "frames": []}
+    n_vids = 0
+    in_vids = False  # strf applies to the strh that preceded it
+
+    def walk(start: int, end: int) -> None:
+        nonlocal n_vids, in_vids
+        off = start
+        while off + 8 <= end:
+            cid = blob[off:off + 4]
+            size = int.from_bytes(blob[off + 4:off + 8], "little")
+            body = off + 8
+            if body + size > end:
+                raise ValueError(
+                    f"decode_avi_frames: chunk {cid!r} overruns its parent"
+                )
+            if cid == b"LIST":
+                walk(body + 4, body + size)
+            elif cid == b"strh":
+                in_vids = blob[body:body + 4] == b"vids"
+                if in_vids:
+                    n_vids += 1
+                    if n_vids > 1:
+                        raise ValueError(
+                            "decode_avi_frames: multiple video streams"
+                        )
+                    info["handler"] = blob[body + 4:body + 8].decode(
+                        "latin1"
+                    ).strip()
+                    scale = int.from_bytes(
+                        blob[body + 20:body + 24], "little"
+                    )
+                    rate = int.from_bytes(
+                        blob[body + 24:body + 28], "little"
+                    )
+                    if scale:
+                        info["fps"] = rate / scale
+            elif cid == b"strf" and in_vids and info["width"] is None:
+                info["width"] = int.from_bytes(
+                    blob[body + 4:body + 8], "little", signed=True
+                )
+                # negative biHeight = top-down DIB; magnitude either way
+                info["height"] = abs(int.from_bytes(
+                    blob[body + 8:body + 12], "little", signed=True
+                ))
+            elif len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                info["frames"].append(blob[body:body + size])
+            off = body + size + (size & 1)  # RIFF chunks pad to even
+
+    walk(12, len(blob))
+    return info
+
+
+def encode_avi_mjpeg(
+    frames: list, *, fps: int = 10, quality: int = 90,
+    subsample: bool = False,
+) -> bytes:
+    """Encoder twin of ``decode_avi_frames`` (fixture generator, the
+    SOF2 honesty-anchor pattern): uint8 arrays → an AVI whose ``00dc``
+    chunks are the BYTE-IDENTICAL output of this module's
+    ``encode_jpeg`` on each frame — so container-decode followed by
+    frame-decode must be pixel-identical with decoding the standalone
+    stills, and any divergence is a real container bug. Writes the
+    standard hdrl (avih + one 'vids'/'MJPG' strl), a movi LIST, and
+    the idx1 index real players expect."""
+    if not frames:
+        raise ValueError("encode_avi_mjpeg: at least one frame")
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = arrs[0].shape[:2]
+    if any(a.shape != arrs[0].shape for a in arrs):
+        raise ValueError("encode_avi_mjpeg: frames must share one shape")
+    jpegs = [
+        encode_jpeg(a, quality=quality, subsample=subsample) for a in arrs
+    ]
+
+    def u32(v: int) -> bytes:
+        return int(v).to_bytes(4, "little")
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + u32(len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    max_jpeg = max(len(j) for j in jpegs)
+    # MainAVIHeader: usec/frame, max bytes/sec, padding, flags
+    # (HASINDEX), total frames, initial frames, streams, sugg. buffer,
+    # width, height, 4 reserved dwords
+    avih = chunk(b"avih", b"".join([
+        u32(1_000_000 // fps), u32(max_jpeg * fps), u32(0), u32(0x10),
+        u32(len(jpegs)), u32(0), u32(1), u32(max_jpeg),
+        u32(w), u32(h), u32(0) * 4,
+    ]))
+    # AVIStreamHeader: type, handler, flags, prio+lang, init frames,
+    # scale, rate, start, length, sugg. buffer, quality, sample size,
+    # rcFrame (4 WORDs)
+    strh = chunk(b"strh", b"".join([
+        b"vids", b"MJPG", u32(0), u32(0), u32(0),
+        u32(1), u32(fps), u32(0), u32(len(jpegs)),
+        u32(max_jpeg), u32(0xFFFFFFFF), u32(0),
+        (0).to_bytes(2, "little") * 2,
+        int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little"),
+    ]))
+    # BITMAPINFOHEADER with biCompression='MJPG'
+    strf = chunk(b"strf", b"".join([
+        u32(40), u32(w), u32(h), (1).to_bytes(2, "little"),
+        (24).to_bytes(2, "little"), b"MJPG", u32(w * h * 3),
+        u32(0), u32(0), u32(0), u32(0),
+    ]))
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+
+    movi_body = b"movi"
+    idx_entries = []
+    for j in jpegs:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx_entries.append((len(movi_body) - 4, len(j)))
+        movi_body += chunk(b"00dc", j)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = chunk(b"idx1", b"".join(
+        b"00dc" + u32(0x10) + u32(off) + u32(size)  # AVIIF_KEYFRAME
+        for off, size in idx_entries
+    ))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + u32(len(riff_body)) + riff_body

@@ -81,6 +81,20 @@ def _pin(path: str) -> str:
     return pin_generation(path)
 
 
+def _pin_index(path: str, names: tuple[str, ...]) -> dict[str, str]:
+    """Consistent multi-subdirectory pin for one logical index (see
+    ``sources.writers.pin_generations``): serving readers that scan
+    two or more subdirectories in one query (centroids+lists,
+    conf+buckets) must pin them as a SET, or a rebuild's sequential
+    swaps landing between the pins serve mixed generations — silently
+    wrong neighbors, not an ENOENT (the r11 ADVICE low)."""
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        pin_generations,
+    )
+
+    return pin_generations(path, names)
+
+
 # --- adaptive geometry (the sf1 scaling-gate fix) ---------------------
 # Fixed bucket/cell counts are quadratic time bombs: occupancy grows
 # with the corpus and within-bucket pair work grows with occupancy².
@@ -460,11 +474,19 @@ def multiprobe_advisor(
 
     Returns {deficit, current: {...}, options: [{n_tables, flips,
     store_multiplier, probe_volume_multiplier, recall, measured},
-    ...], pick} — ``pick`` is the option meeting ``recall_target``
-    (when given, from measured points only) with the smallest
-    probe-volume multiplier, ties broken toward smaller store;
-    without a target it is the min-reads option (all-tables), with
-    the auto rule's flip count present in the list for comparison."""
+    ...], pick, anchor_geometry} — ``pick`` is the option meeting
+    ``recall_target`` (when given, from measured points only) with the
+    smallest probe-volume multiplier, ties broken toward smaller
+    store; without a target it is the min-reads option (all-tables),
+    with the auto rule's flip count present in the list for
+    comparison. ``anchor_geometry`` names where every number comes
+    from (r12, from the r11 verdict): the measured recalls AND the
+    0.96^q per-flip shortfall used for ``measured: false`` rows are
+    anchored solely at the r9 sweep's 200k-vector / 13-bit grid — a
+    corpus with very different density or dimensionality can sit off
+    that curve, so treat estimated rows as pricing guidance, not a
+    recall promise (the target pick uses measured points only for
+    exactly this reason)."""
     covered = 0
     while n_tables >= (base << (covered + 1)):
         covered += 1
@@ -529,6 +551,13 @@ def multiprobe_advisor(
         "current": current,
         "options": options,
         "pick": pick,
+        "anchor_geometry": {
+            "corpus": "200k synthetic vectors (tools/gen_vectors.py)",
+            "n_planes": 13,
+            "sweep": "r9 tools/lsh_table_sweep.py grid",
+            "extrapolation": "0.96^q per-flip shortfall vs the "
+                             "equivalent-tables measured point",
+        },
     }
 
 
@@ -1920,8 +1949,9 @@ def query_ivf_index(
     (module caching contract); a serving loop should
     ``spark.catalog.clearCache()`` between batches it is done with."""
     spark = queries.sparkSession
+    pins = _pin_index(path, ("centroids", "lists"))
     cent_rows = (
-        spark.read.parquet(_pin(f"{path}/centroids")).orderBy("list_id").collect()
+        spark.read.parquet(pins["centroids"]).orderBy("list_id").collect()
     )
     cents = np.stack(
         [np.asarray(r.centroid, dtype=np.float64) for r in cent_rows]
@@ -1943,7 +1973,7 @@ def query_ivf_index(
         r.list_id for r in fan.select("list_id").distinct().collect()
     )
     stored = _apply_tombstones(
-        spark.read.parquet(_pin(f"{path}/lists")).where(
+        spark.read.parquet(pins["lists"]).where(
             F.col("list_id").isin(probed)
         ),
         path,
@@ -2127,7 +2157,8 @@ def query_lsh_index(
     contract); a serving loop should ``spark.catalog.clearCache()``
     between batches it is done with."""
     spark = queries.sparkSession
-    conf = spark.read.parquet(_pin(f"{path}/conf")).collect()[0]
+    pins = _pin_index(path, ("conf", "buckets"))
+    conf = spark.read.parquet(pins["conf"]).collect()[0]
     planes = md5_planes(conf.n_tables, conf.n_planes, conf.dim)
     if n_multiprobe == "auto":
         n_multiprobe = adaptive_multiprobe(conf.n_planes, conf.n_tables)
@@ -2154,7 +2185,7 @@ def query_lsh_index(
             f"query_id {id_type}, rnk int, neighbor_id {id_type}, sim double",
         )
     n_terms = sum(len(b) for b in probed.values())
-    raw = spark.read.parquet(_pin(f"{path}/buckets"))
+    raw = spark.read.parquet(pins["buckets"])
     if n_terms <= LSH_LITERAL_PRED_MAX:
         pred = None
         for t, buckets in sorted(probed.items()):
@@ -2528,6 +2559,7 @@ def index_stats(
     files_per_part_warn: float = 4.0,
     skew_warn: float = 4.0,
     occupancy_warn: float = 4.0,
+    recall_target: float | None = None,
 ) -> dict:
     """Health report for a stored ANN index (IVF or LSH — detected
     from the directory layout) and the MAINTENANCE TRIGGER the serving
@@ -2583,7 +2615,14 @@ def index_stats(
     else:
         raise ValueError(f"no IVF or LSH index found at {path}")
 
-    df = spark.read.parquet(_pin(live))
+    # LSH stats read conf AND buckets — pin them as a set, so a
+    # concurrent rebuild's sequential swaps can't feed the advisor a
+    # geometry that doesn't match the buckets being measured
+    pins = (
+        _pin_index(path, ("conf", "buckets")) if family == "lsh"
+        else {"lists": _pin(live)}
+    )
+    df = spark.read.parquet(pins["buckets" if family == "lsh" else "lists"])
     quantized = "qvec" in df.columns
     # project the file name BEFORE aggregating (Spark refuses the
     # non-deterministic expression inside an aggregate function)
@@ -2649,19 +2688,39 @@ def index_stats(
         )
     advisor = None
     if family == "lsh":
-        conf = spark.read.parquet(_pin(f"{path}/conf")).collect()[0]
-        advisor = multiprobe_advisor(int(conf.n_planes), int(conf.n_tables))
+        conf = spark.read.parquet(pins["conf"]).collect()[0]
+        advisor = multiprobe_advisor(
+            int(conf.n_planes), int(conf.n_tables),
+            recall_target=recall_target,
+        )
         if advisor["deficit"] > 0:
             cur, pick = advisor["current"], advisor["pick"]
-            rec.append(
-                f"recall: stored geometry is {advisor['deficit']} table-"
-                f"doubling(s) short of the {int(conf.n_planes)}-bit rule — "
-                f"serve with n_multiprobe={cur.get('flips')} (candidate "
-                f"reads ×{1 << int(cur.get('flips', 0))}, store ×1) or "
-                f"rebuild with n_tables={pick['n_tables']} (store "
-                f"×{pick['store_multiplier']}, reads ~flat); "
-                "multiprobe_advisor(recall_target=...) prices every split"
-            )
+            if recall_target is not None and pick["measured"]:
+                # r12 (the r11 verdict's item 5): the advisor's priced
+                # pick becomes a NAMED maintenance action with its
+                # cost multipliers attached — maintain_index surfaces
+                # this verbatim (rebuilds stay operator-applied)
+                rec.append(
+                    f"recall-rebuild: rebuild_lsh_index(n_tables="
+                    f"{pick['n_tables']}) then serve with n_multiprobe="
+                    f"{pick['flips']} reaches measured recall"
+                    f"≈{pick['recall']} at the {recall_target} target "
+                    f"(store ×{pick['store_multiplier']}, candidate "
+                    f"reads ×{pick['probe_volume_multiplier']}; anchor: "
+                    f"{advisor['anchor_geometry']['sweep']})"
+                )
+            else:
+                rec.append(
+                    f"recall: stored geometry is {advisor['deficit']} "
+                    "table-doubling(s) short of the "
+                    f"{int(conf.n_planes)}-bit rule — serve with "
+                    f"n_multiprobe={cur.get('flips')} (candidate reads "
+                    f"×{1 << int(cur.get('flips', 0))}, store ×1) or "
+                    f"rebuild with n_tables={pick['n_tables']} (store "
+                    f"×{pick['store_multiplier']}, reads ~flat); "
+                    "multiprobe_advisor(recall_target=...) prices every "
+                    "split"
+                )
     return {
         **({"multiprobe": advisor} if advisor is not None else {}),
         "family": family,
@@ -2698,7 +2757,10 @@ def maintain_index(
     the same idempotent-maintenance shape as compact_table.
     ``stat_thresholds`` pass through to ``index_stats``
     (tombstone_warn / files_per_part_warn / skew_warn /
-    occupancy_warn)."""
+    occupancy_warn / recall_target — the last turns a deficit LSH
+    store's generic recall note into the advisor's priced
+    ``recall-rebuild:`` action with its store/read multipliers,
+    still operator-applied, never automatic)."""
     before = index_stats(spark, path, **stat_thresholds)
     actions: list[str] = []
     if any(r.startswith("compact:") for r in before["recommendations"]):

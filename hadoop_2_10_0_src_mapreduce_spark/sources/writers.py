@@ -725,6 +725,37 @@ def pin_generation(path: str) -> str:
     return os.path.realpath(path) if os.path.islink(path) else path
 
 
+def pin_generations(
+    path: str, names: tuple[str, ...], *, _mid_hook=None
+) -> dict[str, str]:
+    """Pin SEVERAL subdirectories of ONE logical index to a mutually
+    consistent generation set (r12, from the r11 ADVICE low): pinning
+    each subdir independently lets a multi-directory rebuild swap land
+    BETWEEN the pins — e.g. ``rebuild_ivf_index`` swaps lists then
+    centroids, so a query that pinned centroids first could scan new
+    lists against old centroids: silently wrong neighbors rather than
+    an ENOENT. Resolve-all twice and retry until a full double pass is
+    stable: a swap completing anywhere between a subdir's first
+    resolve and its re-resolve changes the second pass and forces a
+    retry, so the returned set can only be a state that was
+    simultaneously on disk. (A single-subdir swap that leaves the
+    others untouched passes — that IS the current consistent state;
+    and the documented crash-between-swaps window resolves to the
+    actual on-disk mix, which rebuild-on-heal fixes, same as before.)
+    Resolves are microseconds and swaps are seconds apart, so the loop
+    converges immediately in practice. ``_mid_hook`` is a test-only
+    seam: called once between the first and second resolve pass to
+    inject a concurrent swap deterministically."""
+    while True:
+        first = {n: pin_generation(f"{path}/{n}") for n in names}
+        if _mid_hook is not None:
+            hook, _mid_hook = _mid_hook, None
+            hook()
+        second = {n: pin_generation(f"{path}/{n}") for n in names}
+        if first == second:
+            return first
+
+
 def _mark_served(gen_path: str) -> None:
     """Stamp a generation as having actually been SERVED (the symlink
     pointed at it) — written right after every link flip. Rollback

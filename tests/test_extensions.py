@@ -3660,3 +3660,54 @@ def test_recipe_chain_resume_at_each_boundary(spark, tmp_path):
         prepare_training_corpus(
             docs, checkpoint_dir=str(ckdir), resume=True, **bad
         )
+
+
+def test_recall_target_wires_advisor_pick_into_maintenance(spark, tmp_path):
+    """r12 (r11 verdict item 5): a deficit LSH store measured with a
+    recall target yields a NAMED, priced rebuild recommendation (the
+    advisor's pick with its store/read multipliers and the anchor
+    geometry), maintain_index surfaces it without auto-applying, and
+    APPLYING the named rebuild matches the advisor's predictions —
+    store grows by the pick's store multiplier and the serve dial
+    lands on the pick's flip count."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "lsh_recall")
+    similarity.save_lsh_index(emb, path, n_planes=13, n_tables=16)
+
+    st = similarity.index_stats(spark, path, recall_target=0.5)
+    pick = st["multiprobe"]["pick"]
+    assert (pick["n_tables"], pick["flips"]) == (32, 3) and pick["measured"]
+    recs = [r for r in st["recommendations"]
+            if r.startswith("recall-rebuild:")]
+    assert len(recs) == 1
+    assert f"rebuild_lsh_index(n_tables={pick['n_tables']})" in recs[0]
+    assert f"n_multiprobe={pick['flips']}" in recs[0]
+    assert f"store ×{pick['store_multiplier']}" in recs[0]
+    assert f"reads ×{pick['probe_volume_multiplier']}" in recs[0]
+    # the anchor geometry is named in the advisor's return (r11
+    # What's-wrong #2) and cited in the recommendation text
+    anchor = st["multiprobe"]["anchor_geometry"]
+    assert anchor["n_planes"] == 13 and "200k" in anchor["corpus"]
+    assert anchor["sweep"] in recs[0]
+    rows_before = st["rows_live"]
+
+    # maintain_index carries the named action through its report but
+    # never auto-applies a rebuild (rebuilds change served results)
+    mt = similarity.maintain_index(spark, path, recall_target=0.5)
+    assert any(r.startswith("recall-rebuild:")
+               for r in mt["before"]["recommendations"])
+    assert all(a.startswith("compact") for a in mt["actions"])
+
+    # applying the named rebuild matches the predicted multipliers
+    similarity.rebuild_lsh_index(spark, path, n_tables=pick["n_tables"])
+    st2 = similarity.index_stats(spark, path, recall_target=0.5)
+    assert st2["multiprobe"]["current"]["n_tables"] == pick["n_tables"]
+    ratio = st2["rows_live"] / rows_before
+    assert abs(ratio - pick["store_multiplier"]) < 0.2 * pick["store_multiplier"]
+    assert similarity.adaptive_multiprobe(13, pick["n_tables"]) == pick["flips"]
+    # the rebuilt store's own pick IS its current geometry: the dial
+    # converged
+    p2 = st2["multiprobe"]["pick"]
+    assert (p2["n_tables"], p2["flips"]) == (pick["n_tables"], pick["flips"])

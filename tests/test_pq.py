@@ -1357,3 +1357,87 @@ def test_query_planned_before_compaction_collects_after(spark, emb, tmp_path):
     }
     # compaction without tombstones is a pure rewrite: identical answers
     assert got == fresh and got
+
+
+def test_pin_generations_never_returns_mixed_set(spark, tmp_path):
+    """r12 (r11 ADVICE low): a reader pinning each index subdirectory
+    independently can capture old-centroids + new-lists when a
+    rebuild's sequential swaps land between the pins — silently wrong
+    neighbors. pin_generations resolves the whole set twice and
+    retries until a full double pass is stable, so the returned set is
+    always a state that was simultaneously on disk. The _mid_hook seam
+    injects the concurrent swap deterministically between the two
+    resolve passes."""
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        atomic_swap_write,
+        enable_pointer_swaps,
+        pin_generations,
+    )
+
+    root = str(tmp_path / "ix")
+    spark.range(10).write.parquet(f"{root}/a")
+    spark.range(20).write.parquet(f"{root}/b")
+    enable_pointer_swaps(f"{root}/a")
+    enable_pointer_swaps(f"{root}/b")
+
+    # quiet path: both pins are the gen-0 concrete dirs
+    pins = pin_generations(root, ("a", "b"))
+    assert pins["a"].endswith(".__gen_0__")
+    assert pins["b"].endswith(".__gen_0__")
+
+    # a two-subdir "rebuild" landing mid-pinning: the returned set
+    # must be the POST-swap generation for both — never a/old+b/new
+    def rebuild_both():
+        atomic_swap_write(spark.range(100, 110), f"{root}/a", [])
+        atomic_swap_write(spark.range(100, 120), f"{root}/b", [])
+
+    pins = pin_generations(root, ("a", "b"), _mid_hook=rebuild_both)
+    assert pins["a"].endswith(".__gen_1__")
+    assert pins["b"].endswith(".__gen_1__")
+
+    # single-subdir swap (a compact touching only b): mixed NAMES are
+    # fine because that IS the on-disk state — a stays at its only
+    # generation, b advances
+    def compact_b_only():
+        atomic_swap_write(spark.range(200, 220), f"{root}/b", [])
+
+    pins = pin_generations(root, ("a", "b"), _mid_hook=compact_b_only)
+    assert pins["a"].endswith(".__gen_1__")
+    assert pins["b"].endswith(".__gen_2__")
+
+    # plain (non-pointer) dirs pass through untouched
+    spark.range(3).write.parquet(f"{root}/plain")
+    pins = pin_generations(root, ("plain",))
+    assert pins["plain"] == f"{root}/plain"
+
+
+def test_lsh_serving_pins_conf_and_buckets_as_a_set(spark, emb, tmp_path):
+    """query_lsh_index reads conf AND buckets in one query; both
+    pointer-mode, planned before a rebuild's swaps, collected after —
+    the serving-side pin for the mixed-generation fix (geometry from
+    one generation applied to buckets of another skews every probe)."""
+    import os
+
+    from hadoop_2_10_0_src_mapreduce_spark.sources.writers import (
+        enable_pointer_swaps,
+    )
+
+    path = str(tmp_path / "lshix")
+    base = emb.where(F.col("vec_id") < 300)
+    similarity.save_lsh_index(base, path, n_planes=8, n_tables=4)
+    enable_pointer_swaps(f"{path}/conf")
+    enable_pointer_swaps(f"{path}/buckets")
+    queries = emb.where(F.col("vec_id") < 5)
+
+    planned = similarity.query_lsh_index(queries, path, k=3)
+    similarity.compact_lsh_index(spark, path)  # swaps buckets mid-flight
+    got = {(r.query_id, r.neighbor_id) for r in planned.collect()}
+
+    assert os.path.islink(f"{path}/buckets")  # still pointer-mode
+    fresh = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.query_lsh_index(queries, path, k=3).collect()
+    }
+    # compaction without tombstones re-applies the same global cap:
+    # identical answers
+    assert got == fresh and got
