@@ -63,27 +63,22 @@ def stopword_hits(col: Column | str, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
 
 
-def lang_scores(
-    col: Column | str, toks: Column | None = None
-) -> dict[str, Column]:
-    """Per-language stopword-hit fraction, plus CJK char fraction.
-
-    All four languages' hit counts come from ONE ``aggregate`` pass
-    with a struct accumulator — higher-order functions run interpreted
-    per element, so one pass carrying four counters beats four
-    ``filter`` passes ~2× (measured). Values are identical: the same
-    integer counts divide by the same n. Pass a pre-projected ``toks``
-    column to also share the tokenization regex with sibling
-    expressions (another measured ~30%)."""
-    tcol = toks if toks is not None else tokens(col)
-    n = F.greatest(F.size(tcol), F.lit(1))
+def lang_acc(toks: Column) -> Column:
+    """The ONE-pass per-language stopword-hit struct accumulator
+    ``lang_scores`` folds over the token array. Exposed so a caller
+    can HOIST it into its own projection column: Catalyst inlines a
+    dict-built expression into every reference (the lang_id argmax
+    array references each score, so the plan re-ran this aggregate
+    pass 8× per row — measured in plans/r12/text_lang_id_before.txt),
+    while a multi-referenced non-cheap *named column* stays a single
+    evaluation. Pass the column back via ``lang_scores(acc=...)``."""
     langs = sorted(STOPWORDS)
     stops = {
         lang: F.array(*[F.lit(w) for w in STOPWORDS[lang]]) for lang in langs
     }
     zero = F.struct(*[F.lit(0).alias(lang) for lang in langs])
-    acc = F.aggregate(
-        tcol,
+    return F.aggregate(
+        toks,
         zero,
         lambda a, t: F.struct(
             *[
@@ -94,6 +89,27 @@ def lang_scores(
             ]
         ),
     )
+
+
+def lang_scores(
+    col: Column | str, toks: Column | None = None, acc: Column | None = None
+) -> dict[str, Column]:
+    """Per-language stopword-hit fraction, plus CJK char fraction.
+
+    All four languages' hit counts come from ONE ``aggregate`` pass
+    with a struct accumulator — higher-order functions run interpreted
+    per element, so one pass carrying four counters beats four
+    ``filter`` passes ~2× (measured). Values are identical: the same
+    integer counts divide by the same n. Pass a pre-projected ``toks``
+    column to also share the tokenization regex with sibling
+    expressions (another measured ~30%). Pass ``acc`` (a projected
+    ``lang_acc`` column) to share the aggregate pass itself across
+    every score reference — see lang_acc's plan note."""
+    tcol = toks if toks is not None else tokens(col)
+    n = F.greatest(F.size(tcol), F.lit(1))
+    langs = sorted(STOPWORDS)
+    if acc is None:
+        acc = lang_acc(tcol)
     scores = {lang: F.round(acc[lang] / n, 6) for lang in langs}
     c = F.col(col) if isinstance(col, str) else col
     n_chars = F.greatest(F.length(c), F.lit(1))
@@ -102,10 +118,12 @@ def lang_scores(
     return scores
 
 
-def lang_id(col: Column | str, toks: Column | None = None) -> Column:
+def lang_id(
+    col: Column | str, toks: Column | None = None, acc: Column | None = None
+) -> Column:
     """argmax over lang_scores; lexicographic tiebreak; 'und' when all
     scores are zero (undetermined)."""
-    scores = lang_scores(col, toks)
+    scores = lang_scores(col, toks, acc)
     # sort by (score desc, lang asc): negate the score and sort the
     # (neg, lang) structs ascending — struct compare is field-ordered
     ordered = F.sort_array(
@@ -139,8 +157,28 @@ def lang_id_sql(expr: str) -> str:
     return f"CASE WHEN {first}.neg = 0 THEN 'und' ELSE {first}.lang END"
 
 
+def quality_acc(toks: Column) -> Column:
+    """The (len_sum, stop) struct accumulator ``quality_features``
+    folds over the token array — exposed for the same hoisting reason
+    as ``lang_acc``: the quality/model-score expressions reference
+    mean_token_len and stopword_ratio several times each, and Catalyst
+    inlines dict-built expressions into every reference (the
+    text_token_quality before-plan re-ran this pass ~12× per row).
+    Project it once, pass it back via ``quality_features(acc=...)``."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    zero = F.struct(F.lit(0).alias("len_sum"), F.lit(0).alias("stop"))
+    return F.aggregate(
+        toks,
+        zero,
+        lambda a, t: F.struct(
+            (a["len_sum"] + F.length(t)).alias("len_sum"),
+            (a["stop"] + F.array_contains(stop, t).cast("int")).alias("stop"),
+        ),
+    )
+
+
 def quality_features(
-    col: Column | str, toks: Column | None = None
+    col: Column | str, toks: Column | None = None, acc: Column | None = None
 ) -> dict[str, Column]:
     """The classic cheap quality signals: length, token count, mean
     token length, punctuation ratio, stopword(en) ratio, uppercase
@@ -149,21 +187,15 @@ def quality_features(
     Token-length sum and stopword hits come from ONE ``aggregate``
     pass (struct accumulator) for the same reason as ``lang_scores``:
     interpreted per-element passes are the cost center. Same integer
-    counts, same values. Pass ``toks`` to share the tokenization."""
+    counts, same values. Pass ``toks`` to share the tokenization, and
+    ``acc`` (a projected ``quality_acc`` column) to share the
+    aggregate pass across every feature reference."""
     c = F.col(col) if isinstance(col, str) else col
     n_chars = F.greatest(F.length(c), F.lit(1))
     tcol = toks if toks is not None else tokens(col)
     n_toks = F.greatest(F.size(tcol), F.lit(1))
-    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    zero = F.struct(F.lit(0).alias("len_sum"), F.lit(0).alias("stop"))
-    acc = F.aggregate(
-        tcol,
-        zero,
-        lambda a, t: F.struct(
-            (a["len_sum"] + F.length(t)).alias("len_sum"),
-            (a["stop"] + F.array_contains(stop, t).cast("int")).alias("stop"),
-        ),
-    )
+    if acc is None:
+        acc = quality_acc(tcol)
     return {
         "n_chars": F.length(c),
         "n_tokens": F.size(tcol),
@@ -303,28 +335,46 @@ def dup_ngram_fractions(
     interpreted array passes, not five — higher-order functions run
     per element, and sharing the prefix chain is the cheapest win."""
     tcol = toks if toks is not None else tokens(col)
+    return {
+        n: dup_fraction_from_chain(chain)
+        for n, chain in dup_ngram_chains(tcol, ns).items()
+    }
+
+
+def dup_ngram_chains(
+    toks: Column, ns: tuple[int, ...]
+) -> dict[int, Column]:
+    """The incremental n-gram hash chains ``dup_ngram_fractions``
+    builds, exposed per n so a caller can HOIST each chain into its
+    own projection column (the fraction expression references its
+    chain four times, and the n-chain embeds the (n−1)-chain — the
+    text_token_quality before-plan rebuilt the chains ~12× per row;
+    see quality_acc's note on Catalyst inlining)."""
     out: dict[int, Column] = {}
     want = sorted(set(ns))
-    chain = F.transform(tcol, lambda t: F.xxhash64(t))  # n = 1 chain
+    chain = F.transform(toks, lambda t: F.xxhash64(t))  # n = 1 chain
+    if 1 in want:
+        out[1] = chain
     for n in range(2, want[-1] + 1):
-        n_windows = F.greatest(F.size(tcol) - (n - 1), F.lit(0))
+        n_windows = F.greatest(F.size(toks) - (n - 1), F.lit(0))
         chain = F.zip_with(
             F.slice(chain, 1, n_windows),
-            F.slice(tcol, n, n_windows),
+            F.slice(toks, n, n_windows),
             lambda acc, t: F.xxhash64(acc, t),
         )
         if n in want:
-            total = F.size(chain)
-            out[n] = F.when(total > 0, F.round(
-                (total - F.size(F.array_distinct(chain))) / total, 6
-            )).otherwise(F.lit(0.0))
-    if 1 in want:
-        t1 = F.size(tcol)
-        base = F.transform(tcol, lambda t: F.xxhash64(t))
-        out[1] = F.when(t1 > 0, F.round(
-            (t1 - F.size(F.array_distinct(base))) / t1, 6
-        )).otherwise(F.lit(0.0))
+            out[n] = chain
     return out
+
+
+def dup_fraction_from_chain(chain: Column) -> Column:
+    """1 − distinct/total over an n-gram hash chain (0 when empty) —
+    the per-n fraction of ``dup_ngram_fractions``, split out so the
+    chain can be a projected column shared across references."""
+    total = F.size(chain)
+    return F.when(total > 0, F.round(
+        (total - F.size(F.array_distinct(chain))) / total, 6
+    )).otherwise(F.lit(0.0))
 
 
 def dup_ngram_fraction(

@@ -1031,19 +1031,19 @@ def _propagate_components(adj_src, ckpt, *, max_iters, stats):
                 (F.col("_nmin") < F.col("rep")).alias("_chg"),
             )
         )
-        if ckpt.dir is None:
-            prop = ckpt(prop_plan)  # historical eager localCheckpoint
-        else:
-            # reliable-mode tax trim (r11): only lineage TRUNCATION
-            # needs the parquet round-trip, and only new_labels
-            # crosses rounds — prop is consumed entirely WITHIN the
-            # round, so persist() is enough to not compute it twice,
-            # and its lineage stays rooted at the previous round's
-            # parquet step: executor loss re-derives at most ONE
-            # round's prop from files, never the loop. Cuts the
-            # per-round reliable writes from 2 to 1 (measured at
-            # 500k: see SURVEY §8 r11).
-            prop = prop_plan.persist()
+        # Tax trim (r11 for reliable mode, r12 for local mode): only
+        # lineage TRUNCATION needs the eager round-trip, and only
+        # new_labels crosses rounds — prop is consumed entirely WITHIN
+        # the round, so persist() is enough to not compute it twice,
+        # and its lineage stays rooted at the previous round's
+        # checkpoint: a lost block/executor re-derives at most ONE
+        # round's prop, never the loop, and the plan still stays O(1)
+        # deep (new_labels is checkpointed every round). Cuts the
+        # per-round eager materializations from 2 to 1 in BOTH modes —
+        # reliable measured at 500k (SURVEY §8 r11); local measured at
+        # sf0.1 (the extra localCheckpoint job cost ~1.2-1.5 s of pure
+        # fixed overhead per round on a 100-pair graph, r12).
+        prop = prop_plan.persist()
         # pointer-jumping shortcut: rep(v) ← rep(rep(v)). rep is
         # always the id of a node REACHABLE from v (propagation picks
         # reachable mins, and rep(rep(v)) is reachable by
@@ -1070,13 +1070,12 @@ def _propagate_components(adj_src, ckpt, *, max_iters, stats):
             )
             changed = new_labels.where(F.col("_chg")).limit(1).count()
         finally:
-            if ckpt.dir is not None:
-                # new_labels is on disk (the ckpt write was eager) —
-                # the round's cached prop is spent. finally, so a
-                # failed ckpt write / count doesn't leak the cached
-                # RDD for the session (r12, from the r11 ADVICE low;
-                # the caller's except arm only closes files).
-                prop.unpersist()
+            # new_labels is materialized (the ckpt call was eager) —
+            # the round's cached prop is spent in either mode.
+            # finally, so a failed ckpt write / count doesn't leak the
+            # cached RDD for the session (r12, from the r11 ADVICE
+            # low; the caller's except arm only closes files).
+            prop.unpersist()
         labels = new_labels.drop("_chg")
         if stats is not None:
             stats["rounds"] = it + 1

@@ -25,14 +25,30 @@ from hadoop_2_10_0_src_mapreduce_spark.functions import text as T
 from hadoop_2_10_0_src_mapreduce_spark.functions.text import fingerprint_sql, shingles_sql
 from hadoop_2_10_0_src_mapreduce_spark.operators import dedup
 from hadoop_2_10_0_src_mapreduce_spark.plans.registry import register
-from hadoop_2_10_0_src_mapreduce_spark.sources.readers import load_table
+from hadoop_2_10_0_src_mapreduce_spark.sources.readers import (
+    load_table,
+    parallelize_scan,
+)
 
 
 PLANT_OFFSET = 10_000_000
 
 
 def corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ exact copies ∪ truncated near-dups (see module doc)."""
+    """documents ∪ exact copies ∪ truncated near-dups (see module doc).
+
+    The UNION is parallelize_scan'd (no-op once the input splits to ≥
+    the target): every consumer of this corpus tokenizes/hashes each
+    row (the dedup family's dominant scalar cost), and a single-row-
+    group fixture file otherwise serializes all of it onto one core.
+    Placement and width are measured, not guessed (sf0.1, 32 cores,
+    steady-state min-of-passes): repartitioning the union to
+    defaultParallelism//4 = 8 beat plain (dedup_exact 1.65 s vs 2.50,
+    simhash 1.3 vs 2.3, ngram 3.0 vs 4.3), while 32-wide overshot
+    (2.96/2.2/4.3 — dedup_exact fans this frame into ~7 branches of
+    small stages, and every extra cached partition multiplies into a
+    task in each) and repartitioning the base BEFORE the union was
+    worst (3 legs × N cached partitions)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     exact = d.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text"
@@ -45,7 +61,10 @@ def corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(toks, 1, F.size(toks) - 5), " ").alias("text"),
         )
     )
-    return d.unionByName(exact).unionByName(near)
+    union = d.unionByName(exact).unionByName(near)
+    return parallelize_scan(
+        union, "doc_id", target=spark.sparkContext.defaultParallelism // 4
+    )
 
 
 _TOKS = f"regexp_extract_all(lower(text), '{T.TOKEN_PATTERN}')"

@@ -84,7 +84,13 @@ def window_tumbling_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    daily = tumbling_window_counts(ev)
+    # persist: the daily aggregate is tiny (days × event_types rows) at
+    # ANY scale but costs a full events scan + shuffle to build, and
+    # both the 'tumbling' leg and the rolling-metric family read it —
+    # without it the before-plan re-ran the scan+aggregate once per
+    # consumer (plans/r12/window_tumbling_sliding_before.txt: 22
+    # Exchanges; after: the aggregate materializes once)
+    daily = tumbling_window_counts(ev).persist()
     metric = F.col("n_events").cast("double").alias("metric")
     tumbling = daily.select(
         F.lit("tumbling").alias("mode"), "window_start", "event_type", metric
@@ -98,24 +104,21 @@ def window_tumbling_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="window_start",
         value_col="n_events",
     )
-    metric_rows = [
-        rolled.select(
-            F.lit(mode).alias("mode"),
-            "window_start",
-            "event_type",
-            F.col(col).alias("metric"),
-        )
-        for mode, col in (
-            ("lag1", "lag1"),
-            ("mavg3", "mavg3"),
-            ("cume", "cume"),
-            ("prank", "prank"),
-        )
-    ]
-    out = tumbling.unionByName(sliding)
-    for branch in metric_rows:
-        out = out.unionByName(branch)
-    return out.orderBy("mode", "window_start", "event_type")
+    # stack-unpivot instead of four union legs: the legs each re-ran
+    # the whole rolling-metrics window subtree (one evaluation per
+    # projection of the same frame); stack() emits the identical
+    # (mode, metric) row multiset from ONE evaluation
+    metric_rows = rolled.selectExpr(
+        "window_start",
+        "event_type",
+        "stack(4, 'lag1', lag1, 'mavg3', mavg3, 'cume', cume, "
+        "'prank', prank) AS (mode, metric)",
+    ).select("mode", "window_start", "event_type", "metric")
+    return (
+        tumbling.unionByName(sliding)
+        .unionByName(metric_rows)
+        .orderBy("mode", "window_start", "event_type")
+    )
 
 
 # session_window(gap 12h) ≡ the sessionize_reduce oracle's gap logic;

@@ -9,7 +9,10 @@ from pyspark.sql import functions as F
 from hadoop_2_10_0_src_mapreduce_spark.functions import text as T
 from hadoop_2_10_0_src_mapreduce_spark.pipeline import chunk_sql, split_sql
 from hadoop_2_10_0_src_mapreduce_spark.plans.registry import register
-from hadoop_2_10_0_src_mapreduce_spark.sources.readers import load_table
+from hadoop_2_10_0_src_mapreduce_spark.sources.readers import (
+    load_table,
+    parallelize_scan,
+)
 
 # --- language ID ------------------------------------------------------
 
@@ -24,13 +27,26 @@ ORDER BY labeled_lang, pred_lang
 @register("text_lang_id", _LANG_ID_ORACLE, tags=("text",),
           doc="Language-ID heuristic (stopword profiles + CJK chars): predicted vs labeled confusion counts.")
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # tokenize once, below the scoring projection (shared regex pass)
+    docs = parallelize_scan(
+        # width measured: defaultParallelism//4 — see corpus_with_dups
+        load_table(spark, sf_dir, "documents"), "doc_id",
+        target=spark.sparkContext.defaultParallelism // 4,
+    )
+    # tokenize once, below the scoring projection (shared regex pass);
+    # hoist the one-pass stopword-hit accumulator the same way — the
+    # argmax array references every language's score, and Catalyst
+    # inlines dict-built expressions per reference (the before-plan ran
+    # the aggregate pass 8× per row; a named non-cheap column stays a
+    # single evaluation — plans/r12/text_lang_id_{before,after}.txt)
     toked = docs.select("lang", "text", T.tokens("text").alias("_toks"))
+    acced = toked.select(
+        "lang", "text", "_toks", T.lang_acc(F.col("_toks")).alias("_lacc")
+    )
     return (
-        toked.select(
+        acced.select(
             F.col("lang").alias("labeled_lang"),
-            T.lang_id("text", F.col("_toks")).alias("pred_lang"),
+            T.lang_id("text", F.col("_toks"), acc=F.col("_lacc"))
+            .alias("pred_lang"),
         )
         .groupBy("labeled_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -162,33 +178,69 @@ ORDER BY doc_id
 @register("text_token_quality", _QUALITY_ORACLE, tags=("text",),
           doc="Per-document token counts (whitespace-ish + BPE-ish), quality features (length/punct/stopword/digit ratios) + composite score + MODEL-based linear quality score (fasttext-shape weights, rational sigmoid), Gopher-style dup-n-gram repetition fractions, and PII audit + byte-checked redaction over planted PII — all in one scan.")
 def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(
+        # width measured: defaultParallelism//4 — see corpus_with_dups
+        load_table(spark, sf_dir, "documents"), "doc_id",
+        target=spark.sparkContext.defaultParallelism // 4,
+    )
     pii_text = F.when(
         F.col("doc_id") % 5 == 0, F.concat(F.col("text"), _pii_suffix_spark())
     ).otherwise(F.col("text"))
-    # tokenize once, below the scoring projection (shared regex pass)
+    # Hoisting ladder (the Spark-side twin of the oracle's r8 hoisted
+    # CTEs — guide §1.2 "per-task work"): Catalyst inlines dict-built
+    # expressions into EVERY reference, so the before-plan ran the
+    # (len_sum, stop) aggregate pass ~12× per row, each regexp_replace
+    # ratio ~6×, and rebuilt the n-gram hash chains ~12×
+    # (plans/r12/text_token_quality_before.txt). Multi-referenced
+    # non-cheap NAMED columns are not collapsed, so each level below
+    # evaluates once per row and the scores above reference columns.
+    # Same expression trees, same rounding — bit-identical values.
     toked = docs.select(
         "doc_id", "text", T.tokens("text").alias("_toks"),
         pii_text.alias("_pii_text"),
     )
     tc = F.col("_toks")
-    feats = T.quality_features("text", tc)
-    pii = T.pii_counts("_pii_text")
-    return toked.select(
-        "doc_id",
-        feats["n_chars"].alias("n_chars"),
-        feats["n_tokens"].alias("n_tokens"),
-        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    # level 2: one-pass accumulator + 2-gram chain (3-gram extends it)
+    chains = T.dup_ngram_chains(tc, (2, 3))
+    l2 = toked.select(
+        "doc_id", "text", "_toks", "_pii_text",
+        T.quality_acc(tc).alias("_qacc"),
+        chains[2].alias("_g2"),
+    )
+    # level 3: 3-gram chain from the PROJECTED 2-gram chain
+    n3_windows = F.greatest(F.size(tc) - 2, F.lit(0))
+    g3 = F.zip_with(
+        F.slice(F.col("_g2"), 1, n3_windows),
+        F.slice(tc, 3, n3_windows),
+        lambda acc, t: F.xxhash64(acc, t),
+    )
+    l3 = l2.select(
+        "doc_id", "text", "_toks", "_pii_text", "_qacc", "_g2",
+        g3.alias("_g3"),
+    )
+    # level 4: the six feature ratios, each computed once
+    feats = T.quality_features("text", tc, acc=F.col("_qacc"))
+    l4 = l3.select(
+        "doc_id", "text", "_toks", "_pii_text", "_g2", "_g3",
         *[feats[name].alias(name) for name in
-          ("mean_token_len", "punct_ratio", "stopword_ratio", "digit_ratio")],
-        T.quality_score("text", tc, features=feats).alias("quality"),
-        T.linear_score(feats, _MODEL_W, bias=_MODEL_BIAS).alias("model_quality"),
-        *[
-            c.alias(f"dup_{n}gram_frac")
-            for n, c in sorted(
-                T.dup_ngram_fractions("text", (2, 3), tc).items()
-            )
-        ],
+          ("n_chars", "n_tokens", "mean_token_len", "punct_ratio",
+           "stopword_ratio", "digit_ratio")],
+    )
+    # level 5: scores over the feature COLUMNS + single-use columns
+    featsc = {name: F.col(name) for name in
+              ("n_chars", "n_tokens", "mean_token_len", "punct_ratio",
+               "stopword_ratio", "digit_ratio")}
+    pii = T.pii_counts("_pii_text")
+    return l4.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        "mean_token_len", "punct_ratio", "stopword_ratio", "digit_ratio",
+        T.quality_score("text", tc, features=featsc).alias("quality"),
+        T.linear_score(featsc, _MODEL_W, bias=_MODEL_BIAS).alias("model_quality"),
+        T.dup_fraction_from_chain(F.col("_g2")).alias("dup_2gram_frac"),
+        T.dup_fraction_from_chain(F.col("_g3")).alias("dup_3gram_frac"),
         pii["email"].alias("pii_email"),
         pii["ipv4"].alias("pii_ipv4"),
         pii["phone"].alias("pii_phone"),
@@ -302,7 +354,11 @@ def text_fingerprint_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_corpus,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(
+        # width measured: defaultParallelism//4 — see corpus_with_dups
+        load_table(spark, sf_dir, "documents"), "doc_id",
+        target=spark.sparkContext.defaultParallelism // 4,
+    )
 
     rollup = (
         docs.select("source", "n_chars", T.fingerprint("text").alias("fp"))
@@ -338,8 +394,19 @@ def text_fingerprint_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = dedup.contaminated_ids(tr, ev, "text", "doc_id", n=_DECON_N).select(
         F.col("id").alias("doc_id"), F.lit(1).alias("_c")
     )
+    # The aggregate side never reads the CONSTRUCTED text — only
+    # (doc_id, source, n_chars), which the quote-append can't change.
+    # Joining the narrow projection of the raw table instead of ``tr``
+    # stops the quote-crossJoin+concat subtree from evaluating twice
+    # (once inside ``bad``'s shingle index, once on the join's left
+    # side) and lets the scan prune the text column entirely on this
+    # side (guide §2.3 "project before the exchange" / §6 pruning).
+    # Same doc_ids, same source/n_chars → identical rows.
+    tr_meta = docs.where(F.col("doc_id") % 50 != 0).select(
+        "doc_id", "source", "n_chars"
+    )
     decontam = (
-        tr.join(bad, "doc_id", "left")
+        tr_meta.join(bad, "doc_id", "left")
         .groupBy(F.col("source").alias("grp"))
         .agg(
             F.sum(F.when(F.col("_c").isNotNull(), 1).otherwise(0))

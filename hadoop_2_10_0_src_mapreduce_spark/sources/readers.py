@@ -71,6 +71,44 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+def parallelize_scan(
+    df: DataFrame, key: str | None = None, target: int | None = None
+) -> DataFrame:
+    """Raise the map-side parallelism of an UNDER-SPLIT scan.
+
+    A parquet file is splittable only at row-group boundaries, so a
+    single-row-group file scans as ONE task no matter how many cores
+    the session has — and every per-row expression above it (tokenize
+    regexes, md5, shingle hashing) serializes onto one core (the
+    optimization guide's input-skew case: "one huge unsplittable
+    file … repartition immediately after the read"). This helper is a
+    NO-OP whenever the scan already splits to at least ``target``
+    partitions — the 100 TB case, where inputs have thousands of row
+    groups and an extra exchange would be a pure full-corpus shuffle
+    tax — so the repartition only exists where it pays.
+
+    ``target`` defaults to the session's default parallelism; pass a
+    smaller value (e.g. defaultParallelism // 4) for frames consumed
+    by MANY small downstream stages, where every cached partition
+    multiplies into a task in every consumer — the measured sweep at
+    sf0.1/32 cores over the dedup corpus put 8 ahead of both 16 and
+    32 (dedup_exact steady 1.65 s vs 2.5 plain vs 3.0 at 32;
+    dedup_simhash 1.3 vs 2.3 plain vs 2.2 at 32).
+
+    ``key``: hash-partition on a deterministic id column (no
+    sort-before-repartition pass, deterministic under task retry —
+    guide §2.5's SPARK-38388 note); round-robin otherwise. Results are
+    partitioning-independent either way; every registered query's
+    output is aggregate- or orderBy-stable."""
+    sc = df.sparkSession.sparkContext
+    if target is None:
+        target = sc.defaultParallelism
+    target = max(2, target)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key)) if key else df.repartition(target)
+
+
 def read_text_lines(
     spark: SparkSession,
     path: str,
