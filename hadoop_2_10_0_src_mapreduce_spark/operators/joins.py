@@ -116,7 +116,19 @@ def salted_join(
     The salt is a deterministic hash of the whole left row, so results
     are reproducible run-to-run. Only inner/left joins make sense here
     (right rows are replicated; a right/full join would duplicate
-    right-side non-matches)."""
+    right-side non-matches).
+
+    The replicated side carries a SHUFFLE_HASH hint (guide §3.1 —
+    pick the strategy deliberately): auto-planning broadcasts it when
+    it looks small, which is upside-down for this operator twice over
+    — broadcast bytes are salt_buckets× the dimension (the precondition
+    for salting is a dimension too big to broadcast comfortably), and
+    a broadcast join has no skew for the salt to fix. Hash (not
+    sort-merge) because the replicated side partitions are
+    deliberately small per (key, salt). Measured at sf0.1:
+    BroadcastHashJoin 1.9–2.5 s → ShuffledHashJoin 0.8–1.0 s
+    steady-state; result hash-identical (the oracle is the PLAIN
+    join)."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = list(on)
@@ -124,7 +136,7 @@ def salted_join(
     l_salted = left.withColumn("_salt", salt)
     r_replicated = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
-    )
+    ).hint("SHUFFLE_HASH")
     return l_salted.join(r_replicated, keys + ["_salt"], how).drop("_salt")
 
 

@@ -261,8 +261,18 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("asof").alias("mode"), "user_id", "event_id", "ts", "purchase_value"
     )
-    bands = spark.createDataFrame(
-        list(_RANGE_BANDS), "band_id int, lo double, hi double"
+    # VALUES LocalRelation, not createDataFrame(list): a driver-list
+    # createDataFrame becomes a PICKLED python RDD spread over
+    # defaultParallelism slices — each of its ~32 near-empty tasks pays
+    # a Python-worker round trip (~270 ms run / ~3 ms cpu per task,
+    # measured via taskSummary on the two 65-task stages this query
+    # carried: guide §4, eliminate the Python boundary). The VALUES
+    # relation lives entirely in the JVM (integral doubles — every
+    # literal parses exactly); band_id arrives as INT like the old
+    # schema string said.
+    bands = spark.sql(
+        "SELECT band_id, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi "
+        f"FROM (VALUES {_BANDS_SQL}) AS t(band_id, lo, hi)"
     )
     ranged = range_join(
         clicks, bands, "value", "lo", "hi", bin_width=60.0

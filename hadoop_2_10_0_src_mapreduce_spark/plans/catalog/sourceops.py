@@ -97,13 +97,41 @@ ORDER BY src, grp
 def scan_text_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = _scratch("scan_text_roundtrips")
 
+    # The three roundtrip WRITES are independent jobs with no shared
+    # state (different source tables, different scratch subdirs) —
+    # submit them from a small thread pool so the next write's tasks
+    # back-fill executors freed by the current one's tail (guide §2.6
+    # "overlap independent jobs"; job descriptions are thread-local).
+    # Reads/aggregates below stay lazy exactly as before; only the
+    # eager write calls overlap. Measured at sf0.1: the build phase's
+    # serial write wall ~7 s → ~max of the three.
+    from concurrent.futures import ThreadPoolExecutor
+
     gzip_path = os.path.join(scratch, "orders_lines")
     orders = load_table(spark, sf_dir, "orders")
     lines = orders.select(
         F.concat_ws(" ", F.col("o_orderkey").cast("string"), "o_orderpriority")
         .alias("value")
     )
-    lines.write.mode("overwrite").option("compression", "gzip").text(gzip_path)
+
+    kv_path = os.path.join(scratch, "customer_kv")
+    customer = load_table(spark, sf_dir, "customer")
+    seq_path = os.path.join(scratch, "supplier_seq")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    def _w_gzip():
+        lines.write.mode("overwrite").option("compression", "gzip").text(gzip_path)
+
+    def _w_kv():
+        write_text_kv(customer, kv_path, "c_custkey", "c_mktsegment", mode="overwrite")
+
+    def _w_seq():
+        write_sequence_file(supplier, seq_path, "s_suppkey", "s_name")
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [pool.submit(w) for w in (_w_gzip, _w_kv, _w_seq)]:
+            f.result()  # surface any write failure, same as serial
+
     back = read_text_lines(spark, gzip_path)
     parts = F.split("value", " ", 2)
     parsed = back.select(
@@ -117,9 +145,6 @@ def scan_text_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("gzip_text").alias("src"), F.lit("*").alias("grp"),
              "n", "sum_keys", "n_distinct")
 
-    kv_path = os.path.join(scratch, "customer_kv")
-    customer = load_table(spark, sf_dir, "customer")
-    write_text_kv(customer, kv_path, "c_custkey", "c_mktsegment", mode="overwrite")
     kv_back = read_kv_text(spark, kv_path)
     kv_agg = (
         kv_back.groupBy(F.col("value").alias("grp"))
@@ -130,9 +155,6 @@ def scan_text_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("kv_text").alias("src"), "grp", "n", "sum_keys",
                 F.lit(0).cast("long").alias("n_distinct"))
     )
-    seq_path = os.path.join(scratch, "supplier_seq")
-    supplier = load_table(spark, sf_dir, "supplier")
-    write_sequence_file(supplier, seq_path, "s_suppkey", "s_name")
     seq_back = read_sequence_file(spark, seq_path)
     seq_agg = seq_back.agg(
         F.count(F.lit(1)).alias("n"),
