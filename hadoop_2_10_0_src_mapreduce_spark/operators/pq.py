@@ -133,6 +133,7 @@ def train_pq_codebooks(
     n_iters: int = 5,
     max_train: int = 4096,
     centers: np.ndarray | None = None,
+    n: int | None = None,
 ) -> np.ndarray:
     """Train the [n_subspaces, n_codes, dim/n_subspaces] PQ codebook
     on the same BOUNDED deterministic sample as ``train_ivf_centroids``
@@ -155,7 +156,8 @@ def train_pq_codebooks(
     the within-cell detail the coarse centroids already explain away,
     instead of re-describing cluster positions."""
     sample = emb.select(id_col, vec_col)
-    n = sample.count()
+    if n is None:  # pre-counted corpus size skips the count() job
+        n = sample.count()
     if n > max_train:
         stride = -(-n // max_train)  # ceil
         from hadoop_2_10_0_src_mapreduce_spark.functions.hashing import md5_u32

@@ -577,15 +577,20 @@ def _resolve_probes(n_lists: int, n_probe) -> int:
     return n_probe
 
 
-def _resolve_planes(emb: DataFrame, n_planes, **kw) -> int:
+def _resolve_planes(emb: DataFrame, n_planes, n: int | None = None, **kw) -> int:
+    """``n``: pre-counted corpus size — callers that already paid (or
+    share) a count() pass it down so "auto" resolution costs zero extra
+    jobs; the value fed to the rule is identical either way."""
     if n_planes == "auto":
-        return adaptive_planes(emb.count(), **kw)
+        return adaptive_planes(emb.count() if n is None else n, **kw)
     return n_planes
 
 
-def _resolve_centroids(emb: DataFrame, n_centroids, **kw) -> int:
+def _resolve_centroids(
+    emb: DataFrame, n_centroids, n: int | None = None, **kw
+) -> int:
     if n_centroids == "auto":
-        return adaptive_centroids(emb.count(), **kw)
+        return adaptive_centroids(emb.count() if n is None else n, **kw)
     return n_centroids
 
 
@@ -1371,9 +1376,12 @@ def train_ivf_centroids(
     n_centroids: int = 16,
     n_iters: int = 5,
     max_train: int = 4096,
+    n: int | None = None,
 ) -> np.ndarray:
     """Spherical k-means centroids, trained driver-side on a BOUNDED
-    sample — never the full corpus. When the corpus exceeds
+    sample — never the full corpus. ``n``: pre-counted corpus size
+    (skips this function's count() job when the caller already paid
+    one for adaptive-parameter resolution — same value, same stride). When the corpus exceeds
     ``max_train`` rows, a deterministic hash stride keeps ~max_train
     vectors regardless of partitioning: id survives iff
     uint32(md5(id)[:8]) % ceil(n/max_train) == 0 — md5 rather than
@@ -1396,7 +1404,8 @@ def train_ivf_centroids(
     centroids are a pure function of the data that an external SQL
     oracle replays bit-for-bit."""
     sample = emb.select(id_col, vec_col)
-    n = sample.count()
+    if n is None:
+        n = sample.count()
     if n > max_train:
         stride = -(-n // max_train)  # ceil
         from hadoop_2_10_0_src_mapreduce_spark.functions.hashing import md5_u32
@@ -1553,6 +1562,7 @@ def ann_ivf_topk(
     n_probe: int | str = "auto",
     block_size: int = 4096,
     round_digits: int = 6,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning: spherical
     k-means lists, queries probe their ``n_probe`` nearest lists and
@@ -1591,11 +1601,14 @@ def ann_ivf_topk(
     treated as the same vector and excluded from its own neighbors,
     exactly like self-ANN). Everything else — sharding, bounded
     groups, per-block top-k, global re-rank — is identical."""
-    n_centroids = _resolve_centroids(emb, n_centroids)
+    if corpus_count is None and n_centroids == "auto":
+        corpus_count = emb.count()  # shared: rule + trainer stride
+    n_centroids = _resolve_centroids(emb, n_centroids, n=corpus_count)
     n_probe = _resolve_probes(n_centroids, n_probe)
     vecs = emb.select(id_col, vec_col)
     cents = train_ivf_centroids(
-        vecs, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+        vecs, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
+        n=corpus_count,
     )
     # persist: the vector-carrying assignment feeds THREE consumers
     # (the list-size counts and both grid sides of _shard_blocks);
@@ -1687,6 +1700,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.95,
     n_centroids: int | str = 16,
     round_digits: int = 6,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC duplicate pairs: spherical-k-means
     cluster the corpus (the oracle-exact IVF trainer — md5-seeded,
@@ -1718,10 +1732,16 @@ def semantic_dedup_pairs(
     referenced by the returned lazy frame (module caching contract) —
     long-lived sessions done with the results should
     ``spark.catalog.clearCache()`` at their batch boundary."""
-    n_centroids = _resolve_centroids(emb, n_centroids)
+    # one count() serves the adaptive-centroid rule AND the trainer's
+    # stride (two identical jobs before; ``corpus_count`` lets the
+    # caller share an already-paid count too)
+    if corpus_count is None and n_centroids == "auto":
+        corpus_count = emb.count()
+    n_centroids = _resolve_centroids(emb, n_centroids, n=corpus_count)
     vecs = emb.select(id_col, vec_col)
     cents = train_ivf_centroids(
-        vecs, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+        vecs, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
+        n=corpus_count,
     )
     # persist: both sides of the within-list self-join read the
     # assignment; without it the mapInPandas subtree runs twice
@@ -1752,6 +1772,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_centroids: int | str = 16,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Cluster membership view of ``semantic_dedup_pairs``: connected
     components over the pair graph → (id, rep) with rep = the smallest
@@ -1768,6 +1789,7 @@ def semantic_dedup(
         vec_col=vec_col,
         threshold=threshold,
         n_centroids=n_centroids,
+        corpus_count=corpus_count,
     )
     return duplicate_components(pairs)
 

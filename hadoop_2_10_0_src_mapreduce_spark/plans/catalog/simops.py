@@ -557,7 +557,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_2_10_0_src_mapreduce_spark.operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ivf = similarity.ann_ivf_topk(emb, k=5).select(
+    # ONE corpus count serves both trainers' md5-stride rule (each
+    # paid its own count() job before — same value, same stride)
+    n_corpus = emb.count()
+    ivf = similarity.ann_ivf_topk(emb, k=5, corpus_count=n_corpus).select(
         F.lit("ivf").alias("branch"), "query_id", "rnk", "neighbor_id", "sim"
     )
     # 'ivfpq': in-session PQ — train codebooks on the shared bounded
@@ -565,7 +568,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query batch, exact-rescore the candidates. Same geometry
     # literals as the oracle's _PQ_* constants.
     books = pq.train_pq_codebooks(
-        emb, n_subspaces=_PQ_M, n_codes=_PQ_CODES, n_iters=_PQ_ITERS
+        emb, n_subspaces=_PQ_M, n_codes=_PQ_CODES, n_iters=_PQ_ITERS,
+        n=n_corpus,
     )
     codes = pq.pq_encode(emb, books)
     queries = emb.where(F.col("vec_id") < 20)
