@@ -283,23 +283,33 @@ def prepare_training_corpus(
         ckpt.close()  # a failed recipe must not leak live chain steps
         raise
 
-    # 4. score + gate in one projection (tokens computed once; the
-    # quality features feed both the composite and the model score)
+    # 4. score + gate (tokens computed once; the one-pass accumulators
+    # and the 3-gram chain are HOISTED as named columns — Catalyst
+    # inlines dict-built expressions per reference, so the inline form
+    # re-ran the lang aggregate 8× and the quality aggregate several ×
+    # per row; see quality_acc/lang_acc in functions/text.py, the r12
+    # text_token_quality finding)
     toked = survivors.select("id", "text", T.tokens("text").alias("_toks"))
-    feats = T.quality_features("text", F.col("_toks"))
+    acced = toked.select(
+        "id", "text", "_toks",
+        T.quality_acc(F.col("_toks")).alias("_qacc"),
+        T.lang_acc(F.col("_toks")).alias("_lacc"),
+        T.dup_ngram_chains(F.col("_toks"), (3,))[3].alias("_g3"),
+    )
+    feats = T.quality_features("text", F.col("_toks"), acc=F.col("_qacc"))
     model_cols = (
         [T.linear_score(feats, model_weights).alias("model_quality")]
         if model_weights is not None
         else []
     )
-    scored = toked.select(
+    scored = acced.select(
         "id",
         "text",
-        T.lang_id("text", F.col("_toks")).alias("pred_lang"),
+        T.lang_id("text", F.col("_toks"), acc=F.col("_lacc")).alias("pred_lang"),
         T.quality_score("text", F.col("_toks"), features=feats).alias("quality"),
         *model_cols,
         F.size("_toks").alias("n_tokens"),
-        T.dup_ngram_fraction("text", 3, F.col("_toks")).alias("dup_3gram_frac"),
+        T.dup_fraction_from_chain(F.col("_g3")).alias("dup_3gram_frac"),
     )
     out = scored.where(
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
@@ -885,10 +895,19 @@ def corpus_report(
     per_doc = docs.select(
         src, F.col(text_col).alias("_t"), T.tokens(text_col).alias("_toks")
     ).select(
+        "source", "_t", "_toks",
+        # hoisted one-pass accumulators (see quality_acc/lang_acc):
+        # the inline scores re-ran these aggregates per reference
+        T.quality_acc(F.col("_toks")).alias("_qacc"),
+        T.lang_acc(F.col("_toks")).alias("_lacc"),
+    ).select(
         "source",
         F.size("_toks").alias("_nt"),
-        T.quality_score("_t", F.col("_toks")).alias("_q"),
-        T.lang_id("_t", F.col("_toks")).alias("_lang"),
+        T.quality_score(
+            "_t", F.col("_toks"),
+            features=T.quality_features("_t", F.col("_toks"), acc=F.col("_qacc")),
+        ).alias("_q"),
+        T.lang_id("_t", F.col("_toks"), acc=F.col("_lacc")).alias("_lang"),
         T.fingerprint("_t").alias("_fp"),
     )
     lang_cnt = [
