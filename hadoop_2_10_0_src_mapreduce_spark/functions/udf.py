@@ -126,6 +126,32 @@ def secondary_sort_reduce(
     return reduce_groups(df, group_keys, fn, schema, order_by=sort_keys)
 
 
+def cogroup_bucket_count(
+    cores: int,
+    est_input_bytes: int,
+    *,
+    floor: int = 16,
+    target_bytes_per_bucket: int = 64 << 20,
+) -> int:
+    """Bucket count for a bucketed cogroup/applyInPandas: the dial
+    between per-call Python overhead (each group pays one Python
+    invocation + its own Arrow batch — fewer buckets is faster) and
+    per-group memory (a bucket's rows arrive as ONE pandas frame —
+    more buckets is safer).
+
+    ``max(floor, cores // 4, ceil(bytes / target))``: the measured
+    floor (16 beat 64 at sf0.1/32 cores — r12), a cores term so big
+    clusters keep their parallelism, and a DATA-SIZE term so per-group
+    frames stay bounded on a fixed cluster as the corpus grows (the
+    r12 advice: a cores-only dial let groups grow without bound with
+    data). ``est_input_bytes`` is the cogroup inputs' combined
+    plan-time size estimate; 64 MiB per bucket keeps the per-group
+    pandas frame (which materializes ~2-3x the Arrow bytes) well under
+    typical task memory."""
+    data_term = -(-int(est_input_bytes) // target_bytes_per_bucket)  # ceil
+    return max(floor, cores // 4, data_term)
+
+
 def cogroup_reduce(
     left: DataFrame,
     right: DataFrame,

@@ -94,6 +94,14 @@ def cross_join(left: DataFrame, right: DataFrame) -> DataFrame:
     return left.crossJoin(right)
 
 
+#: Per-partition hash-build budget for salted_join's SHUFFLE_HASH hint:
+#: above this estimated build size the hint is omitted (sort-merge
+#: spills; an in-memory hash build OOMs). ~half a conventional
+#: per-task execution-memory budget — order-of-magnitude gate only,
+#: since plan-time size estimates are coarse.
+SHUFFLE_HASH_MAX_BUILD_BYTES = 128 << 20
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -128,7 +136,16 @@ def salted_join(
     deliberately small per (key, salt). Measured at sf0.1:
     BroadcastHashJoin 1.9–2.5 s → ShuffledHashJoin 0.8–1.0 s
     steady-state; result hash-identical (the oracle is the PLAIN
-    join)."""
+    join).
+
+    The hint is GATED on the replicated side's estimated size (r12
+    advice): a shuffled-hash build must hold one partition's rows in
+    memory, so when ``dimension_bytes × salt_buckets ÷
+    shuffle.partitions`` exceeds ``shuffle_hash_max_build_bytes`` the
+    hint is omitted and the planner falls back to sort-merge, which
+    spills gracefully. The estimate is Catalyst's plan-time statistic
+    (no job); the threshold is deliberately half the conventional
+    per-task execution-memory budget."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = list(on)
@@ -136,7 +153,16 @@ def salted_join(
     l_salted = left.withColumn("_salt", salt)
     r_replicated = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
-    ).hint("SHUFFLE_HASH")
+    )
+    from hadoop_2_10_0_src_mapreduce_spark.sources.readers import (
+        estimated_plan_bytes,
+    )
+
+    spark = right.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    est_build = estimated_plan_bytes(right) * salt_buckets / max(1, n_shuffle)
+    if est_build <= SHUFFLE_HASH_MAX_BUILD_BYTES:
+        r_replicated = r_replicated.hint("SHUFFLE_HASH")
     return l_salted.join(r_replicated, keys + ["_salt"], how).drop("_salt")
 
 

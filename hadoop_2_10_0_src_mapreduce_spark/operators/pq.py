@@ -54,6 +54,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hadoop_2_10_0_src_mapreduce_spark.sources.readers import local_values_df
+
 from hadoop_2_10_0_src_mapreduce_spark.operators.similarity import (
     _global_topk,
     _md5_key,
@@ -611,7 +613,11 @@ def save_ivfpq_index(
     # count is kept alongside for audits (index_stats / debugging);
     # readers that need the real codebook shape read the codebooks
     # table itself (_load_pq_codebooks).
-    spark.createDataFrame(
+    # local_values_df (pure-JVM VALUES), not createDataFrame(list):
+    # the pickled-RDD form pays ~cores near-empty Python-worker round
+    # trips per metadata write (guide §4; the join_asof measurement)
+    local_values_df(
+        spark,
         [(
             int(books.shape[0]), int(n_codes), int(books.shape[1]),
             bool(residual),
@@ -619,11 +625,13 @@ def save_ivfpq_index(
         "n_subspaces int, n_codes int, n_codes_trained int, "
         "residual boolean",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/conf")
-    spark.createDataFrame(
+    local_values_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "list_id int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
+    local_values_df(
+        spark,
         [
             (s, c, [float(x) for x in books[s, c]])
             for s in range(books.shape[0])

@@ -64,6 +64,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hadoop_2_10_0_src_mapreduce_spark.sources.readers import local_values_df
+
 
 def _pin(path: str) -> str:
     """Generation-pin an index subdirectory before scanning it (see
@@ -1922,7 +1924,11 @@ def save_ivf_index(
         max_train=max_train,
     )
     spark = emb.sparkSession
-    cent_df = spark.createDataFrame(
+    # local_values_df, not createDataFrame(list): the pickled-RDD form
+    # pays ~cores near-empty Python-worker round trips per save (guide
+    # §4; the join_asof measurement) — the VALUES relation is pure JVM
+    cent_df = local_values_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "list_id int, centroid array<double>",
     )
@@ -2085,7 +2091,8 @@ def save_lsh_index(
     n_planes = _resolve_planes(emb, n_planes)
     n_tables = _resolve_tables(n_planes, n_tables)
     spark = emb.sparkSession
-    spark.createDataFrame(
+    local_values_df(
+        spark,
         [(n_planes, n_tables, dim, max_bucket, bool(bucket_dirs))],
         "n_planes int, n_tables int, dim int, max_bucket int, "
         "bucket_dirs boolean",
@@ -2202,7 +2209,8 @@ def query_lsh_index(
         id_type = {
             f.name: f.dataType.simpleString() for f in queries.schema.fields
         }[id_col]
-        return spark.createDataFrame(
+        return local_values_df(
+            spark,
             [],
             f"query_id {id_type}, rnk int, neighbor_id {id_type}, sim double",
         )
@@ -2225,7 +2233,8 @@ def query_lsh_index(
         # serve from ~7 s to 246 s, dominated by planning/filter
         # compilation. A broadcast semi-join on the probed (table,
         # bucket) pairs reads the same rows at scan speed instead.
-        pairs_df = spark.createDataFrame(
+        pairs_df = local_values_df(
+            spark,
             [
                 (t, b)
                 for t, buckets in sorted(probed.items())
@@ -2477,7 +2486,10 @@ def delete_from_index(
         rows = [(i,) for i in ids]
         if not rows:  # empty delete: no tombstone file, no-op
             return
-        df = spark.createDataFrame(rows, ["id"])
+        # same inference createDataFrame applied (int → bigint), via a
+        # pure-JVM VALUES relation instead of a pickled python RDD
+        id_t = "bigint" if isinstance(rows[0][0], int) else "string"
+        df = local_values_df(spark, rows, f"id {id_t}")
     df.write.mode("append").parquet(f"{path}/tombstones")
 
 
@@ -2902,7 +2914,8 @@ def rebuild_ivf_index(
             home.repartition("list_id"), f"{path}/lists", [],
             sort_cols=["list_id"],
         )
-    cent_df = spark.createDataFrame(
+    cent_df = local_values_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "list_id int, centroid array<double>",
     ).coalesce(1)
@@ -3013,7 +3026,8 @@ def rebuild_lsh_index(
             new_stored, f"{path}/buckets", ["table_idx"],
             sort_cols=["table_idx", "bucket"],
         )
-    conf_df = spark.createDataFrame(
+    conf_df = local_values_df(
+        spark,
         [(n_planes, n_tables, conf.dim, max_bucket, bucket_dirs)],
         "n_planes int, n_tables int, dim int, max_bucket int, "
         "bucket_dirs boolean",

@@ -63,7 +63,11 @@ def corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     union = d.unionByName(exact).unionByName(near)
     return parallelize_scan(
-        union, "doc_id", target=spark.sparkContext.defaultParallelism // 4
+        union, "doc_id", target=spark.sparkContext.defaultParallelism // 4,
+        # the split-count probe is a full planning pass of the union —
+        # memoized per session+fixture so only the first corpus build
+        # pays it (readers.parallelize_scan docstring)
+        memo_key=f"{sf_dir}:corpus_with_dups",
     )
 
 

@@ -89,7 +89,12 @@ def window_tumbling_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both the 'tumbling' leg and the rolling-metric family read it —
     # without it the before-plan re-ran the scan+aggregate once per
     # consumer (plans/r12/window_tumbling_sliding_before.txt: 22
-    # Exchanges; after: the aggregate materializes once)
+    # Exchanges; after: the aggregate materializes once).
+    # Module caching contract (same as the dedup/similarity persists):
+    # the returned frame is lazy and still reads this cache, so it is
+    # NOT unpersisted here — the blocks are evictable, and batch
+    # runners clear caches at query boundaries (bench.py r13 does;
+    # the r12 advice note on session-state accumulation).
     daily = tumbling_window_counts(ev).persist()
     metric = F.col("n_events").cast("double").alias("metric")
     tumbling = daily.select(

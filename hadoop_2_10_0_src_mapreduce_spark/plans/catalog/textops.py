@@ -31,6 +31,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         # width measured: defaultParallelism//4 — see corpus_with_dups
         load_table(spark, sf_dir, "documents"), "doc_id",
         target=spark.sparkContext.defaultParallelism // 4,
+        memo_key=f"{sf_dir}:documents",  # probe once per session (readers)
     )
     # tokenize once, below the scoring projection (shared regex pass);
     # hoist the one-pass stopword-hit accumulator the same way — the
@@ -182,6 +183,7 @@ def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # width measured: defaultParallelism//4 — see corpus_with_dups
         load_table(spark, sf_dir, "documents"), "doc_id",
         target=spark.sparkContext.defaultParallelism // 4,
+        memo_key=f"{sf_dir}:documents",  # probe once per session (readers)
     )
     pii_text = F.when(
         F.col("doc_id") % 5 == 0, F.concat(F.col("text"), _pii_suffix_spark())
@@ -358,6 +360,7 @@ def text_fingerprint_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # width measured: defaultParallelism//4 — see corpus_with_dups
         load_table(spark, sf_dir, "documents"), "doc_id",
         target=spark.sparkContext.defaultParallelism // 4,
+        memo_key=f"{sf_dir}:documents",  # probe once per session (readers)
     )
 
     rollup = (

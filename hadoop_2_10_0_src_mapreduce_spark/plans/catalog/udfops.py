@@ -240,19 +240,29 @@ def sessionize_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         out["end_ts"] = pd.to_datetime(out["user_id"].map(agg["end"]))
         return out
 
-    # Bucket count is a dial between per-call Python overhead (each
-    # cogroup group pays one Python invocation + its own Arrow batch)
-    # and per-group memory (a bucket's users' rows arrive as ONE
-    # pandas frame). Scale-adaptively derived: max(16, cores//4) —
-    # measured at sf0.1/32 cores: 64 buckets 2.6–3.6 s steady, 16
-    # buckets 1.8–2.2 s (same rows; bucketing only partitions the
-    # work); on a large cluster the count grows with cores so groups
-    # stay memory-bounded.
-    n_buckets = max(16, spark.sparkContext.defaultParallelism // 4)
+    # Bucket count via cogroup_bucket_count (measured floor 16 — 64
+    # buckets ran 2.6–3.6 s steady vs 16 at 1.8–2.2 s at sf0.1/32
+    # cores; same rows either way), a cores term for cluster
+    # parallelism, and a data-size term so per-group pandas frames
+    # stay bounded when the corpus grows on a fixed cluster (r12
+    # advice). The size estimate is plan-time (no job).
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    errors = ev.where(F.col("event_type") == "error").select("user_id", "ts")
+    from hadoop_2_10_0_src_mapreduce_spark.sources.readers import (
+        estimated_plan_bytes,
+    )
+
+    # one plan-stats probe, not two: the unfiltered (user_id, ts)
+    # projection upper-bounds clicks+errors combined (filters only
+    # shrink it) — a conservative input to a memory BOUND
+    n_buckets = udfmod.cogroup_bucket_count(
+        spark.sparkContext.defaultParallelism,
+        estimated_plan_bytes(ev.select("user_id", "ts")),
+    )
     bucket = F.pmod(F.col("user_id"), F.lit(n_buckets)).alias("_b")
     cogrouped = udfmod.cogroup_reduce(
-        ev.where(F.col("event_type") == "click").select("user_id", "ts", bucket),
-        ev.where(F.col("event_type") == "error").select("user_id", "ts", bucket),
+        clicks.select("user_id", "ts", bucket),
+        errors.select("user_id", "ts", bucket),
         ["_b"],
         clicks_after_last_error,
         "user_id long, session_id long, n_events long, "

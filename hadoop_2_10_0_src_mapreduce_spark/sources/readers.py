@@ -71,8 +71,18 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+#: (applicationId, memo_key) → measured pre-repartition partition count.
+#: A PLAN property of a fixed input file set — never query results — so
+#: memoizing it is safe: same session + same files ⇒ same split count.
+_SPLIT_COUNT_MEMO: dict[tuple[str, str], int] = {}
+
+
 def parallelize_scan(
-    df: DataFrame, key: str | None = None, target: int | None = None
+    df: DataFrame,
+    key: str | None = None,
+    target: int | None = None,
+    *,
+    memo_key: str | None = None,
 ) -> DataFrame:
     """Raise the map-side parallelism of an UNDER-SPLIT scan.
 
@@ -99,14 +109,123 @@ def parallelize_scan(
     sort-before-repartition pass, deterministic under task retry —
     guide §2.5's SPARK-38388 note); round-robin otherwise. Results are
     partitioning-independent either way; every registered query's
-    output is aggregate- or orderBy-stable."""
+    output is aggregate- or orderBy-stable.
+
+    ``memo_key``: cache key for the split-count probe. The no-op guard
+    reads ``df.rdd.getNumPartitions()``, which forces a full physical
+    planning pass of ``df`` — plan-time only, but callers build their
+    frames fresh on every execution, so the probe cost recurs inside
+    every timed query. The count is a static property of the input
+    FILE SET and the session's split sizing, so callers whose input is
+    fixed (the fixture tables) pass a key naming that file set (e.g.
+    ``f"{sf_dir}:documents"``) and pay the probe once per session; the
+    memo is keyed by applicationId so a new session re-measures, and it
+    never stores data — only an integer plan property. Precondition
+    (either way): ``df`` must be shuffle-free above the scan — a
+    shuffle upstream would make the count describe the exchange, not
+    the scan splits; all current callers are scan→project→filter→union
+    shapes."""
     sc = df.sparkSession.sparkContext
     if target is None:
         target = sc.defaultParallelism
     target = max(2, target)
-    if df.rdd.getNumPartitions() >= target:
+    if memo_key is not None:
+        mk = (sc.applicationId, memo_key)
+        n = _SPLIT_COUNT_MEMO.get(mk)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _SPLIT_COUNT_MEMO[mk] = n
+    else:
+        n = df.rdd.getNumPartitions()
+    if n >= target:
         return df
     return df.repartition(target, F.col(key)) if key else df.repartition(target)
+
+
+def _sql_literal(v) -> str:
+    """One VALUES-clause literal. Doubles use repr() — the shortest
+    decimal that round-trips, which a correctly-rounded parser (Java's
+    Double.parseDouble) maps back to the identical bits — so float
+    payloads survive the SQL text exactly."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v in (float("inf"), float("-inf")):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if isinstance(v, str):
+        escaped = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{escaped}'"
+    if isinstance(v, (list, tuple)):
+        return "ARRAY(" + ", ".join(_sql_literal(x) for x in v) + ")"
+    raise TypeError(f"local_values_df: unsupported literal {type(v).__name__}")
+
+
+def _split_ddl_fields(schema_ddl: str) -> list[tuple[str, str]]:
+    """'a int, b array<double>' → [('a','int'), ('b','array<double>')]
+    (commas inside <> belong to the type, not the field list)."""
+    fields, depth, cur = [], 0, ""
+    for ch in schema_ddl:
+        if ch == "," and depth == 0:
+            fields.append(cur)
+            cur = ""
+            continue
+        depth += ch == "<"
+        depth -= ch == ">"
+        cur += ch
+    fields.append(cur)
+    return [tuple(f.strip().split(None, 1)) for f in fields]
+
+
+def local_values_df(spark: SparkSession, rows: Sequence, schema_ddl: str) -> DataFrame:
+    """Driver-side rows → a pure-JVM VALUES LocalRelation.
+
+    ``spark.createDataFrame(list)`` builds a PICKLED Python RDD spread
+    over defaultParallelism slices: every one of its ~cores near-empty
+    tasks pays a Python-worker round trip (guide §4 — measured on the
+    join_asof bands table: ~270 ms run / ~3 ms cpu per task, a pure
+    Python-boundary tax; the r12 verdict asked for the same fix on the
+    index save/serve metadata frames). A VALUES relation parses,
+    plans and executes entirely in the JVM (LocalTableScan), and an
+    empty row list becomes a zero-row JVM range — same schema, no RDD.
+
+    For BOUNDED metadata rows only (centroid/conf/codebook tables,
+    probed-bucket predicates): the SQL text grows with the data, so
+    corpus-scale frames should stay DataFrames end to end."""
+    names_types = _split_ddl_fields(schema_ddl)
+    if not rows:
+        return spark.range(0).select(
+            *[F.lit(None).cast(t).alias(n) for n, t in names_types]
+        )
+    cols = ", ".join(
+        f"CAST(c{i} AS {t}) AS {n}" for i, (n, t) in enumerate(names_types)
+    )
+    aliases = ", ".join(f"c{i}" for i in range(len(names_types)))
+    body = ", ".join(
+        "(" + ", ".join(_sql_literal(v) for v in row) + ")" for row in rows
+    )
+    return spark.sql(
+        f"SELECT {cols} FROM (VALUES {body}) AS t({aliases})"
+    )
+
+
+def estimated_plan_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan output-size estimate, in bytes.
+
+    Plan-time only (analysis + optimization of ``df``'s plan, NO job):
+    file-scan statistics (total file bytes) flow up through projections
+    and filters exactly the way the planner itself estimates join build
+    sides. Used to gate scale-dependent physical choices (join-strategy
+    hints, cogroup bucket counts) on data size instead of constants —
+    the estimates are coarse (post-filter selectivity is guessed), so
+    gate on order-of-magnitude thresholds only."""
+    return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
 
 
 def read_text_lines(
