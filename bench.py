@@ -48,6 +48,18 @@ says the slowdown lives inside the session and the normalized number
 should not be trusted. Known bias, stated: a 1-wide probe can read
 box-wide contention somewhat differently than 32-wide Spark stages —
 divergence is evidence for adjudication, not a verdict by itself.
+
+r13: the cache is cleared at every query-slot boundary (see the pass
+loop), so each timed execution computes from the parquet inputs with a
+clean cache — the r12 verdict's session-state item. Measured before
+changing (tools/cache_drag_probe.py): 60 persisted frames add NO drag
+to the control workload (dirty/clean 0.992), and a quiet r13 window
+read weather_divergence 1.03 under the OLD semantics — so the r12
+driver window's divergence 1.459 was the documented width bias of a
+stormy window, not cache drag. The clearing is therefore a
+measurement-honesty fix for the per-query numbers (no cross-query
+cache subsidy), not a control repair; timed-region methodology,
+min-of-3, the query set, and the JSON contract are unchanged.
 THE GATE REMAINS THE RAW NUMBER.
 """
 
@@ -358,17 +370,36 @@ def main() -> None:
     # Three full passes, min per query: this box shows sporadic
     # host-level contention spikes on random queries; min-of-N is the
     # standard noise-robust point estimate and every reported number is
-    # still a real end-to-end execution. Measurement semantics, stated
-    # honestly: queries that persist() intermediates leave them in the
-    # cache manager, and Spark substitutes matching plan fragments on
-    # the next pass — so the min is the STEADY-STATE cost of the query
-    # in a live session, not a cold-cache standalone run. Rounds 1–3
+    # still a real end-to-end execution. Rounds 1–3
     # used two passes; round 4 measured that pass 2 still carries
     # warm-up for several queries (python-worker spin-up, JIT) — e.g.
     # scan_text_roundtrips passes [3.5, 1.8, 1.7] — so a third pass
     # tightens the estimate of the SAME steady-state quantity the
     # earlier rounds were estimating; per-query minima stay comparable
     # across rounds (Appendix: SURVEY §8 r4 variance note).
+    #
+    # r13 measurement-semantics fix (the r12 verdict's #2, stated
+    # explicitly per the round contract; OPTIMIZATION_r13.md records a
+    # window under each semantics): through r12, queries that persist()
+    # intermediates left them in the cache manager and Spark
+    # substituted matching plan fragments on the NEXT pass — so the min
+    # was a warm-cache number that (a) undersold the query's real cost,
+    # (b) accumulated ~50 queries' cached partitions as ambient session
+    # state, and (c) let one query's cache subsidize another's timing.
+    # Now the cache is CLEARED at every query-slot boundary (below,
+    # OUTSIDE the timed region): every timed execution computes from
+    # the parquet inputs, and the min-of-3 estimates the cold-cache
+    # cost of the query in an otherwise-clean session. Within one timed
+    # execution persists still work exactly as the operators intend.
+    # (Measured first: tools/cache_drag_probe.py shows 60 cached frames
+    # add NO drag to the control — dirty/clean 0.992 — so this is an
+    # honesty fix for the QUERY numbers, not a control repair; the r12
+    # weather_divergence 1.459 was storm width-bias, see the module
+    # docstring.)
+    def _clear_query_state() -> None:
+        spark.catalog.clearCache()
+
+    _clear_query_state()  # warmup's leftovers must not subsidize pass 0
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for _pass in range(3):
@@ -377,6 +408,7 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             el = round(time.time() - t0, 3)
+            _clear_query_state()  # untimed: after the clock stops
             if name not in timings or el < timings[name]:
                 timings[name] = el
             spreads[name] = max(spreads.get(name, el), el)
@@ -405,6 +437,7 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = min(timings[name], round(time.time() - t0, 3))
+            _clear_query_state()  # same cold-slot semantics as the passes
             n_retimed += 1
             if n_retimed % 4 == 0:
                 adaptive_legs.append(control_workload(spark))
@@ -429,6 +462,13 @@ def main() -> None:
         for name, (tag_col, branch_map) in BRANCHED.items():
             if name not in qs:
                 continue
+            # r13: query-slot boundary — one query's cache must not
+            # subsidize another's branch timings. WITHIN the slot the
+            # branches still share the slot's persisted intermediates:
+            # a branch number is defined as the marginal steady-state
+            # cost of ONE strategy inside its slot (above), and that
+            # definition needs the shared index warm.
+            _clear_query_state()
             ph[name] = {}
             for b in branch_map:
                 best, worst = None, 0.0
