@@ -621,8 +621,15 @@ def _exact_jaccard_on_candidates(cands: DataFrame, inv: DataFrame,
     the same arrays, so Jaccard-over-retained-shingles is unchanged.
     Hashes (8 bytes) keep the set payload ~50× smaller than shingle
     strings; per-doc set size is bounded by document length, not
-    corpus size, so the per-row arrays stay small at any scale."""
-    sets = inv.groupBy("id").agg(F.collect_list("h").alias("_sh"))
+    corpus size, so the per-row arrays stay small at any scale.
+
+    The set table is persisted (module caching contract — referenced
+    by the returned lazy frame): it feeds BOTH pair-side joins, and
+    without the persist each side re-aggregates the full index
+    (r13: the minhash plan dump showed the collect_list
+    ObjectHashAggregate 8×; one aggregation + cache reads replace
+    them — guide §2.4, evaluate shared subtrees once)."""
+    sets = inv.groupBy("id").agg(F.collect_list("h").alias("_sh")).persist()
     a = sets.select(F.col("id").alias("id_a"), F.col("_sh").alias("_sha"))
     b = sets.select(F.col("id").alias("id_b"), F.col("_sh").alias("_shb"))
     per_pair = cands.join(a, "id_a").join(b, "id_b").select(
