@@ -670,7 +670,14 @@ def _df_capped(inv: DataFrame, max_doc_freq: int | None) -> DataFrame:
     changes Jaccard semantics to "Jaccard over sub-stop-frequency
     shingles", the standard near-dup preprocessing. The hot set is tiny
     by construction (only keys with df > cap), so it broadcasts into a
-    map-side anti-join — the pair stream never shuffles for it."""
+    map-side anti-join — the pair stream never shuffles for it.
+
+    Measured and rejected (r13, cold alternating A/B): persisting the
+    input index so the hot aggregation and the anti-join stream share
+    one evaluation ran WORSE (minhash 6.62→7.03 s, ngram flat) — the
+    hot side's broadcast job overlaps the stream's own work, while the
+    persist serializes the pipeline behind a cache materialization of
+    the full exploded index."""
     if max_doc_freq is None:
         return inv
     hot = (
