@@ -1202,16 +1202,22 @@ def minhash_signatures(
 def _minhash_from_index(inv: DataFrame, num_hashes: int) -> DataFrame:
     """(id, h) inverted index → (id, sig): hash family i is
     xxhash64(i, h) — re-hashing the 8-byte shingle hash is much cheaper
-    than re-hashing the shingle string num_hashes times."""
+    than re-hashing the shingle string num_hashes times.
+
+    Built as SQL text, one F.expr per aggregate (r13): the Column-API
+    form (min+xxhash64+lit+alias per family) was ~500 py4j round trips
+    ≈ 0.55 s of plan-build per execution. An integer literal parses as
+    IntegerType exactly like F.lit(i), so every xxhash64 seed sees the
+    same input types and the signatures are bit-identical
+    (oracle-pinned via the minhash gate)."""
     mins = inv.groupBy("id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), "h")).alias(f"_h{i}")
+            F.expr(f"min(xxhash64({i}, h)) AS _h{i}")
             for i in range(num_hashes)
         ]
     )
-    return mins.select(
-        "id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig")
-    )
+    arr = ", ".join(f"_h{i}" for i in range(num_hashes))
+    return mins.select("id", F.expr(f"array({arr}) AS sig"))
 
 
 def minhash_lsh_pairs(
@@ -1367,11 +1373,16 @@ def simhash_signatures(
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tok_expr(text_col)).alias("tok")
     )
+    # All 64-bit expression ladders are built as SQL TEXT and parsed
+    # with ONE F.expr py4j call each (r13): the Column-API form issued
+    # ~600 driver RPCs per plan build (each shiftright/bitwiseAND/
+    # when/alias is a JVM round trip) — measured 1.4–2.2 s of pure
+    # PLAN-BUILD time per execution, more than the query's executor
+    # time. The parsed expressions are identical (same functions, same
+    # integer semantics), so signatures are bit-equal (oracle-pinned).
     if token_hash == "xxhash64":
         hashed = toks.select("id", F.xxhash64("tok").alias("h"))
-        bits = [
-            F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) for i in range(64)
-        ]
+        bit_sqls = [f"(shiftrightunsigned(h, {i}) & 1)" for i in range(64)]
     elif token_hash == "md5":
         # parse the 16 hex digits as TWO 8-digit conv()s (each fits a
         # long) instead of 16 one-digit ones — measured ~1.7× faster
@@ -1379,35 +1390,37 @@ def simhash_signatures(
         # 4·(7−j) of _hi (j<8) / 4·(15−j) of _lo (j≥8), so bit i of
         # the token hash — (digit[i//4] >> (i%4)) & 1, the definition
         # the oracle recomputes digit-wise — is one shift+mask.
-        hashed = toks.withColumn("_hex", F.md5("tok")).select(
+        # (md5(tok) appears in both projections; projection collapse +
+        # codegen subexpression elimination evaluate it once per row,
+        # same as the previous withColumn form after optimization.)
+        hashed = toks.selectExpr(
             "id",
-            F.conv(F.substring("_hex", 1, 8), 16, 10).cast("long").alias("_hi"),
-            F.conv(F.substring("_hex", 9, 8), 16, 10).cast("long").alias("_lo"),
+            "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) AS _hi",
+            "CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT) AS _lo",
         )
 
-        def _md5_bit(i: int):
+        def _md5_bit_sql(i: int) -> str:
             j, b = i // 4, i % 4
             if j < 8:
-                return F.shiftright(F.col("_hi"), 4 * (7 - j) + b).bitwiseAND(F.lit(1))
-            return F.shiftright(F.col("_lo"), 4 * (15 - j) + b).bitwiseAND(F.lit(1))
+                return f"(shiftright(_hi, {4 * (7 - j) + b}) & 1)"
+            return f"(shiftright(_lo, {4 * (15 - j) + b}) & 1)"
 
-        bits = [_md5_bit(i) for i in range(64)]
+        bit_sqls = [_md5_bit_sql(i) for i in range(64)]
     else:  # pragma: no cover - guard against typos at call sites
         raise ValueError(f"unknown token_hash: {token_hash!r}")
     counted = hashed.groupBy("id").agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[F.sum(bits[i]).alias(f"_b{i}") for i in range(64)],
+        F.expr("count(1) AS _n"),
+        *[F.expr(f"sum({bit_sqls[i]}) AS _b{i}") for i in range(64)],
     )
-    sim = F.lit(0).cast("long")
-    for i in range(64):
-        # majority bit: Σ±1 > 0  ⇔  2·Σbit > n
-        bit = (
-            F.when(F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
-        sim = sim + F.shiftleft(bit, i)
-    return counted.select("id", sim.alias("sim"))
+    # majority bit: Σ±1 > 0  ⇔  2·Σbit > n; the signed 64-bit
+    # signature is a sum of disjoint bit shifts (bit 63 wraps negative
+    # — exactly the two's-complement encoding we want)
+    sim_sql = " + ".join(
+        f"shiftleft(CAST(CASE WHEN _b{i} * 2 > _n THEN 1 ELSE 0 END"
+        f" AS BIGINT), {i})"
+        for i in range(64)
+    )
+    return counted.select("id", F.expr(f"({sim_sql}) AS sim"))
 
 
 def simhash_pairs(
