@@ -1462,21 +1462,21 @@ def simhash_pairs(
             df, text_col, id_col, token_hash=token_hash
         ).persist()
     # shiftrightunsigned needs a literal shift amount — enumerate the 8
-    # chunk expressions instead of a transform() lambda
-    chunks = [
-        F.shiftrightunsigned(F.col("sim"), i * 8).bitwiseAND(F.lit(255))
-        for i in range(8)
+    # chunk expressions instead of a transform() lambda; SQL text, one
+    # parse (the Column-API ladder was ~110 py4j RPCs ≈ 0.25 s of
+    # plan-build per call, two calls per simhash gate — r13)
+    chunk_sqls = [
+        f"(shiftrightunsigned(sim, {i * 8}) & 255)" for i in range(8)
     ]
     if max_hamming <= 6:  # ≥2 equal chunks guaranteed → pair tables
-        keys = F.array(
-            *[
-                F.shiftleft(chunks[i], 8).bitwiseOR(chunks[j])
-                for i in range(8)
-                for j in range(i + 1, 8)
-            ]
-        )
+        key_sqls = [
+            f"(shiftleft({chunk_sqls[i]}, 8) | {chunk_sqls[j]})"
+            for i in range(8)
+            for j in range(i + 1, 8)
+        ]
     else:  # only ≥1 equal chunk guaranteed → single-chunk tables
-        keys = F.array(*chunks)
+        key_sqls = chunk_sqls
+    keys = F.expr("array(" + ", ".join(key_sqls) + ")")
     bucketed = sigs.select(
         "id", "sim", F.posexplode(keys).alias("table_idx", "bucket")
     )
