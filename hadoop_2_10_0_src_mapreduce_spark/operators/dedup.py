@@ -1045,6 +1045,28 @@ def _propagate_components(adj_src, ckpt, *, max_iters, stats):
                 (F.col("_nmin") < F.col("rep")).alias("_chg"),
             )
         )
+        if it == 0:
+            # First loop round: NO pointer-jumping shortcut (r13).
+            # Round 0's free aggregate already reaches 1 hop and this
+            # round's propagation reaches 2 — near-dup graphs (cliques,
+            # stars, short chains) converge here, and for them the
+            # shortcut is pure overhead: a persist fill plus a
+            # label-side self-join per round, measured 2.47→1.84 s on
+            # the bench minhash graph (same 2 rounds, labels
+            # bit-identical). Deep chains engage the shortcut from the
+            # next round, so rounds stay O(log diameter) (the 256-node
+            # path: 9 rounds vs 8, still well under the test's ≤12 and
+            # max_iters=25).
+            new_labels = ckpt(prop_plan)
+            changed = new_labels.where(F.col("_chg")).limit(1).count()
+            labels = new_labels.drop("_chg")
+            if stats is not None:
+                stats["rounds"] = it + 1
+            if changed == 0:
+                adj.unpersist()
+                ckpt.retire_intermediates()
+                return labels
+            continue
         # Tax trim (r11 for reliable mode, r12 for local mode): only
         # lineage TRUNCATION needs the eager round-trip, and only
         # new_labels crosses rounds — prop is consumed entirely WITHIN
